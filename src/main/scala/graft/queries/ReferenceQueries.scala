@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sampling.{Sampled, SamplingConfig}
+
+/** The reference's analytics queries, re-expressed as declarative DataFrame
+  * pipelines (SURVEY.md §2.2-2.3 operators P1-P10 / A1-A3).
+  *
+  * Every pipeline is pure built-in `functions._` — fully codegen'd, map-side
+  * partial aggregation for free (the reference wired its reducer as a
+  * combiner by hand: RandomizedWordCount.java:92), and filters/projections
+  * that Catalyst pushes into the parquet scan. Each takes the source
+  * DataFrame so it composes with [[graft.sampling.Sampled]]: sampled mode is
+  * `query(sampled.data)` + HT scale-up of the additive aggregates.
+  *
+  * Input mapping (FIXTURES.md §2): gutenberg/wiki text → `documents.text`;
+  * the Apache access log → `events` (`user_id`≈host, `ts`≈datetime,
+  * `value`≈bytes, `event_type`≈page); the wireless CSV's (sender, receiver)
+  * → (`user_id`, `props.k`).
+  */
+object ReferenceQueries {
+
+  /** Word tokenizer: lower-case then split on non-alphanumerics — the moral
+    * equivalent of the reference's 30+-char delimiter set
+    * (RandomizedWordCount.java:31) over `[a-z0-9]` words.
+    */
+  val WordDelims = "[^a-z0-9]+"
+
+  /** P1+P2+P3 → A1: word count.
+    * Faithful to the reference pipeline (RandomizedWordCount.java:31-53):
+    * lowercase, drop lines containing digits, tokenize, drop empty and
+    * numeric-only tokens, count by word.
+    * `urlDecode` adds the reference's URL-unescaping step (`url_decode`,
+    * RandomizedWordCount.java:44-52); off by default since the oracle
+    * corpus contains no percent-escapes.
+    */
+  def wordCount(docs: DataFrame, urlDecode: Boolean = false): DataFrame = {
+    val line0 = lower(col("text"))
+    val line =
+      if (urlDecode)
+        url_decode(regexp_replace(regexp_replace(line0, "%(?![0-9a-f]{2})", "%25"), "\\+", "%2b"))
+      else line0
+    docs
+      .select(line.as("line"))
+      .filter(!col("line").rlike("[0-9]"))
+      .select(explode(split(col("line"), WordDelims)).as("word"))
+      .filter(col("word") =!= "" && !col("word").rlike("^[0-9]+$"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** P4 → A1: character count (RandomizedCharacterCount.java:27-48). */
+  def charCount(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("ch")
+      .agg(count(lit(1)).as("cnt"))
+
+  // --- Apache-log analysis tasks (RandomizedApacheLogAnalysis.java:53-112),
+  // --- on the events analog. One parsed source, seven pipelines — the
+  // --- reference's "one job template × 7 logical queries" catalog (§3.2).
+
+  /** P6 → A2 `hack`: keep events whose type starts with an attack-probe-like
+    * prefix, count per host analog (RandomizedApacheLogAnalysis.java:56-75).
+    */
+  def logHack(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").rlike("^(err|sign)"))
+      .groupBy(col("user_id").as("host"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A2 `host`: request count per host analog (RandomizedApacheLogAnalysis.java:77-80). */
+  def logHost(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id").as("host")).agg(count(lit(1)).as("cnt"))
+
+  /** P7 → A2 `dateweek`: day-of-week × hour histogram
+    * (RandomizedApacheLogAnalysis.java:82-86; format "EEE HH", Locale.US, UTC).
+    */
+  def logDateweek(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "EEE HH").as("dateweek"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** P8 → A2 `size`: 100-byte histogram buckets of the size analog
+    * (RandomizedApacheLogAnalysis.java:88-91: floor(bytes/100)*100).
+    */
+  def logSize(events: DataFrame): DataFrame =
+    events
+      .groupBy((floor(col("value") / 100) * 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A3 `totalsize`: global sum under constant key "Total"
+    * (RandomizedApacheLogAnalysis.java:93-95).
+    */
+  def logTotalsize(events: DataFrame): DataFrame =
+    events
+      .groupBy(lit("Total").as("key"))
+      .agg(round(sum(col("value")), 2).as("total"))
+
+  /** P9 → A2 `pagesize`: total size per page analog
+    * (RandomizedApacheLogAnalysis.java:97-101).
+    */
+  def logPagesize(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("page"))
+      .agg(round(sum(col("value")), 2).as("total"))
+
+  /** P9 → A2 `page`: hit count per page analog
+    * (RandomizedApacheLogAnalysis.java:103-107).
+    */
+  def logPage(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("page")).agg(count(lit(1)).as("cnt"))
+
+  /** P10 → A1: wireless link analysis — order-normalized link pair so A→B
+    * and B→A aggregate together (RandomizedWirelessLogAnalysis.java:31-40).
+    * Sender = `user_id`, receiver = `props.k` (FIXTURES.md §2).
+    */
+  def wirelessLinks(events: DataFrame): DataFrame = {
+    val sender = col("user_id")
+    val receiver = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .filter(receiver.isNotNull) // malformed-record tolerance (P5 semantics)
+      .groupBy(
+        concat(
+          greatest(sender, receiver).cast("string"),
+          lit("->"),
+          least(sender, receiver).cast("string")).as("link"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sampled word count with Horvitz–Thompson scale-up: the reference's
+    * flagship approximate query (SURVEY.md §7.3). Counts computed on a
+    * seeded Bernoulli sample, scaled by 1/ratio — the estimator the
+    * reference's comparator applies (RSMRResultComparator.java:58-71).
+    */
+  def wordCountSampled(docs: DataFrame, cfg: SamplingConfig): DataFrame = {
+    val s = Sampled(docs, cfg)
+    wordCount(s.data)
+      .withColumn("est_cnt", s.htScale(col("cnt")))
+      .drop("cnt")
+  }
+
+  /** Sampled variant of any of the count-shaped pipelines above. */
+  def sampled(
+      source: DataFrame,
+      cfg: SamplingConfig,
+      query: DataFrame => DataFrame,
+      countCol: String = "cnt"): (Sampled, DataFrame) = {
+    val s = Sampled(source, cfg)
+    val est = query(s.data).withColumn(s"est_$countCol", s.htScale(col(countCol))).drop(countCol)
+    (s, est)
+  }
+}

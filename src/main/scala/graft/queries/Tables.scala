@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * All engine queries read these via plain parquet scans so Catalyst's
+  * column pruning / predicate pushdown reach the file footers — at 100 TB a
+  * scan that doesn't prune is the whole ballgame, so nothing here caches or
+  * materializes eagerly.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
+    * conf and convert with integer division (`DIV`, not `/`: epoch-nanos
+    * ~1.7e18 overflow double's 2^53 mantissa, and a microsecond of drift
+    * would break oracle parity).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+}
