@@ -39,7 +39,10 @@ object SparkEntry {
     // --- an external engine can't reproduce Spark's RNG stream) ---
     "wordcount_sampled_r10" -> ((s, dir) =>
       RQ.wordCountSampled(Tables.documents(s, dir), SamplingConfig(ratio = 0.1))
-        .orderBy("word")))
+        .orderBy("word")),
+    "wireless_sampled_r10" -> ((s, dir) =>
+      RQ.sampled(Tables.events(s, dir), SamplingConfig(ratio = 0.1), RQ.wirelessLinks)._2
+        .orderBy("link")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

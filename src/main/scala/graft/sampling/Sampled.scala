@@ -46,9 +46,9 @@ final case class SamplingReport(
   *    reference's read-and-discard loop, RandomizedLineRecordReader.java:67-81).
   *    Catalyst pushes column pruning below it, so a sampled count scans zero
   *    parquet columns.
-  *  - `totalCount` on a bare parquet scan is answered from file-footer row
-  *    counts (no data read) — this replaces the reference's per-reader total
-  *    counters with something that is free even at 100 TB.
+  *  - Accounting is ONE zero-column pass computing `(count(*), count kept)`
+  *    together — this replaces the reference's per-reader total counters
+  *    (and round 1's two separate counting jobs).
   *  - Accounting deliberately does NOT use accumulators inside the data path:
   *    task retries and speculative execution double-count accumulator updates
   *    inside transformations; separate deterministic counting jobs cannot
@@ -73,11 +73,35 @@ final class Sampled private (
     if (ratio >= 1.0) source
     else source.filter(rand(config.seed) < lit(ratio))
 
-  /** Exact input cardinality. Metadata-only for bare parquet scans. */
-  lazy val totalCount: Long = source.count()
+  /** Exact (total, sampled) cardinalities in ONE pass over the source: a
+    * single zero-column scan computes `count(*)` and the number of rows the
+    * seeded keep-predicate accepts (SURVEY.md §7.5's single-pass plan —
+    * halves the accounting input cost vs two scans at 100 TB).
+    *
+    * The `when(rand(seed) < p, …)` tag here selects the same row set as the
+    * filter in [[data]] because `rand(seed)` is deterministic per
+    * (seed, partition index, row position) and both jobs scan the same
+    * source with the same partitioning. This is asserted by SampledSpec.
+    */
+  private lazy val counts: (Long, Long) = {
+    if (ratio >= 1.0) { val n = source.count(); (n, n) }
+    else {
+      // The nondeterministic tag must live in a projection (Catalyst rejects
+      // rand() inside aggregate arguments); the projection fuses into the
+      // scan stage, so this is still one pass.
+      val row = source
+        .select(when(rand(config.seed) < lit(ratio), 1L).otherwise(0L).as("__kept"))
+        .agg(count(lit(1)).as("total"), sum(col("__kept")).as("sampled"))
+        .head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+  }
 
-  /** Exact sampled cardinality (one zero-column pass evaluating the filter). */
-  lazy val sampledCount: Long = data.count()
+  /** Exact input cardinality. */
+  def totalCount: Long = counts._1
+
+  /** Exact sampled cardinality. */
+  def sampledCount: Long = counts._2
 
   /** Actual achieved sampling rate (what the reference computed from its
     * per-reader ZooKeeper counters, RandomSamplingUtil.java:306-315).
@@ -96,7 +120,7 @@ final class Sampled private (
   def htScale(aggregate: Column, actual: Boolean = false): Column =
     aggregate / lit(if (actual) actualRatio else ratio)
 
-  /** Post-run report (T6). Triggers the two counting jobs. */
+  /** Post-run report (T6). Triggers the single accounting job. */
   def report(): SamplingReport = SamplingReport(
     jobId = jobId,
     total = totalCount,
