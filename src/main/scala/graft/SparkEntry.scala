@@ -27,13 +27,16 @@ object SparkEntry {
     // --- reference parity (exact mode, ratio = 1.0) ---
     "wordcount" -> ((s, dir) => RQ.wordCount(Tables.documents(s, dir)).orderBy("word")),
     "charcount" -> ((s, dir) => RQ.charCount(Tables.documents(s, dir)).orderBy("ch")),
-    "log_hack" -> ((s, dir) => RQ.logHack(Tables.events(s, dir)).orderBy("host")),
-    "log_host" -> ((s, dir) => RQ.logHost(Tables.events(s, dir)).orderBy("host")),
-    "log_dateweek" -> ((s, dir) => RQ.logDateweek(Tables.events(s, dir)).orderBy("dateweek")),
-    "log_size" -> ((s, dir) => RQ.logSize(Tables.events(s, dir)).orderBy("bucket")),
-    "log_totalsize" -> ((s, dir) => RQ.logTotalsize(Tables.events(s, dir))),
-    "log_pagesize" -> ((s, dir) => RQ.logPagesize(Tables.events(s, dir)).orderBy("page")),
-    "log_page" -> ((s, dir) => RQ.logPage(Tables.events(s, dir)).orderBy("page")),
+    // The seven log tasks run on parse(synthesize(events)) — raw CLF lines
+    // through the real regexp parse + prefix match + path extraction
+    // (P5/P6/P9), so the oracle checks the string processing itself.
+    "log_hack" -> ((s, dir) => RQ.clfHack(RQ.clfParsed(Tables.events(s, dir))).orderBy("host")),
+    "log_host" -> ((s, dir) => RQ.clfHost(RQ.clfParsed(Tables.events(s, dir))).orderBy("host")),
+    "log_dateweek" -> ((s, dir) => RQ.clfDateweek(RQ.clfParsed(Tables.events(s, dir))).orderBy("dateweek")),
+    "log_size" -> ((s, dir) => RQ.clfSize(RQ.clfParsed(Tables.events(s, dir))).orderBy("bucket")),
+    "log_totalsize" -> ((s, dir) => RQ.clfTotalsize(RQ.clfParsed(Tables.events(s, dir)))),
+    "log_pagesize" -> ((s, dir) => RQ.clfPagesize(RQ.clfParsed(Tables.events(s, dir))).orderBy("page")),
+    "log_page" -> ((s, dir) => RQ.clfPage(RQ.clfParsed(Tables.events(s, dir))).orderBy("page")),
     "wireless_links" -> ((s, dir) => RQ.wirelessLinks(Tables.events(s, dir)).orderBy("link")),
     // --- approximate mode (seeded sample + HT scale-up; no SQL oracle:
     // --- an external engine can't reproduce Spark's RNG stream) ---
@@ -58,24 +61,39 @@ object SparkEntry {
       """SELECT ch, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
         |WHERE ch <> '' GROUP BY ch ORDER BY ch""".stripMargin,
+    // CLF oracle SQL states the *semantic* result of the synth→parse round
+    // trip directly over events (the Spark side actually renders raw CLF
+    // lines and regex-parses them back; corrupt lines are event_id % 97 = 0,
+    // attack probes event_id % 20 = 0, bytes = round(value*100)).
     "log_hack" ->
-      """SELECT user_id AS host, count(*) AS cnt FROM events
-        |WHERE regexp_matches(event_type, '^(err|sign)')
+      """SELECT 'h' || CAST(user_id AS VARCHAR) || '.example.com' AS host, count(*) AS cnt
+        |FROM events WHERE event_id % 97 <> 0 AND event_id % 20 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_host" ->
-      "SELECT user_id AS host, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      """SELECT 'h' || CAST(user_id AS VARCHAR) || '.example.com' AS host, count(*) AS cnt
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_dateweek" ->
-      "SELECT strftime(ts, '%a %H') AS dateweek, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      """SELECT strftime(ts, '%a %H') AS dateweek, count(*) AS cnt
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_size" ->
-      """SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS bucket, count(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 100) * 100 AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_totalsize" ->
-      "SELECT 'Total' AS key, round(sum(value), 2) AS total FROM events GROUP BY 1",
+      """SELECT 'Total' AS key, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1""".stripMargin,
     "log_pagesize" ->
-      """SELECT event_type AS page, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT CASE WHEN event_id % 20 = 0 THEN
+        |  ['/w00tw00t','/phpMyAdmin','/pma','/myadmin','/MyAdmin','/phpTest','/cgi-bin/php','/cgi-bin/php5','/cgi-bin/php-cgi'][CAST(event_id % 9 AS INT) + 1] || '/x'
+        |  ELSE '/' || event_type || '/item' || CAST(event_id % 50 AS VARCHAR) END AS page,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "log_page" ->
-      "SELECT event_type AS page, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      """SELECT CASE WHEN event_id % 20 = 0 THEN
+        |  ['/w00tw00t','/phpMyAdmin','/pma','/myadmin','/MyAdmin','/phpTest','/cgi-bin/php','/cgi-bin/php5','/cgi-bin/php-cgi'][CAST(event_id % 9 AS INT) + 1] || '/x'
+        |  ELSE '/' || event_type || '/item' || CAST(event_id % 50 AS VARCHAR) END AS page,
+        |  count(*) AS cnt
+        |FROM events WHERE event_id % 97 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "wireless_links" ->
       """SELECT concat(greatest(user_id, k), '->', least(user_id, k)) AS link, count(*) AS cnt
         |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sampling.{Sampled, SamplingConfig}
+import graft.sources.AccessLog
 
 /** The reference's analytics queries, re-expressed as declarative DataFrame
   * pipelines (SURVEY.md §2.2-2.3 operators P1-P10 / A1-A3).
@@ -136,6 +137,63 @@ object ReferenceQueries {
           least(sender, receiver).cast("string")).as("link"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  // --- CLF pipelines: the reference's actual string processing. Raw log
+  // --- lines (synthesized deterministically from `events`) → regexp CLF
+  // --- parse (P5) → the seven log tasks, so the parse/extract/prefix logic
+  // --- is on the oracle-checked path (VERDICT r1 Missing #1).
+
+  /** events → raw CLF lines → parsed typed columns. */
+  def clfParsed(events: DataFrame): DataFrame =
+    AccessLog.parse(AccessLog.synthesize(events))
+
+  /** P6 → A2 `hack` on parsed CLF: 9-prefix attack-probe path match,
+    * request count per hostname (RandomizedApacheLogAnalysis.java:56-75).
+    */
+  def clfHack(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(AccessLog.isHackPath(AccessLog.pagePath(col("request"))))
+      .groupBy(col("hostname").as("host"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A2 `host` on parsed CLF (RandomizedApacheLogAnalysis.java:77-80). */
+  def clfHost(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("hostname").as("host")).agg(count(lit(1)).as("cnt"))
+
+  /** P7 → A2 `dateweek` on parsed CLF: the datetime string is re-parsed with
+    * the reference's format then re-formatted "EEE HH"
+    * (RandomizedApacheLogAnalysis.java:82-86).
+    */
+  def clfDateweek(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(date_format(col("ts"), "EEE HH").as("dateweek"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** P8 → A2 `size` on parsed CLF (RandomizedApacheLogAnalysis.java:88-91). */
+  def clfSize(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy((floor(col("bytes") / 100) * 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A3 `totalsize` on parsed CLF (RandomizedApacheLogAnalysis.java:93-95). */
+  def clfTotalsize(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(lit("Total").as("key"))
+      .agg(sum(col("bytes")).as("total"))
+
+  /** P9 → A2 `pagesize` on parsed CLF: `?`-aware path extraction then
+    * byte totals per page (RandomizedApacheLogAnalysis.java:97-101).
+    */
+  def clfPagesize(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(AccessLog.pagePath(col("request")).as("page"))
+      .agg(sum(col("bytes")).as("total"))
+
+  /** P9 → A2 `page` on parsed CLF (RandomizedApacheLogAnalysis.java:103-107). */
+  def clfPage(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(AccessLog.pagePath(col("request")).as("page"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Sampled word count with Horvitz–Thompson scale-up: the reference's
     * flagship approximate query (SURVEY.md §7.3). Counts computed on a

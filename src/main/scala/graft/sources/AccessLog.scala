@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Apache access-log ingestion: the reference's Common-Log-Format string
+  * processing, for real (operator P5, RandomizedApacheLogAnalysis.java:34-47,
+  * plus P6 `hack` prefix matching :56-75 and P9 path extraction :97-107).
+  *
+  * The driver corpus has no raw log file, so [[synthesize]] renders a
+  * deterministic CLF line per `events` row — hostnames, bracketed datetimes,
+  * quoted requests with query strings, attack-probe paths, and a sprinkle of
+  * malformed lines — and [[parse]] recovers typed columns from the raw
+  * string with `regexp_extract`, silently dropping malformed lines exactly
+  * like the reference's catch-all (RandomizedApacheLogAnalysis.java:113-115).
+  * Queries then run on parse(synthesize(events)), so the extraction logic is
+  * what the oracle actually checks.
+  *
+  * Everything is pure codegen'd built-ins: one regex pass per line at scan
+  * time, no UDFs — at 100 TB the parse fuses into the scan's
+  * whole-stage-codegen loop and filters/pruning push below it.
+  */
+object AccessLog {
+
+  /** The reference's 9 attack-probe path prefixes, verbatim
+    * (RandomizedApacheLogAnalysis.java:58-66).
+    */
+  val HackPrefixes: Seq[String] = Seq(
+    "/w00tw00t", "/phpMyAdmin", "/pma", "/myadmin", "/MyAdmin",
+    "/phpTest", "/cgi-bin/php", "/cgi-bin/php5", "/cgi-bin/php-cgi")
+
+  /** CLF line pattern: host ident authuser [datetime] "request" status bytes. */
+  val ClfRegex: String =
+    """^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\d{3}) (\d+)$"""
+
+  /** Deterministic request path for an events row: every 20th event is an
+    * attack probe drawn from [[HackPrefixes]]; every 3rd path carries a
+    * query string (exercises the `?`-stripping in P9).
+    */
+  private def pathExpr: Column = {
+    val id = col("event_id")
+    val hackPath = concat(
+      element_at(array(HackPrefixes.map(lit): _*), (id % 9 + 1).cast("int")),
+      lit("/x"))
+    val normalPath = concat(
+      lit("/"), col("event_type"), lit("/item"), (id % 50).cast("string"))
+    val query = when(id % 3 === 0, concat(lit("?q="), col("user_id").cast("string")))
+      .otherwise(lit(""))
+    concat(when(id % 20 === 0, hackPath).otherwise(normalPath), query)
+  }
+
+  /** Render one raw CLF line per events row (single `line` string column —
+    * the same shape as `spark.read.text` over a real access log). Every
+    * 97th line is deliberately corrupt, to exercise the parser's
+    * drop-don't-fail contract.
+    */
+  def synthesize(events: DataFrame): DataFrame = {
+    val host = concat(lit("h"), col("user_id").cast("string"), lit(".example.com"))
+    val datetime = concat(date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))
+    val request = concat(lit("GET "), pathExpr, lit(" HTTP/1.1"))
+    val status = when(col("event_id") % 10 === 0, lit("404")).otherwise(lit("200"))
+    val bytes = round(col("value") * 100).cast("long").cast("string")
+    val good = concat(
+      host, lit(" - - ["), datetime, lit("] \""), request, lit("\" "), status, lit(" "), bytes)
+    events.select(
+      when(col("event_id") % 97 === 0,
+        concat(lit("corrupt "), col("event_id").cast("string")))
+        .otherwise(good)
+        .as("line"))
+  }
+
+  /** P5: positional CLF field extraction. Lines that don't match the format
+    * yield empty extracts → dropped (the reference swallows its parse
+    * exceptions and moves on, RandomizedApacheLogAnalysis.java:113-115).
+    */
+  def parse(lines: DataFrame): DataFrame =
+    lines
+      .select(
+        regexp_extract(col("line"), ClfRegex, 1).as("hostname"),
+        regexp_extract(col("line"), ClfRegex, 4).as("datetime"),
+        regexp_extract(col("line"), ClfRegex, 5).as("request"),
+        regexp_extract(col("line"), ClfRegex, 6).as("response"),
+        regexp_extract(col("line"), ClfRegex, 7).as("bytes_str"))
+      .filter(col("hostname") =!= "")
+      .select(
+        col("hostname"),
+        to_timestamp(col("datetime"), "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
+        col("request"),
+        col("response").cast("int").as("response"),
+        col("bytes_str").cast("long").as("bytes"))
+
+  /** P9: bare page path from `"METHOD /path?query HTTP/1.1"` — the token
+    * after the method, truncated at the first `?`
+    * (RandomizedApacheLogAnalysis.java:97-107).
+    */
+  def pagePath(request: Column): Column =
+    regexp_extract(request, """^\S+ ([^?\s]+)""", 1)
+
+  /** P6: true iff the page path starts with any of the 9 attack-probe
+    * prefixes (startsWith over the list, RandomizedApacheLogAnalysis.java:56-75).
+    */
+  def isHackPath(path: Column): Column =
+    HackPrefixes.map(p => path.startsWith(p)).reduce(_ || _)
+}
