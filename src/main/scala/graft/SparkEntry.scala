@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
 import graft.queries.{ReferenceQueries => RQ, Tables}
 import graft.sampling.SamplingConfig
 
@@ -45,7 +46,24 @@ object SparkEntry {
         .orderBy("word")),
     "wireless_sampled_r10" -> ((s, dir) =>
       RQ.sampled(Tables.events(s, dir), SamplingConfig(ratio = 0.1), RQ.wirelessLinks)._2
-        .orderBy("link")))
+        .orderBy("link")),
+    // --- LLM-data-pipeline: deduplication over the augmented documents
+    // --- corpus (deterministic injected exact/near duplicates) ---
+    "dedup_exact" -> ((s, dir) =>
+      DedupCorpus.exactDedup(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      MinHashLSH.signatures(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(MinHashLSH.signatures(DedupCorpus.augment(Tables.documents(s, dir))))
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      SimHash.fingerprints(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      SimHash.nearDupPairs(SimHash.fingerprints(DedupCorpus.augment(Tables.documents(s, dir))))
+        .orderBy("doc_a", "doc_b")),
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -97,5 +115,14 @@ object SparkEntry {
     "wireless_links" ->
       """SELECT concat(greatest(user_id, k), '->', least(user_id, k)) AS link, count(*) AS cnt
         |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)
+        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH corpus AS (${DedupCorpus.augmentSql})
+         |SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_cnt
+         |FROM corpus GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_sig" -> MinHashLSH.signaturesOracleSql,
+    "dedup_minhash_pairs" -> MinHashLSH.nearDupPairsOracleSql(),
+    "dedup_simhash" -> SimHash.fingerprintsOracleSql,
+    "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
+    "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql())
 }

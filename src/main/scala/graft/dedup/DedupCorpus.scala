@@ -1,0 +1,60 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication test corpus and exact dedup.
+  *
+  * The driver's synthetic `documents` table has no duplicates, so the dedup
+  * operators would all return empty (and be green-by-vacuity). [[augment]]
+  * injects deterministic duplicates — exact copies and near-copies — that
+  * both the Spark pipelines and the DuckDB oracle construct identically,
+  * giving every dedup query a non-trivial, value-checked result.
+  */
+object DedupCorpus {
+
+  val ExactDupOffset = 100000L
+  val NearDupOffset = 200000L
+
+  /** documents ∪ exact copies (doc_id % 7 = 0, id + 100000) ∪ near copies
+    * with the last two words dropped (doc_id % 11 = 0, id + 200000).
+    */
+  def augment(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val exactDups = base
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text"))
+    val w = Hashing.words(col("text"))
+    val nearDups = base
+      .filter(col("doc_id") % 11 === 0)
+      .select(
+        (col("doc_id") + NearDupOffset).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) - 2), " ").as("text"))
+    base.unionAll(exactDups).unionAll(nearDups)
+  }
+
+  /** SQL for the same augmented corpus (DuckDB). */
+  val augmentSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 200000 AS doc_id,
+      |       array_to_string(w[1:len(w)-2], ' ') AS text
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+      |      FROM documents)
+      |WHERE doc_id % 11 = 0""".stripMargin
+
+  /** Exact dedup by content hash: one surviving row per distinct text, the
+    * smallest doc_id wins, with the duplicate count.
+    *
+    * Scale shape: groupBy on a 32-char digest — the shuffle carries
+    * (digest, id) pairs, never the document bodies; partial aggregation
+    * happens map-side. This is the 100 TB-safe exact-dedup plan.
+    */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "content_hash", "dup_cnt")
+}

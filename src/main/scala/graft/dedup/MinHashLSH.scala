@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection over word-shingled text.
+  *
+  * Pipeline: shingle (word k-grams) → 60-bit shingle hash → N universal-hash
+  * minima (the MinHash signature) → B bands of R rows each → band-bucket
+  * self-join → signature-similarity estimate per candidate pair.
+  *
+  * Scale design (100 TB): candidate generation is a shuffle on
+  * (band index, band key) — documents only ever meet inside a bucket, never
+  * all-pairs. The signature table is ~17 longs/doc regardless of document
+  * size, so the self-join shuffles signatures, not text. Bucket skew (a
+  * degenerate band key shared by millions of docs) is bounded by banding
+  * math at realistic similarity thresholds; a production guard would cap
+  * bucket size before the join (documented, not needed at test scale).
+  *
+  * All hashes are md5-prefix based so the DuckDB oracle replays the exact
+  * computation (see [[minhashOracle]]).
+  */
+object MinHashLSH {
+
+  val Prime: Long = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val NumBands = 8 // → 2 rows per band
+  val RowsPerBand: Int = NumHashes / NumBands
+  val ShingleK = 3
+
+  /** Universal-hash coefficients (a_j, b_j), fixed by seed so Spark and the
+    * generated oracle SQL share them.
+    */
+  val Coeffs: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumHashes)((1L + rng.nextInt((Prime - 1).toInt), rng.nextInt(Prime.toInt).toLong))
+  }
+
+  private def sigCols: Seq[String] = (0 until NumHashes).map(j => s"m$j")
+
+  /** Per-document MinHash signature: columns doc_id, m0..m15.
+    * One explode + one groupBy; the explode and hash fuse into the scan
+    * stage, the groupBy partially aggregates map-side (each partition emits
+    * one candidate minimum per doc per hash function).
+    */
+  def signatures(corpus: DataFrame, k: Int = ShingleK): DataFrame = {
+    val hv = Hashing.hash60(col("shingle")) % Prime
+    val aggs = Coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("hv") + lit(b)) % Prime).as(s"m$j")
+    }
+    corpus
+      .select(col("doc_id"), explode(Hashing.shingles(col("text"), k)).as("shingle"))
+      .select(col("doc_id"), hv.as("hv"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band key for band b: 60-bit hash of the band's joined signature rows. */
+  private def bandKey(b: Int): Column = {
+    val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string"))
+    Hashing.hash60(concat_ws("_", parts: _*))
+  }
+
+  /** Candidate near-duplicate pairs with the MinHash similarity estimate
+    * (fraction of agreeing signature components), filtered at `minSim`.
+    * Pairs are found via band-bucket equality only — never all-pairs.
+    */
+  def nearDupPairs(sigs: DataFrame, minSim: Double = 0.5): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = sigCols.map(m => when(col(s"sa.$m") === col(s"sb.$m"), 1).otherwise(0))
+    candidates
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (matches.reduce(_ + _).cast("double") / NumHashes).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  // ---- DuckDB oracle generation (same constants, same computation) ----
+
+  private def shinglesSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest([array_to_string(w[i:i+${ShingleK - 1}], ' ')
+       |                 for i in range(1, len(w) - ${ShingleK - 2})]) AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |        FROM corpus)
+       |),
+       |hv AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Prime} AS hv FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         ${Coeffs.zipWithIndex
+        .map { case ((a, b), j) => s"min(($a * hv + $b) % ${Prime}) AS m$j" }
+        .mkString(",\n         ")}
+       |  FROM hv GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Oracle SQL for [[signatures]] over the augmented dedup corpus. */
+  def signaturesOracleSql: String =
+    shinglesSql(DedupCorpus.augmentSql) +
+      s"\nSELECT doc_id, ${sigCols.mkString(", ")} FROM sig ORDER BY doc_id"
+
+  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus. */
+  def nearDupPairsOracleSql(minSim: Double = 0.5): String = {
+    val bandKeys = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, ${Hashing.hash60Sql(parts)} AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val simExpr = sigCols
+      .map(m => s"CASE WHEN sa.$m = sb.$m THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shinglesSql(DedupCorpus.augmentSql) +
+      s""",
+         |bands AS (
+         |  $bandKeys
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(($simExpr) AS DOUBLE) / $NumHashes AS sim
+         |FROM cand
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE CAST(($simExpr) AS DOUBLE) / $NumHashes >= $minSim
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

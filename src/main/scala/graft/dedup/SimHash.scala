@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting over word tokens.
+  *
+  * Each token hashes to 60 bits; per document, each bit position accumulates
+  * +1/−1 across token occurrences and the sign of the total becomes that bit
+  * of the document's 60-bit SimHash. Near-duplicates are pairs within a
+  * small Hamming distance, found by banding the fingerprint into 4 × 15-bit
+  * chunks (pigeonhole: Hamming ≤ 3 ⟹ at least one chunk identical), so
+  * candidate generation is again a bucket join, never all-pairs.
+  *
+  * Physical shape: one explode over tokens, then ONE hash-aggregate with 60
+  * conditional sums — partial aggregation map-side, fixed 60-long state per
+  * doc, no arrays or UDAFs. At 100 TB the aggregate state is
+  * 60 longs/doc — smaller than the text it summarizes.
+  */
+object SimHash {
+
+  val Bits = 60
+  val NumBands = 4
+  val BandBits: Int = Bits / NumBands // 15
+
+  /** Per-document SimHash: columns (doc_id, simhash). */
+  def fingerprints(corpus: DataFrame): DataFrame = {
+    val tokens = corpus
+      .select(col("doc_id"), explode(Hashing.words(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+    val bitSums = (0 until Bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val recombine = (0 until Bits)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    tokens
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), recombine.as("simhash"))
+  }
+
+  /** Near-duplicate pairs with Hamming distance ≤ maxHamming, via 15-bit
+    * band bucketing.
+    */
+  def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = fps.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until NumBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- DuckDB oracle generation ----
+
+  /** Oracle SQL for [[fingerprints]] over the augmented dedup corpus. */
+  def fingerprintsOracleSql: String = {
+    val bitSums = (0 until Bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n         ")
+    val recombine = (0 until Bits)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+       |  FROM corpus
+       |),
+       |h AS (SELECT doc_id, ${Hashing.hash60Sql("tok")} AS h FROM tok WHERE tok <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus. */
+  def nearDupPairsOracleSql(maxHamming: Int = 3): String = {
+    val bands = (0 until NumBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * BandBits}) & ${(1L << BandBits) - 1} AS key FROM fp")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH fp AS (${fingerprintsOracleSql.replace("ORDER BY doc_id", "")}),
+       |bands AS (
+       |  $bands
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
