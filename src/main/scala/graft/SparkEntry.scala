@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
+import graft.similarity.SimilaritySearch
 import graft.queries.{ReferenceQueries => RQ, Tables}
 import graft.sampling.SamplingConfig
 
@@ -63,7 +65,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_ngram_pairs" -> ((s, dir) =>
       JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+    // --- LLM-data-pipeline: similarity search over embeddings ---
+    "simsearch_topk" -> ((s, dir) =>
+      SimilaritySearch.topK(Tables.embeddings(s, dir))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
+    "simsearch_ann" -> ((s, dir) =>
+      SimilaritySearch.topKAnn(Tables.embeddings(s, dir))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
+        .orderBy("vec_a", "vec_b")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -124,5 +136,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> MinHashLSH.nearDupPairsOracleSql(),
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
-    "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql())
+    "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
+    "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
+    "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
+    "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql())
 }

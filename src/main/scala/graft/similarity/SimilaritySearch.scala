@@ -1,0 +1,205 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths, per the pipeline brief:
+  *  - [[topK]]: brute-force cosine top-k — the exactness baseline. One scan
+  *    of the corpus joined against a broadcast query set; per-query top-k
+  *    via a window.
+  *  - [[topKAnn]] / [[nearDupPairs]]: random-hyperplane (Rademacher sign)
+  *    LSH bucketing — candidates meet only inside a bucket, never
+  *    all-pairs. This is the 100 TB path: the bucket join shuffles
+  *    (bucket, quantized vector) pairs; more planes + multi-probe tighten
+  *    recall at scale.
+  *
+  * Numerics: vectors are quantized to integers (`round(x·1000)`) before any
+  * arithmetic, so dot products and plane signs are EXACT integer math and
+  * cosines are bit-identical across engines — the DuckDB oracle replays the
+  * computation digit-for-digit (float-summation-order divergence is designed
+  * out; this mirrors production int8 quantization, which also cuts shuffle
+  * bytes ~4-8×). The Rademacher plane signs come from md5 parity of
+  * "plane_dim", computed once at plan-build time and embedded as literals in
+  * both the Spark plan and the oracle SQL.
+  */
+object SimilaritySearch {
+
+  val Dims = 64
+  val Scale = 1000
+  val NumPlanes = 4
+  val NumQueries = 5
+  val TopK = 10
+
+  /** Rademacher sign for (plane, dim): ±1 from md5 parity — deterministic,
+    * engine-independent, computed in plain Scala at plan-build time.
+    */
+  private[similarity] def sign(p: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"${p}_$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  val Signs: IndexedSeq[IndexedSeq[Int]] =
+    (0 until NumPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
+
+  /** Integer quantization of a float vector column. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vector columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Signed sum for plane p (exact integer). */
+  private def planeDot(qv: Column, p: Int): Column =
+    aggregate(
+      zip_with(qv, array(Signs(p).map(s => lit(s.toLong)): _*), _ * _),
+      lit(0L),
+      _ + _)
+
+  /** LSH bucket id: one sign bit per plane. */
+  def bucket(qv: Column): Column =
+    (0 until NumPlanes)
+      .map(p => when(planeDot(qv, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+
+  /** embeddings + (qv, nrm, bucket) columns. */
+  def prepared(embeddings: DataFrame): DataFrame = {
+    val qv = quantize(col("embedding"))
+    embeddings
+      .select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+      .withColumn("bucket", bucket(col("qv")))
+      .filter(col("nrm") > 0)
+  }
+
+  private def simCol: Column =
+    dotQ(col("q_qv"), col("qv")).cast("double") / (col("q_nrm") * col("nrm"))
+
+  private def rankAndSelect(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** Brute-force cosine top-k for the first [[NumQueries]] vectors: the
+    * query side is tiny → broadcast; one pass over the corpus.
+    */
+  def topK(embeddings: DataFrame, numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    val prep = prepared(embeddings)
+    val queries = prep
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val cands = prep
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), simCol.as("sim"))
+    rankAndSelect(cands, k)
+  }
+
+  /** LSH-bucketed approximate top-k with Hamming-radius-1 multi-probe:
+    * each query searches its own bucket plus the [[NumPlanes]] buckets one
+    * sign-flip away (the standard multi-probe trick — recall of several
+    * probes for the cost of one table). The probe expansion happens on the
+    * tiny query side, so the join stays a broadcast equi-join on `bucket`;
+    * the corpus is still scanned once and never all-pairs.
+    */
+  def topKAnn(embeddings: DataFrame, numQueries: Int = NumQueries, k: Int = TopK): DataFrame = {
+    val prep = prepared(embeddings)
+    val probes = array(
+      col("bucket") +:
+        (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val queries = prep
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"), explode(probes).as("bucket"))
+    val cands = prep
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), simCol.as("sim"))
+    rankAndSelect(cands, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same LSH bucket AND quantized
+    * cosine ≥ minSim. Bucketed-by-construction — never all-pairs.
+    */
+  def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.15): DataFrame = {
+    val prep = prepared(embeddings)
+    val b = prep.select(
+      col("vec_id").as("vid_b"), col("qv").as("qv_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    prep
+      .join(b, Seq("bucket"))
+      .filter(col("vec_id") < col("vid_b"))
+      .select(
+        col("vec_id").as("vec_a"),
+        col("vid_b").as("vec_b"),
+        (dotQ(col("qv"), col("qv_b")).cast("double") / (col("nrm") * col("nrm_b"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  // ---- DuckDB oracle generation ----
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${Dims + 1})]) AS BIGINT)"
+
+  private def planeDotSql(qv: String, p: Int): String =
+    (0 until Dims).map(d => s"$qv[${d + 1}]*(${Signs(p)(d)})").mkString(" + ")
+
+  private def preparedSql: String = {
+    val bucketExpr = (0 until NumPlanes)
+      .map(p => s"CASE WHEN (${planeDotSql("qv", p)}) > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""q AS (SELECT vec_id, [CAST(round(x * $Scale) AS BIGINT) for x in embedding] AS qv
+       |       FROM embeddings),
+       |prep AS (
+       |  SELECT vec_id, qv,
+       |         sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm,
+       |         CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM q
+       |)""".stripMargin
+  }
+
+  /** Oracle SQL for [[topK]]. */
+  def topKOracleSql(numQueries: Int = NumQueries, k: Int = TopK): String =
+    s"""WITH $preparedSql
+       |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |       ${dotSql("a.qv", "b.qv")} / (a.nrm * b.nrm) AS sim
+       |FROM prep a JOIN prep b ON a.vec_id < $numQueries AND b.vec_id <> a.vec_id
+       |WHERE a.nrm > 0 AND b.nrm > 0
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+
+  /** Oracle SQL for [[topKAnn]] (same Hamming-1 multi-probe). */
+  def topKAnnOracleSql(numQueries: Int = NumQueries, k: Int = TopK): String = {
+    val probeList = ("bucket" +: (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString(", ")
+    s"""WITH $preparedSql,
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv AS q_qv, nrm AS q_nrm,
+       |         unnest([$probeList]) AS bucket
+       |  FROM prep WHERE vec_id < $numQueries
+       |)
+       |SELECT query_id, b.vec_id AS neighbor_id,
+       |       ${dotSql("q_qv", "b.qv")} / (q_nrm * b.nrm) AS sim
+       |FROM probes p JOIN prep b ON p.bucket = b.bucket
+       |WHERE b.vec_id <> query_id AND q_nrm > 0 AND b.nrm > 0
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
+  /** Oracle SQL for [[nearDupPairs]]. */
+  def nearDupPairsOracleSql(minSim: Double = 0.15): String =
+    s"""WITH $preparedSql
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${dotSql("a.qv", "b.qv")} / (a.nrm * b.nrm) AS sim
+       |FROM prep a JOIN prep b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE a.nrm > 0 AND b.nrm > 0
+       |  AND ${dotSql("a.qv", "b.qv")} / (a.nrm * b.nrm) >= $minSim
+       |ORDER BY vec_a, vec_b""".stripMargin
+}
