@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
 import graft.similarity.SimilaritySearch
+import graft.text.TextAnalysis
 import graft.queries.{ReferenceQueries => RQ, Tables}
 import graft.sampling.SamplingConfig
 
@@ -75,7 +76,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+    // --- LLM-data-pipeline: text analysis over documents ---
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -139,5 +149,9 @@ object SparkEntry {
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
-    "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql())
+    "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
+    "text_langid" -> TextAnalysis.languageIdOracleSql,
+    "text_quality" -> TextAnalysis.qualityScoreOracleSql,
+    "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql)
 }

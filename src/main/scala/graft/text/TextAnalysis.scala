@@ -1,0 +1,218 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Hashing
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, and winnowing document fingerprints.
+  *
+  * All four are single-pass per-document projections/aggregations built from
+  * codegen'd string/array functions — at 100 TB each is scan-dominated with
+  * no shuffle at all (langid/quality/tokens) or one bounded-state
+  * aggregation (fingerprints). Every computation is replayable in DuckDB
+  * SQL for the oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists for the language-ID heuristic. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pas"))
+
+  /** Language ID by stopword-hit counting: score per language = number of
+    * tokens found in that language's marker list; prediction = argmax with
+    * declaration-order tie-break. Output: doc_id, s_<lang>…, pred_lang.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val w = Hashing.words(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: Markers.map { case (lang, ms) =>
+        size(filter(w, t => ms.map(m => t === m).reduce[Column](_ || _)))
+          .cast("long").as(s"s_$lang")
+      }: _*)
+    // argmax with earlier-language tie-break: en wins ties vs de, etc.
+    val pred = Markers.zipWithIndex.foldRight(lit(Markers.last._1)) {
+      case (((lang, _), i), acc) =>
+        val beatsLater = Markers.drop(i + 1)
+          .map { case (other, _) => col(s"s_$lang") >= col(s"s_$other") }
+          .foldLeft(lit(true))(_ && _)
+        val beatsEarlier = Markers.take(i)
+          .map { case (other, _) => col(s"s_$lang") > col(s"s_$other") }
+          .foldLeft(lit(true))(_ && _)
+        when(beatsLater && beatsEarlier, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality signals: char/word counts, mean word length, non-alphanumeric
+    * ratio, stopword ratio, and a weighted composite in [0, 1]. The exact
+    * formula is arbitrary but fixed and documented — what matters is that
+    * it's deterministic, cheap, and filterable at scale.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = Hashing.words(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(filter(w, t => t =!= "")).cast("long")
+    val stop = Markers.head._2
+    val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
+    val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
+    docs
+      .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        nStop.as("n_stop"), nSpecial.as("n_special"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_ratio",
+        when(col("n_words") > 0, col("n_stop").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("special_ratio",
+        when(col("n_chars") > 0, col("n_special").cast("double") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality",
+        col("stop_ratio") * 0.5 + (lit(1.0) - col("special_ratio")) * 0.3 +
+          when(col("mean_word_len") >= 3 && col("mean_word_len") <= 10, 0.2).otherwise(0.0))
+  }
+
+  /** Token counting: whitespace tokens, regex tokens (letter runs, digit
+    * runs, single punctuation — a BPE-ish pre-tokenizer), and the chars/4
+    * BPE budget estimate used for quick corpus sizing.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tok_ws"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+        .as("tok_re"),
+      ceil(length(col("text")).cast("double") / 4).cast("long").as("tok_bpe_est"))
+
+  val GramLen = 8
+  val WinnowWindow = 4
+
+  /** Winnowing document fingerprints: hash every char 8-gram (rolling set),
+    * slide a window of 4 positions, keep each window's minimum — the
+    * classic winnowing selection. Output per doc: number of distinct
+    * fingerprints and the global minimum (the doc's "sketch id").
+    *
+    * Scale shape: explode to (doc, pos, hash) → one window min (bounded
+    * frame) → distinct + aggregate; state per doc is O(selected
+    * fingerprints), not O(text).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val grams = docs
+      .filter(n >= GramLen)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), n - (GramLen - 1)),
+          i => Hashing.hash60(col("text").substr(i, lit(GramLen))))))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    val maxP = Window.partitionBy("doc_id")
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .withColumn("np", count(lit(1)).over(maxP))
+      .filter(col("p") <= col("np") - WinnowWindow) // full windows only (p is 0-based)
+      .select(col("doc_id"), col("wmin"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("min_fp"))
+  }
+
+  // ---- DuckDB oracle generation ----
+
+  private def markerListSql(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  def languageIdOracleSql: String = {
+    val scores = Markers.map { case (lang, ms) =>
+      s"CAST(len(list_filter(w, t -> list_contains(${markerListSql(ms)}, t))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n       ")
+    val pred = {
+      val cases = Markers.zipWithIndex.map { case ((lang, _), i) =>
+        val conds =
+          Markers.drop(i + 1).map { case (o, _) => s"s_$lang >= s_$o" } ++
+            Markers.take(i).map { case (o, _) => s"s_$lang > s_$o" }
+        val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE '${Markers.last._1}' END"
+    }
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |           FROM documents),
+       |s AS (SELECT doc_id,
+       |       $scores
+       |      FROM w)
+       |SELECT doc_id, ${Markers.map(m => s"s_${m._1}").mkString(", ")}, $pred AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def qualityScoreOracleSql: String = {
+    val stop = markerListSql(Markers.head._2)
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                              t -> t <> '')) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                              t -> list_contains($stop, t))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
+       |           AS n_special
+       |  FROM documents
+       |),
+       |ratios AS (
+       |  SELECT *,
+       |         CASE WHEN n_words > 0
+       |              THEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words ELSE 0.0 END
+       |           AS mean_word_len,
+       |         CASE WHEN n_words > 0
+       |              THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+       |         CASE WHEN n_chars > 0
+       |              THEN CAST(n_special AS DOUBLE) / n_chars ELSE 0.0 END AS special_ratio
+       |  FROM base
+       |)
+       |SELECT doc_id, n_chars, n_words, n_stop, n_special, mean_word_len, stop_ratio,
+       |       special_ratio,
+       |       stop_ratio * 0.5 + (1.0 - special_ratio) * 0.3 +
+       |       CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE 0.0 END
+       |         AS quality
+       |FROM ratios ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCountsOracleSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok_ws,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+       |         AS tok_re,
+       |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok_bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def fingerprintsOracleSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, i - 1 AS p, ${Hashing.hash60Sql("gram")} AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest(range(1, length(text) - ${GramLen - 2})) AS i,
+       |           unnest([substr(text, j, $GramLen)
+       |                   for j in range(1, length(text) - ${GramLen - 2})]) AS gram
+       |    FROM documents WHERE length(text) >= $GramLen
+       |  )
+       |),
+       |wmins AS (
+       |  SELECT doc_id, p,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS wmin,
+       |         count(*) OVER (PARTITION BY doc_id) AS np
+       |  FROM grams
+       |),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM wmins WHERE p <= np - $WinnowWindow)
+       |SELECT doc_id, count(*) AS n_fp, min(wmin) AS min_fp
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
