@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
 import graft.similarity.SimilaritySearch
+import graft.multimodal.Multimodal
 import graft.text.TextAnalysis
 import graft.queries.{ReferenceQueries => RQ, Tables}
 import graft.sampling.SamplingConfig
@@ -85,7 +86,15 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")))
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // --- LLM-data-pipeline: multimodal binary-column plumbing (stub codec) ---
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.metaQuery(Tables.documents(s, dir)).orderBy("asset_id")),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.assets(Tables.documents(s, dir)))
+        .orderBy("asset_id", "frame_idx")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.assets(Tables.documents(s, dir))).orderBy("asset_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -153,5 +162,8 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.languageIdOracleSql,
     "text_quality" -> TextAnalysis.qualityScoreOracleSql,
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
-    "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql)
+    "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
+    "mm_meta" -> Multimodal.metaOracleSql,
+    "mm_frames" -> Multimodal.framesOracleSql,
+    "mm_features" -> Multimodal.featuresOracleSql())
 }
