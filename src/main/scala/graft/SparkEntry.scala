@@ -94,7 +94,18 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.assets(Tables.documents(s, dir)))
         .orderBy("asset_id", "frame_idx")),
     "mm_features" -> ((s, dir) =>
-      Multimodal.features(Multimodal.assets(Tables.documents(s, dir))).orderBy("asset_id")))
+      Multimodal.features(Multimodal.assets(Tables.documents(s, dir))).orderBy("asset_id")),
+    // --- native source formats: the reference reads text/XML files, not
+    // --- parquet; these queries ingest through those sources (fixtures
+    // --- rendered deterministically from documents) ---
+    "wordcount_text" -> ((s, dir) =>
+      RQ.wordCountLines(
+        graft.sources.TextLines.readLines(s, graft.sources.TextLines.fixturePath(s, dir)))
+        .orderBy("word")),
+    "wordcount_xml" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.XmlSource.readPages(s, graft.sources.XmlSource.fixturePath(s, dir)))
+        .orderBy("word")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -165,5 +176,19 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
-    "mm_features" -> Multimodal.featuresOracleSql())
+    "mm_features" -> Multimodal.featuresOracleSql(),
+    // same semantic result as wordcount — the queries ingest the identical
+    // corpus through text/XML files instead of parquet
+    "wordcount_text" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
+        |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "wordcount_xml" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
+        |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+        |GROUP BY word ORDER BY word""".stripMargin)
 }

@@ -52,6 +52,12 @@ object ReferenceQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[wordCount]] over raw text lines (`value` column from
+    * `spark.read.text`) — the reference's actual input shape (S1).
+    */
+  def wordCountLines(lines: DataFrame, urlDecode: Boolean = false): DataFrame =
+    wordCount(lines.withColumnRenamed("value", "text"), urlDecode)
+
   /** P4 → A1: character count (RandomizedCharacterCount.java:27-48). */
   def charCount(docs: DataFrame): DataFrame =
     docs

@@ -1,0 +1,49 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's output contracts (operators K1 + K2).
+  *
+  * K1: key-sorted `key\tvalue` text lines — the `part-r-00000` format its
+  * comparator merge-joins on (RandomizedWordCount.java:96;
+  * RSMRResultComparator.java:35,47 relies on the key sort). Sortedness is
+  * part of the observable contract, so the writer sorts explicitly —
+  * MapReduce got it from the shuffle, Spark must ask.
+  *
+  * K2: the run report, printed to stdout and persisted (the reference wrote
+  * it to a ZooKeeper znode and stdout, RandomSamplingUtil.java:318-327; we
+  * write a JSON file next to stdout).
+  */
+object TextKVSink {
+
+  /** Write `keyCol\tvalueCol` lines, key-sorted ascending. */
+  def write(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit =
+    df.orderBy(keyCol)
+      .select(concat_ws("\t", col(keyCol).cast("string"), col(valueCol).cast("string"))
+        .as("value"))
+      .coalesce(1) // one part file, like one reducer; at scale keep N sorted parts
+      .write.mode("overwrite").text(path)
+
+  /** Read a K1 sink back into (key, value string) columns. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        substring_index(col("value"), "\t", 1).as("key"),
+        substring_index(col("value"), "\t", -1).as("value"))
+}
+
+/** K2: sampling-report emission. */
+object ReportSink {
+
+  /** Print the report (reference stdout contract) and persist it as JSON. */
+  def emit(report: graft.sampling.SamplingReport, path: String): Unit = {
+    println(report.toString)
+    val json =
+      s"""{"jobId":${report.jobId},"total":${report.total},"sampled":${report.sampled},
+         |"designedRate":${report.designedRate},"actualRate":${report.actualRate},
+         |"confidence":${report.confidence},"errorRate":${report.errorRate},
+         |"timeCostSec":${report.timeCostSec}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}

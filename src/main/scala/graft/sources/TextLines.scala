@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw text-file ingestion (reference operator S1's source format): every
+  * reference corpus is a plain text file read line-by-line
+  * (RandomizedLineRecordReader.java:33). `spark.read.text` is the native
+  * equivalent — splittable, one `value` string column per line; sampling
+  * composes on top exactly as the reference's sampled reader did below the
+  * mapper.
+  */
+object TextLines {
+
+  /** Write a deterministic one-line-per-document text fixture for `dir`
+    * (once per corpus) and return its path.
+    */
+  def fixturePath(spark: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_$digest"
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy("doc_id")
+        .select(col("text"))
+        .coalesce(1)
+        .write.mode("overwrite").text(path)
+    }
+    path
+  }
+
+  /** One `value` column per line — the reference's record shape. */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+}

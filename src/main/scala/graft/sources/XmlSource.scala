@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** XML ingestion (reference operator S2): the reference's word-count
+  * flagship reads Wikipedia-style `<page>…</page>` records via a custom
+  * sampled XML RecordReader (RandomizedXMLInputFormat.java:11-14,
+  * RandomizedXMLRecordReader.java:117-147). Spark 4's built-in XML source
+  * replaces all of it: `spark.read.option("rowTag", "page").xml(path)`
+  * gives splittable, schema-inferred page records; sampling composes on top
+  * ([[graft.sampling.Sampled]]), trading the reference's skip-before-parse
+  * optimization for Catalyst's post-parse Sample (documented deviation,
+  * SURVEY.md §4).
+  */
+object XmlSource {
+
+  /** Minimal XML text escaping for element content. */
+  private def xmlEscape(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Render documents as `<page><id>…</id><text>…</text></page>` spans —
+    * the reference's record shape (RandomizedXMLRecordReader.java:54-55).
+    */
+  def toPageXml(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(
+        lit("<page><id>"), col("doc_id").cast("string"),
+        lit("</id><text>"), xmlEscape(col("text")), lit("</text></page>")).as("value"))
+
+  /** Write a deterministic XML fixture for `dir` (once per corpus) and
+    * return its path. Spark's XML parser requires one root element per
+    * file, so pages are wrapped in `<pages>…</pages>` — fixture generation
+    * is driver-side IO (it renders a test input, it is not a data-path
+    * operator).
+    */
+  def fixturePath(spark: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_$digest.xml"
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val pages = toPageXml(docs.orderBy("doc_id")).collect().map(_.getString(0))
+      java.nio.file.Files.writeString(
+        f, pages.mkString("<pages>\n", "\n", "\n</pages>"))
+    }
+    path
+  }
+
+  /** Read page records back through the built-in XML source. */
+  def readPages(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("rowTag", "page")
+      .format("xml")
+      .load(path)
+      .select(col("id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.compare.ResultComparator
+import graft.queries.{ReferenceQueries => RQ, Tables}
+import graft.sampling.{Sampled, SamplingConfig}
+import graft.sinks.{ReportSink, TextKVSink}
+
+/** Source/sink contracts: XML and text ingestion round-trips, the K1
+  * key-sorted tab-separated sink, and the K2 report sink.
+  */
+class SourcesSinksSpec extends SparkSpec {
+
+  test("XML source round-trips every document through <page> records") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val pages = XmlSource.readPages(spark, XmlSource.fixturePath(spark, sf001))
+    assert(pages.count() === docs.count())
+    // content identical after the round trip
+    val diff = docs.join(pages, Seq("doc_id"))
+      .filter(docs("text") =!= pages("text"))
+    assert(diff.count() === 0)
+  }
+
+  test("XML escaping survives special characters") {
+    import spark.implicits._
+    val tricky = Seq((1L, "a < b && c > d")).toDF("doc_id", "text")
+    val xml = XmlSource.toPageXml(tricky).head().getString(0)
+    assert(xml.contains("&lt;") && xml.contains("&amp;") && xml.contains("&gt;"))
+    assert(!xml.replaceAll("</?page>|</?id>|</?text>", "").contains("<"))
+  }
+
+  test("text source yields one line per document") {
+    val lines = TextLines.readLines(spark, TextLines.fixturePath(spark, sf001))
+    assert(lines.count() === Tables.documents(spark, sf001).count())
+    assert(lines.columns.toSeq === Seq("value"))
+  }
+
+  test("sampling composes over the text source like the reference's sampled reader") {
+    val lines = TextLines.readLines(spark, TextLines.fixturePath(spark, sf001))
+    val s = Sampled(lines, SamplingConfig(ratio = 0.2))
+    assert(s.sampledCount > 0 && s.sampledCount < s.totalCount)
+    assert(math.abs(s.actualRatio - 0.2) < 0.1)
+  }
+
+  test("K1 sink: key-sorted key\\tvalue lines, round-trip equals the aggregate") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_test"
+    val wc = RQ.wordCount(Tables.documents(spark, sf001))
+    TextKVSink.write(wc, "word", "cnt", out)
+    val back = TextKVSink.read(spark, out)
+    // sortedness contract: file order is key order
+    val keys = spark.read.text(out).collect().map(_.getString(0).split("\t")(0))
+    assert(keys.sameElements(keys.sorted))
+    // round-trip: values survive exactly (ResultComparator sees zero error)
+    val backTyped = back.select(col("key").as("word"), col("value").cast("long").as("est_cnt"))
+    val err = ResultComparator.dataErrorRate(wc, backTyped, Seq("word"))
+    assert(err === 0.0)
+  }
+
+  test("K2 report sink: stdout format + JSON persistence") {
+    val docs = Tables.documents(spark, sf001)
+    val s = Sampled(docs, SamplingConfig(ratio = 0.5))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_report_test.json"
+    ReportSink.emit(s.report(), path)
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(json.contains("\"designedRate\":0.5"))
+    assert(json.contains("\"total\":" + s.totalCount))
+  }
+}
