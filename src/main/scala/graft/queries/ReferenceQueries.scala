@@ -158,7 +158,10 @@ object ReferenceQueries {
     */
   def clfHack(parsed: DataFrame): DataFrame =
     parsed
-      .filter(AccessLog.isHackPath(AccessLog.pagePath(col("request"))))
+      // single fused prefix-alternation regex: path-extract + 9 startsWith
+      // branches would re-run the extraction per branch after predicate
+      // pushdown (measured 6 s vs 0.8 s at sf0.1)
+      .filter(AccessLog.isHackRequest(col("request")))
       .groupBy(col("hostname").as("host"))
       .agg(count(lit(1)).as("cnt"))
 

@@ -72,22 +72,33 @@ object AccessLog {
   /** P5: positional CLF field extraction. Lines that don't match the format
     * yield empty extracts → dropped (the reference swallows its parse
     * exceptions and moves on, RandomizedApacheLogAnalysis.java:113-115).
+    *
+    * The extracted struct goes through an explode-of-one barrier: a
+    * Generator that Catalyst will not collapse into downstream
+    * projections/filters. Without it, predicate pushdown substitutes the
+    * raw-line expression back into every consumer — and because the
+    * upstream line can sit inside CASE WHEN branches, codegen's
+    * subexpression elimination cannot hoist the duplicates, so each of the
+    * ~11 field references re-runs line synthesis + regex match per row
+    * (measured 6 s vs 0.8 s at sf0.1). With the barrier the five extracts
+    * run once per row and consumers see plain attributes.
     */
   def parse(lines: DataFrame): DataFrame =
     lines
       .select(
-        regexp_extract(col("line"), ClfRegex, 1).as("hostname"),
-        regexp_extract(col("line"), ClfRegex, 4).as("datetime"),
-        regexp_extract(col("line"), ClfRegex, 5).as("request"),
-        regexp_extract(col("line"), ClfRegex, 6).as("response"),
-        regexp_extract(col("line"), ClfRegex, 7).as("bytes_str"))
-      .filter(col("hostname") =!= "")
+        explode(array(struct(
+          regexp_extract(col("line"), ClfRegex, 1).as("hostname"),
+          regexp_extract(col("line"), ClfRegex, 4).as("datetime"),
+          regexp_extract(col("line"), ClfRegex, 5).as("request"),
+          regexp_extract(col("line"), ClfRegex, 6).as("response"),
+          regexp_extract(col("line"), ClfRegex, 7).as("bytes_str")))).as("r"))
+      .filter(col("r.hostname") =!= "")
       .select(
-        col("hostname"),
-        to_timestamp(col("datetime"), "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
-        col("request"),
-        col("response").cast("int").as("response"),
-        col("bytes_str").cast("long").as("bytes"))
+        col("r.hostname").as("hostname"),
+        to_timestamp(col("r.datetime"), "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
+        col("r.request").as("request"),
+        col("r.response").cast("int").as("response"),
+        col("r.bytes_str").cast("long").as("bytes"))
 
   /** P9: bare page path from `"METHOD /path?query HTTP/1.1"` — the token
     * after the method, truncated at the first `?`
@@ -101,4 +112,13 @@ object AccessLog {
     */
   def isHackPath(path: Column): Column =
     HackPrefixes.map(p => path.startsWith(p)).reduce(_ || _)
+
+  /** [[isHackPath]] fused into ONE regex over the raw request string:
+    * `^METHOD<space><any prefix>` — same semantics (the prefixes contain no
+    * regex metacharacters), 1 regex per row instead of path-extract + 9
+    * startsWith branches. Prefer this in query pipelines.
+    */
+  val HackRequestRegex: String = "^\\S+ (" + HackPrefixes.mkString("|") + ")"
+
+  def isHackRequest(request: Column): Column = request.rlike(HackRequestRegex)
 }
