@@ -105,7 +105,14 @@ object SparkEntry {
     "wordcount_xml" -> ((s, dir) =>
       RQ.wordCount(
         graft.sources.XmlSource.readPages(s, graft.sources.XmlSource.fixturePath(s, dir)))
-        .orderBy("word")))
+        .orderBy("word")),
+    // --- relational analytics: the sampling layer on TPC-H-style data ---
+    "tpch_q1" -> ((s, dir) =>
+      graft.queries.TpchQueries.q1(Tables.lineitem(s, dir))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "tpch_q1_sampled_r10" -> ((s, dir) =>
+      graft.queries.TpchQueries.q1Sampled(Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))
+        .orderBy("l_returnflag", "l_linestatus")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -190,5 +197,6 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
         |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
         |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-        |GROUP BY word ORDER BY word""".stripMargin)
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql)
 }

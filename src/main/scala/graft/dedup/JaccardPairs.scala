@@ -38,7 +38,11 @@ object JaccardPairs {
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("g")
+    // pruned feeds sizes + both join sides — persist to stop the
+    // explode+hash+distinct subtree being recomputed per branch (the
+    // posting list is a materialized artifact in a production pipeline)
     val pruned = posting.join(rare, "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = pruned.as("a")
       .join(pruned.as("b"), Seq("g"))

@@ -65,7 +65,13 @@ object MinHashLSH {
     * (fraction of agreeing signature components), filtered at `minSim`.
     * Pairs are found via band-bucket equality only — never all-pairs.
     */
-  def nearDupPairs(sigs: DataFrame, minSim: Double = 0.5): DataFrame = {
+  def nearDupPairs(sigsIn: DataFrame, minSim: Double = 0.5): DataFrame = {
+    // The signature table feeds three consumers (banding + both sides of
+    // the pair join); without persistence Spark recomputes the whole
+    // explode+hash+aggregate per branch. In a production pipeline the
+    // signatures are a materialized table; persist() is the in-query
+    // equivalent (CacheManager dedupes by plan, so repeated runs share it).
+    val sigs = sigsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*))

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sampling.{Sampled, SamplingConfig}
+
+/** Relational analytics over the TPC-H-style tables — demonstrates the
+  * sampling/AQP layer on classic warehouse aggregates (the reference's
+  * queries are all log/text shaped; a user switching to this engine gets
+  * the same approximation machinery on relational data).
+  *
+  * Monetary arithmetic is integer cents (`round(x·100)`), with the
+  * discount/tax factors as integer percents — sums are exact integers, so
+  * the DuckDB oracle matches bit-for-bit regardless of summation order
+  * (floating-point Σ over 60k doubles would drift in the last bits).
+  * Scaled column names carry the exponent: `_c` cents (1e2), `_e4`, `_e6`.
+  */
+object TpchQueries {
+
+  val Q1Cutoff = "1998-09-02"
+
+  /** TPC-H Q1 (pricing summary) in exact integer arithmetic:
+    * group by returnflag/linestatus over lineitems shipped before the
+    * cutoff. One scan → one partial-aggregated groupBy on a 6-value key —
+    * the textbook scale-clean aggregate.
+    */
+  def q1(lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long") // integer percent
+    val taxP = round(col("l_tax") * 100).cast("long")
+    lineitem
+      .filter(col("l_shipdate") <= lit(Q1Cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(priceC).as("sum_base_price_c"),
+        sum(priceC * (lit(100L) - discP)).as("sum_disc_price_e4"),
+        sum(priceC * (lit(100L) - discP) * (lit(100L) + taxP)).as("sum_charge_e6"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Sampled Q1 with HT scale-up on every additive aggregate. */
+  def q1Sampled(lineitem: DataFrame, cfg: SamplingConfig): DataFrame = {
+    val s = Sampled(lineitem, cfg)
+    val est = q1(s.data)
+    est.select(
+      col("l_returnflag"), col("l_linestatus"),
+      s.htScale(col("sum_qty")).as("est_sum_qty"),
+      s.htScale(col("sum_base_price_c")).as("est_sum_base_price_c"),
+      s.htScale(col("sum_disc_price_e4")).as("est_sum_disc_price_e4"),
+      s.htScale(col("sum_charge_e6")).as("est_sum_charge_e6"),
+      s.htScale(col("cnt")).as("est_cnt"))
+  }
+
+  val Q1OracleSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       |  count(*) AS cnt
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}
