@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.queries.{ReferenceQueries => RQ, Tables}
+import graft.similarity.SimilaritySearch
+
+/** Physical-plan shape checks — the properties that decide whether these
+  * operators survive a 100× scale-up: column pruning into the parquet
+  * scan, broadcast of small join sides, map-side partial aggregation.
+  * Asserted on the executed plan string so a regression (a lost broadcast
+  * hint, a widened schema) fails loudly.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("wordCount prunes the documents scan to the text column only") {
+    val plan = executed(RQ.wordCount(Tables.documents(spark, sf001)))
+    assert(plan.contains("ReadSchema: struct<text:string>"), plan.take(2000))
+  }
+
+  test("CLF pipeline prunes the events scan to the synthesized columns") {
+    val plan = executed(RQ.clfHost(RQ.clfParsed(Tables.events(spark, sf001))))
+    // no props column — the widest unused column stays out of the scan
+    assert(!plan.contains("props"), plan.take(2000))
+  }
+
+  test("similarity top-k broadcasts the query side, scans the corpus once") {
+    val plan = executed(SimilaritySearch.topK(Tables.embeddings(spark, sf001)))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("group-by aggregates are partial+final (map-side combine for free)") {
+    val plan = executed(RQ.logHost(Tables.events(spark, sf001)))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // partial_count marks the map-side stage
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan.take(2000))
+  }
+
+  test("exact-mode Sampled adds zero plan nodes") {
+    val base = Tables.documents(spark, sf001)
+    val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)
+    assert(exact.data.queryExecution.executedPlan.toString ===
+      base.queryExecution.executedPlan.toString)
+  }
+}
