@@ -144,6 +144,20 @@ class SampledSpec extends SparkSpec {
     assert(math.abs(err - 25.0 / 30.0) < 1e-12)
   }
 
+  test("HT estimator is unbiased: mean over a deterministic seed set hits the total") {
+    val docs = Tables.documents(spark, sf001)
+    val total = docs.count().toDouble
+    val p = 0.2
+    val estimates = (1L to 20L).map { seed =>
+      Sampled(docs, SamplingConfig(ratio = p, seed = seed)).sampledCount / p
+    }
+    val mean = estimates.sum / estimates.size
+    // stderr of the 20-seed mean ≈ sqrt(N(1-p)/p)/sqrt(20) ≈ 6.3 → assert 3σ
+    assert(math.abs(mean - total) < 20, s"mean HT estimate $mean vs true $total")
+    // and individual estimates actually vary (it's a real sample, not a constant)
+    assert(estimates.distinct.size > 5)
+  }
+
   test("identical inputs give zero error") {
     import spark.implicits._
     val exact = Seq(("a", 10L), ("b", 20L)).toDF("k", "cnt")
