@@ -112,7 +112,14 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
     "tpch_q1_sampled_r10" -> ((s, dir) =>
       graft.queries.TpchQueries.q1Sampled(Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))
-        .orderBy("l_returnflag", "l_linestatus")))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "tpch_q3" -> ((s, dir) =>
+      graft.queries.TpchQueries.q3(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "tpch_q5" -> ((s, dir) =>
+      graft.queries.TpchQueries.q5Regional(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -198,5 +205,7 @@ object SparkEntry {
         |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
         |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
         |GROUP BY word ORDER BY word""".stripMargin,
-    "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql)
+    "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
+    "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
+    "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql())
 }

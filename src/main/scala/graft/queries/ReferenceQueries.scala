@@ -70,26 +70,14 @@ object ReferenceQueries {
   // --- on the events analog. One parsed source, seven pipelines — the
   // --- reference's "one job template × 7 logical queries" catalog (§3.2).
 
-  /** P6 → A2 `hack`: keep events whose type starts with an attack-probe-like
-    * prefix, count per host analog (RandomizedApacheLogAnalysis.java:56-75).
-    */
-  def logHack(events: DataFrame): DataFrame =
-    events
-      .filter(col("event_type").rlike("^(err|sign)"))
-      .groupBy(col("user_id").as("host"))
-      .agg(count(lit(1)).as("cnt"))
+  // The other five log tasks live exclusively in their CLF form (clf*
+  // below) — the round-1 column analogs were removed once the real
+  // parse-based pipelines landed. logHost/logSize analogs are kept as the
+  // simple aggregate shapes the sampling specs and RatioLadder exercise.
 
   /** A2 `host`: request count per host analog (RandomizedApacheLogAnalysis.java:77-80). */
   def logHost(events: DataFrame): DataFrame =
     events.groupBy(col("user_id").as("host")).agg(count(lit(1)).as("cnt"))
-
-  /** P7 → A2 `dateweek`: day-of-week × hour histogram
-    * (RandomizedApacheLogAnalysis.java:82-86; format "EEE HH", Locale.US, UTC).
-    */
-  def logDateweek(events: DataFrame): DataFrame =
-    events
-      .groupBy(date_format(col("ts"), "EEE HH").as("dateweek"))
-      .agg(count(lit(1)).as("cnt"))
 
   /** P8 → A2 `size`: 100-byte histogram buckets of the size analog
     * (RandomizedApacheLogAnalysis.java:88-91: floor(bytes/100)*100).
@@ -98,28 +86,6 @@ object ReferenceQueries {
     events
       .groupBy((floor(col("value") / 100) * 100).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-
-  /** A3 `totalsize`: global sum under constant key "Total"
-    * (RandomizedApacheLogAnalysis.java:93-95).
-    */
-  def logTotalsize(events: DataFrame): DataFrame =
-    events
-      .groupBy(lit("Total").as("key"))
-      .agg(round(sum(col("value")), 2).as("total"))
-
-  /** P9 → A2 `pagesize`: total size per page analog
-    * (RandomizedApacheLogAnalysis.java:97-101).
-    */
-  def logPagesize(events: DataFrame): DataFrame =
-    events
-      .groupBy(col("event_type").as("page"))
-      .agg(round(sum(col("value")), 2).as("total"))
-
-  /** P9 → A2 `page`: hit count per page analog
-    * (RandomizedApacheLogAnalysis.java:103-107).
-    */
-  def logPage(events: DataFrame): DataFrame =
-    events.groupBy(col("event_type").as("page")).agg(count(lit(1)).as("cnt"))
 
   /** P10 → A1: wireless link analysis — order-normalized link pair so A→B
     * and B→A aggregate together (RandomizedWirelessLogAnalysis.java:31-40).

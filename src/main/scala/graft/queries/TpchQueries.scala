@@ -53,6 +53,79 @@ object TpchQueries {
       s.htScale(col("cnt")).as("est_cnt"))
   }
 
+  val Q3Cutoff = "1998-06-15"
+
+  /** TPC-H Q3 (shipping priority): the classic 3-way join. Shape at scale:
+    * `customer` filtered on segment then joined to `orders` — both shuffle
+    * on the customer key; `lineitem` (the fact table) shuffles once on
+    * orderkey. Catalyst/AQE broadcast the filtered customer side when it
+    * fits. Revenue in integer 1e4 units (cents × percent) for cross-engine
+    * exactness; top-10 by revenue with orderkey tie-break for determinism.
+    */
+  def q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(Q3Cutoff).cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit(Q3Cutoff).cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(priceC * (lit(100L) - discP)).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val Q3OracleSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q5-style regional revenue: fact table joined through the dimension
+    * chain customer → nation → region. The dimensions are tiny and
+    * broadcast; `lineitem` never shuffles for them — the plan every
+    * star-schema aggregate should have at 100 TB.
+    */
+  def q5Regional(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(priceC * (lit(100L) - discP)).as("revenue_e4"))
+  }
+
+  def q5OracleSql(regionName: String = "ASIA"): String =
+    s"""SELECT n_name,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val Q1OracleSql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
