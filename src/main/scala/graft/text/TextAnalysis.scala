@@ -92,6 +92,24 @@ object TextAnalysis {
 
   val GramLen = 8
   val WinnowWindow = 4
+  val PolyBase = 131L
+  val PolyMod = 2147483647L // 2^31 - 1
+  private val PolyPow: IndexedSeq[Long] =
+    (0 until GramLen).scanLeft(1L)((acc, _) => acc * PolyBase % PolyMod).take(GramLen)
+
+  /** Polynomial hash of the 8-gram starting at 1-based position `i`, over a
+    * pre-materialized char-code array: Σ code[i+j] · B^(7−j) mod P.
+    *
+    * Integer arithmetic → engine-exact. The codes array matters: hashing
+    * via `substr(text, i+j, 1)` would be O(position) per call (UTF8String
+    * scans code points), turning the whole doc quadratic — measured 13.9 s
+    * vs 3.7 s for md5 at sf0.1. One O(n) `split`+`ascii` projection per doc
+    * then O(1) `element_at` lookups makes it linear.
+    */
+  private def gramHash(codes: Column, i: Column): Column =
+    (0 until GramLen)
+      .map(j => element_at(codes, (i + j).cast("int")) * PolyPow(GramLen - 1 - j))
+      .reduce[Column](_ + _) % PolyMod
 
   /** Winnowing document fingerprints: hash every char 8-gram (rolling set),
     * slide a window of 4 positions, keep each window's minimum — the
@@ -108,9 +126,14 @@ object TextAnalysis {
       .filter(n >= GramLen)
       .select(
         col("doc_id"),
+        transform(filter(split(col("text"), ""), c => c =!= ""), c => ascii(c).cast("long"))
+          .as("__codes"),
+        (n - (GramLen - 1)).as("__ngrams"))
+      .select(
+        col("doc_id"),
         posexplode(transform(
-          sequence(lit(1), n - (GramLen - 1)),
-          i => Hashing.hash60(col("text").substr(i, lit(GramLen))))))
+          sequence(lit(1), col("__ngrams")),
+          i => gramHash(col("__codes"), i))))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "h")
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -194,14 +217,17 @@ object TextAnalysis {
        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok_bpe_est
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  def fingerprintsOracleSql: String =
+  def fingerprintsOracleSql: String = {
+    val polySql = (0 until GramLen)
+      .map(j => s"CAST(ascii(substr(text, j + $j, 1)) AS BIGINT) * ${PolyPow(GramLen - 1 - j)}")
+      .mkString("(", " + ", s") % $PolyMod")
     s"""WITH grams AS (
-       |  SELECT doc_id, i - 1 AS p, ${Hashing.hash60Sql("gram")} AS h
+       |  SELECT doc_id, j - 1 AS p, h
        |  FROM (
        |    SELECT doc_id,
-       |           unnest(range(1, length(text) - ${GramLen - 2})) AS i,
-       |           unnest([substr(text, j, $GramLen)
-       |                   for j in range(1, length(text) - ${GramLen - 2})]) AS gram
+       |           unnest(range(1, length(text) - ${GramLen - 2})) AS j,
+       |           unnest([CAST($polySql AS BIGINT)
+       |                   for j in range(1, length(text) - ${GramLen - 2})]) AS h
        |    FROM documents WHERE length(text) >= $GramLen
        |  )
        |),
@@ -215,4 +241,5 @@ object TextAnalysis {
        |sel AS (SELECT DISTINCT doc_id, wmin FROM wmins WHERE p <= np - $WinnowWindow)
        |SELECT doc_id, count(*) AS n_fp, min(wmin) AS min_fp
        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }
