@@ -75,6 +75,11 @@ object SparkEntry {
     "simsearch_ann" -> ((s, dir) =>
       SimilaritySearch.topKAnn(Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
+    // IVF variant: k-means index is not replayable in DuckDB → rows-only
+    // driver check; recall/consistency pinned by IvfIndexSpec
+    "simsearch_ivf" -> ((s, dir) =>
+      graft.similarity.IvfIndex.topK(s, Tables.embeddings(s, dir))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")),

@@ -1,0 +1,33 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+
+  test("IVF top-k: k rows per query, sims match brute-force values for the same pairs") {
+    val brute = SimilaritySearch.topK(emb, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = IvfIndex.topK(spark, emb).collect()
+    assert(ivf.length === SimilaritySearch.NumQueries * SimilaritySearch.TopK)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key))
+      assert(brute(key) === r.getDouble(2))
+    }
+  }
+
+  test("IVF recall@10 beats single-bucket chance and is deterministic") {
+    val brute = SimilaritySearch.topK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = IvfIndex.topK(spark, emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = IvfIndex.topK(spark, emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 === ivf2) // fixed-seed determinism
+    val recall = (brute intersect ivf1).size.toDouble / brute.size
+    // probing 4/16 lists scans ~25% of the corpus; nearest lists are
+    // sim-biased, so recall beats the 25% chance floor (measured at sf0.001)
+    assert(recall >= 0.3, s"IVF recall@10 fell to $recall")
+  }
+}

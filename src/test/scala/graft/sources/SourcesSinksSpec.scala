@@ -58,6 +58,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(err === 0.0)
   }
 
+  test("compressed text ingestion: gzip lines read transparently (S2's codec support)") {
+    import java.util.zip.GZIPOutputStream
+    val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_gz_test")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "lines.txt.gz")
+    val out = new java.io.PrintWriter(new GZIPOutputStream(new java.io.FileOutputStream(f)))
+    try (1 to 100).foreach(i => out.println(s"line number $i"))
+    finally out.close()
+    val lines = TextLines.readLines(spark, dir.getAbsolutePath)
+    assert(lines.count() === 100)
+    // the sampled pipeline composes over the compressed source too
+    val s = Sampled(lines, SamplingConfig(ratio = 0.3))
+    assert(s.totalCount === 100 && s.sampledCount > 0 && s.sampledCount < 100)
+  }
+
   test("K2 report sink: stdout format + JSON persistence") {
     val docs = Tables.documents(spark, sf001)
     val s = Sampled(docs, SamplingConfig(ratio = 0.5))
