@@ -124,7 +124,12 @@ object SparkEntry {
     "tpch_q5" -> ((s, dir) =>
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
-        Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")))
+        Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")),
+    "events_quantiles" -> ((s, dir) =>
+      RQ.eventQuantiles(Tables.events(s, dir)).orderBy("event_type")),
+    "events_cube" -> ((s, dir) =>
+      RQ.eventCube(Tables.events(s, dir))
+        .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -212,5 +217,15 @@ object SparkEntry {
         |GROUP BY word ORDER BY word""".stripMargin,
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
-    "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql())
+    "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
+    "events_quantiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_cube" ->
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
+        |FROM events GROUP BY CUBE(1, 2)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)
 }

@@ -170,6 +170,32 @@ object ReferenceQueries {
       .groupBy(AccessLog.pagePath(col("request")).as("page"))
       .agg(count(lit(1)).as("cnt"))
 
+  // --- general analytics beyond the reference's surface: quantiles and
+  // --- grouping sets, the aggregate shapes any warehouse user expects ---
+
+  /** Exact linear-interpolation percentiles of `value` per event type —
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * definition, so this is oracle-exact. At scale, swap to
+    * `percentile_approx` (t-digest sketch, mergeable, bounded memory) and
+    * the plan shape stays identical.
+    */
+  def eventQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+
+  /** CUBE over (event type, user bucket): all four grouping-set combinations
+    * in ONE pass — Catalyst expands the cube before the aggregate, so the
+    * shuffle carries each row once per grouping set with map-side partials.
+    */
+  def eventCube(events: DataFrame): DataFrame =
+    events
+      .cube(col("event_type"), (col("user_id") % 10).cast("long").as("user_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Sampled word count with Horvitz–Thompson scale-up: the reference's
     * flagship approximate query (SURVEY.md §7.3). Counts computed on a
     * seeded Bernoulli sample, scaled by 1/ratio — the estimator the
