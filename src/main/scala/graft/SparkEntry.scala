@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
+import graft.dedup.{DedupClusters, DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
 import graft.similarity.SimilaritySearch
 import graft.multimodal.Multimodal
 import graft.text.TextAnalysis
@@ -68,6 +68,11 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")),
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = DedupCorpus.augment(Tables.documents(s, dir))
+      DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
+        .orderBy("doc_id")
+    }),
     // --- LLM-data-pipeline: similarity search over embeddings ---
     "simsearch_topk" -> ((s, dir) =>
       SimilaritySearch.topK(Tables.embeddings(s, dir))
@@ -191,6 +196,7 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
+    "dedup_clusters" -> DedupClusters.decisionsOracleSql,
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),

@@ -1,0 +1,40 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built graph: transitive chain collapses to one representative") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // 1-2, 2-3 (chain), 4 alone, 5 alone
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.decisions(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false))) // transitivity: 3 never paired with 1
+    assert(out(4L) === ((4L, true)))
+    assert(out(5L) === ((5L, true)))
+  }
+
+  test("minhash clusters on the augmented corpus: injected dups lose, originals win") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val out = DedupClusters.decisions(corpus, pairs)
+    assert(out.count() === corpus.count()) // every doc gets a verdict
+    // every injected exact copy is dominated by some smaller doc
+    val exactCopies = out.filter(
+      col("doc_id") >= DedupCorpus.ExactDupOffset &&
+        col("doc_id") < DedupCorpus.NearDupOffset)
+    assert(exactCopies.filter(col("keep")).count() === 0)
+    // representatives are self-consistent: rep's rep is itself
+    val reps = out.select(col("rep")).distinct()
+      .join(out.withColumnRenamed("doc_id", "rep2").withColumnRenamed("rep", "reprep"),
+        col("rep") === col("rep2"))
+    assert(reps.filter(col("rep") =!= col("reprep")).count() === 0)
+  }
+}
