@@ -28,14 +28,23 @@ object DedupClusters {
     */
   def components(corpus: DataFrame, pairs: DataFrame): DataFrame = {
     val nodes = corpus.select(col("doc_id").as("node"))
-    // closed-neighborhood edges: both directions + self-loop
+    // closed-neighborhood edges: both directions + self-loop. The edge
+    // table is tiny relative to the corpus — pre-shuffle it once to a
+    // handful of partitions so the per-iteration joins don't pay
+    // session-wide shuffle-partition scheduling overhead.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(8, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("node"), col("node").as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence via Σlabel: min-propagation only ever DECREASES labels,
+    // so an unchanged sum ⟺ a fixed point — one action per iteration
+    // (materializing the persist as a side effect) instead of a
+    // change-detection join + count.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIterations) {
@@ -44,13 +53,11 @@ object DedupClusters {
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .count()
+      val newSum = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
