@@ -97,6 +97,8 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_pii" -> ((s, dir) =>
+      graft.text.PiiScrub.scrub(Tables.documents(s, dir)).orderBy("doc_id")),
     // --- LLM-data-pipeline: multimodal binary-column plumbing (stub codec) ---
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaQuery(Tables.documents(s, dir)).orderBy("asset_id")),
@@ -204,6 +206,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreOracleSql,
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
+    "text_pii" -> graft.text.PiiScrub.OracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
     "mm_features" -> Multimodal.featuresOracleSql(),
