@@ -25,20 +25,33 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def run(name: String): Option[Double] =
+    // Warmup failures are NOT errors (transient first-touch issues would
+    // otherwise fail the whole bench even when all timed trials pass);
+    // only timed-trial failures count, and the per-query trial count is
+    // reported so a median over <3 samples is visible in the JSON.
+    def run(name: String, recordError: Boolean): Option[Double] =
       try {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          if (recordError)
+            errors.getOrElseUpdate(
+              name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           None
+      } finally {
+        // release any persist() the query pipeline took (dedup signatures,
+        // posting lists, CC labels): each trial pays the full honest cost
+        // and a long-lived session doesn't accrete executor memory
+        spark.catalog.clearCache()
       }
 
-    names.foreach(run) // warmup
+    names.foreach(run(_, recordError = false)) // warmup
+    val trialCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = names.flatMap { name =>
-      val trials = (1 to 3).flatMap(_ => run(name))
+      val trials = (1 to 3).flatMap(_ => run(name, recordError = true))
+      trialCounts(name) = trials.size
       if (trials.isEmpty) None else Some(name -> trials.sorted.apply(trials.size / 2))
     }
 
@@ -51,9 +64,10 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val trialsJson = trialCounts.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$trialsJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

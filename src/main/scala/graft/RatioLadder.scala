@@ -41,13 +41,55 @@ object RatioLadder {
     ratios.filter(_ < 1.0).map { r =>
       val t0 = System.nanoTime()
       val (s, est) = RQ.sampled(source, SamplingConfig(ratio = r), query, countCol)
-      TextKVSink.write(est, keys.head, s"est_$countCol", s"$outDir/ratio_$r")
+      // K1 lines go under out/ so the sink directory stays pure key\tvalue
+      // (report.json / result.txt live beside it, not inside it)
+      TextKVSink.write(est, keys.head, s"est_$countCol", s"$outDir/ratio_$r/out")
       val err = ResultComparator.dataErrorRate(exact, est, keys, countCol, s"est_$countCol")
       val rpt = s.report()
       ReportSink.emit(rpt, s"$outDir/ratio_$r/report.json")
+      // the reference's cross-run protocol: the text report is persisted
+      // (randWordCount.sh:25 `| tail >> result.txt`) and machine-parsed by
+      // later comparator runs — SamplingReport.parse reads this back
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/ratio_$r/result.txt"), rpt.toString)
       Rung(r, rpt, err, (System.nanoTime() - t0) / 1e9)
     }
   }
+
+  /** One ladder family: (name, source, query, key column, count column). */
+  final case class Family(
+      name: String,
+      source: DataFrame,
+      query: DataFrame => DataFrame,
+      key: String,
+      countCol: String = "cnt")
+
+  /** Every job family the reference ran its ladder over: word count
+    * (randWordCount.sh:22-26), char count (randCharCount.sh:22-26), the
+    * seven Apache-log tasks (randApacheLogAnalysis.sh:22-26 — here in their
+    * honest synthesize→parse CLF form), and the wireless link analysis.
+    */
+  def families(spark: SparkSession, sfDir: String): Seq[Family] = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val events = Tables.events(spark, sfDir)
+    def clf(q: DataFrame => DataFrame): DataFrame => DataFrame =
+      e => q(RQ.clfParsed(e))
+    Seq(
+      Family("wordcount", docs, RQ.wordCount(_), "word"),
+      Family("charcount", docs, RQ.charCount(_), "ch"),
+      Family("log_hack", events, clf(RQ.clfHack), "host"),
+      Family("log_host", events, clf(RQ.clfHost), "host"),
+      Family("log_dateweek", events, clf(RQ.clfDateweek), "dateweek"),
+      Family("log_size", events, clf(RQ.clfSize), "bucket"),
+      Family("log_totalsize", events, clf(RQ.clfTotalsize), "key", countCol = "total"),
+      Family("log_pagesize", events, clf(RQ.clfPagesize), "page", countCol = "total"),
+      Family("log_page", events, clf(RQ.clfPage), "page"),
+      Family("wireless", events, RQ.wirelessLinks(_), "link"))
+  }
+
+  /** Run the full ladder for one family into `outDir/<family>/`. */
+  def runFamily(f: Family, ratios: Seq[Double], outDir: String): Seq[Rung] =
+    run(f.source, f.query, Seq(f.key), ratios, s"$outDir/${f.name}", f.countCol)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -55,9 +97,11 @@ object RatioLadder {
     val ratios = args.lift(2)
       .map(_.split(",").map(_.toDouble).toSeq)
       .getOrElse(Seq(1.0, 0.5, 0.25, 0.1, 0.01))
+    val only = args.lift(3).map(_.split(",").toSet) // optional family filter
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,14 +110,16 @@ object RatioLadder {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val rungs = run(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      RQ.wordCount(_), Seq("word"), ratios, outDir)
-    rungs.foreach { r =>
-      println(r.report.toString)
-      // the comparator's terminal line (RSMRResultComparator.java:80-88)
-      println(f"[Data error rate] ${r.dataErrorRate * 100}%.2f%%\n")
-    }
+    families(spark, sfDir)
+      .filter(f => only.forall(_.contains(f.name)))
+      .foreach { f =>
+        println(s"=== ${f.name} ===")
+        runFamily(f, ratios, outDir).foreach { r =>
+          println(r.report.toString)
+          // the comparator's terminal line (RSMRResultComparator.java:80-88)
+          println(f"[Data error rate] ${r.dataErrorRate * 100}%.2f%%\n")
+        }
+      }
     spark.stop()
   }
 }

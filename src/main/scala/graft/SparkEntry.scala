@@ -118,6 +118,17 @@ object SparkEntry {
       RQ.wordCount(
         graft.sources.XmlSource.readPages(s, graft.sources.XmlSource.fixturePath(s, dir)))
         .orderBy("word")),
+    // gzip-compressed text ingestion (non-splittable codec path) — must
+    // hash-match wordcount
+    "wordcount_text_gz" -> ((s, dir) =>
+      RQ.wordCountLines(
+        graft.sources.TextLines.readLines(s, graft.sources.TextLines.fixtureGzPath(s, dir)))
+        .orderBy("word")),
+    // P2 urlDecode on an oracle path: escape deterministically, decode in
+    // the query — the round trip must hash-match wordcount
+    "wordcount_urldecode" -> ((s, dir) =>
+      RQ.wordCount(RQ.urlEscape(Tables.documents(s, dir)), urlDecode = true)
+        .orderBy("word")),
     // --- relational analytics: the sampling layer on TPC-H-style data ---
     "tpch_q1" -> ((s, dir) =>
       graft.queries.TpchQueries.q1(Tables.lineitem(s, dir))
@@ -141,13 +152,19 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared by every query whose semantic result is the plain word count
+    * (parquet, text-file, gzipped-text, and escape→url_decode round-trip
+    * ingestion of the identical corpus).
+    */
+  private val WordCountSql: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
+      |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+      |GROUP BY word ORDER BY word""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "wordcount" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-        |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
-        |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-        |GROUP BY word ORDER BY word""".stripMargin,
+    "wordcount" -> WordCountSql,
     "charcount" ->
       """SELECT ch, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
@@ -210,20 +227,13 @@ object SparkEntry {
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
     "mm_features" -> Multimodal.featuresOracleSql(),
-    // same semantic result as wordcount — the queries ingest the identical
-    // corpus through text/XML files instead of parquet
-    "wordcount_text" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-        |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
-        |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-        |GROUP BY word ORDER BY word""".stripMargin,
-    "wordcount_xml" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-        |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
-        |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-        |GROUP BY word ORDER BY word""".stripMargin,
+    // same semantic result as wordcount — these queries ingest the identical
+    // corpus through text / XML / gzipped-text files instead of parquet, or
+    // through the percent-escape → url_decode round trip
+    "wordcount_text" -> WordCountSql,
+    "wordcount_xml" -> WordCountSql,
+    "wordcount_text_gz" -> WordCountSql,
+    "wordcount_urldecode" -> WordCountSql,
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),

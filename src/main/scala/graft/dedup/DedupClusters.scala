@@ -22,29 +22,47 @@ object DedupClusters {
 
   val MaxIterations = 20
 
+  /** Edge-shuffle width: follow the session's shuffle sizing (the knob an
+    * operator owns on a real cluster) rather than a hardcoded constant —
+    * right at local[32]/sf0.1 AND at 1000 executors, where the job config
+    * sizes `spark.sql.shuffle.partitions` to the data.
+    */
+  def edgePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
   /** (node, rep) for every doc in `corpus`, where rep is the smallest
     * doc_id in the node's connected component of the `pairs` graph
     * (doc_a, doc_b columns). Singletons map to themselves.
+    *
+    * Throws if label propagation has not reached a fixed point after
+    * [[MaxIterations]] rounds (component diameter > MaxIterations): a
+    * silent stop there would return representatives that disagree with the
+    * exact reachability oracle — fail loudly instead.
     */
   def components(corpus: DataFrame, pairs: DataFrame): DataFrame = {
     val nodes = corpus.select(col("doc_id").as("node"))
-    // closed-neighborhood edges: both directions + self-loop. The edge
-    // table is tiny relative to the corpus — pre-shuffle it once to a
-    // handful of partitions so the per-iteration joins don't pay
-    // session-wide shuffle-partition scheduling overhead.
+    // closed-neighborhood edges: both directions + self-loop, pre-shuffled
+    // once on the join key so the per-iteration joins reuse the layout.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(8, col("dst"))
+      .repartition(edgePartitions(corpus.sparkSession), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): iterative plans otherwise NEST — round
+    // k's logical plan contains rounds 1..k-1, so analysis cost and driver
+    // memory grow with iteration count and deep components OOM the driver.
+    // Checkpointing truncates lineage to the materialized result each
+    // round — the standard shape for iterative graph algorithms on Spark.
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     // Convergence via Σlabel: min-propagation only ever DECREASES labels,
-    // so an unchanged sum ⟺ a fixed point — one action per iteration
-    // (materializing the persist as a side effect) instead of a
-    // change-detection join + count.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // so an unchanged sum ⟺ a fixed point — one cheap in-memory action per
+    // iteration instead of a change-detection join + count. Summed as
+    // decimal(38,0): a long sum could overflow at corpus scale and in
+    // principle fake a fixed point.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIterations) {
@@ -52,15 +70,18 @@ object DedupClusters {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newSum = next.agg(sum(col("label"))).head().getLong(0)
-      labels.unpersist()
+        .localCheckpoint() // eager: materializes AND truncates lineage
+      val newSum = labelSum(next)
       labels = next
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"DedupClusters: no fixed point after $MaxIterations rounds " +
+          "(component diameter exceeds MaxIterations)")
     labels.select(col("node").as("doc_id"), col("label").as("rep"))
   }
 

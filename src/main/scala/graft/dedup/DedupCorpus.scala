@@ -25,11 +25,15 @@ object DedupCorpus {
       .filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text"))
     val w = Hashing.words(col("text"))
+    // greatest(…, 0): Spark's slice throws on a negative length, so a doc
+    // with <2 word tokens must degrade to empty text — the oracle SQL
+    // clamps identically (a negative DuckDB slice bound would otherwise
+    // count from the END and diverge).
     val nearDups = base
       .filter(col("doc_id") % 11 === 0)
       .select(
         (col("doc_id") + NearDupOffset).as("doc_id"),
-        array_join(slice(w, lit(1), size(w) - 2), " ").as("text"))
+        array_join(slice(w, lit(1), greatest(size(w) - 2, lit(0))), " ").as("text"))
     base.unionAll(exactDups).unionAll(nearDups)
   }
 
@@ -40,7 +44,7 @@ object DedupCorpus {
       |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
       |UNION ALL
       |SELECT doc_id + 200000 AS doc_id,
-      |       array_to_string(w[1:len(w)-2], ' ') AS text
+      |       array_to_string(w[1:greatest(len(w)-2, 0)], ' ') AS text
       |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
       |      FROM documents)
       |WHERE doc_id % 11 = 0""".stripMargin

@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * (band index, band key) — documents only ever meet inside a bucket, never
   * all-pairs. The signature table is ~17 longs/doc regardless of document
   * size, so the self-join shuffles signatures, not text. Bucket skew (a
-  * degenerate band key shared by millions of docs) is bounded by banding
-  * math at realistic similarity thresholds; a production guard would cap
-  * bucket size before the join (documented, not needed at test scale).
+  * degenerate band key shared by millions of boilerplate/identical docs,
+  * which would make that band's self-join quadratic) is bounded by an
+  * explicit bucket-size cap: buckets over `maxBucket` members are dropped
+  * from candidate generation before the join (the over-cap key set is tiny
+  * by construction, so the guard is a broadcast anti-join, not a shuffle).
+  * Mass-identical documents that lose their LSH pairs this way are exactly
+  * the ones [[DedupCorpus.exactDedup]]'s content-hash pass already catches.
+  * The oracle SQL applies the identical cap, so semantics agree at every
+  * scale (at the test corpus the cap is a no-op).
   *
   * All hashes are md5-prefix based so the DuckDB oracle replays the exact
   * computation (see [[minhashOracle]]).
@@ -27,6 +33,12 @@ object MinHashLSH {
   val NumBands = 8 // → 2 rows per band
   val RowsPerBand: Int = NumHashes / NumBands
   val ShingleK = 3
+  /** Skew guard: band buckets with more members than this never generate
+    * candidates (a bucket of b docs costs b² in the join). 64 bounds any
+    * single bucket's cost at 4096 comparisons while being far above bucket
+    * sizes banding math produces on non-degenerate corpora.
+    */
+  val MaxBucket = 64L
 
   /** Universal-hash coefficients (a_j, b_j), fixed by seed so Spark and the
     * generated oracle SQL share them.
@@ -63,22 +75,36 @@ object MinHashLSH {
 
   /** Candidate near-duplicate pairs with the MinHash similarity estimate
     * (fraction of agreeing signature components), filtered at `minSim`.
-    * Pairs are found via band-bucket equality only — never all-pairs.
+    * Pairs are found via band-bucket equality only — never all-pairs, and
+    * buckets larger than `maxBucket` are excluded entirely (skew guard; see
+    * the class doc).
     */
-  def nearDupPairs(sigsIn: DataFrame, minSim: Double = 0.5): DataFrame = {
+  def nearDupPairs(
+      sigsIn: DataFrame,
+      minSim: Double = 0.5,
+      maxBucket: Long = MaxBucket): DataFrame = {
     // The signature table feeds three consumers (banding + both sides of
     // the pair join); without persistence Spark recomputes the whole
     // explode+hash+aggregate per branch. In a production pipeline the
     // signatures are a materialized table; persist() is the in-query
-    // equivalent (CacheManager dedupes by plan, so repeated runs share it).
+    // equivalent (CacheManager dedupes by plan, so repeated runs share it;
+    // the bench/verify harnesses clearCache() after each terminal action).
     val sigs = sigsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "key"))
+    // over-cap bucket keys: one map-side-partial aggregate over the banded
+    // table; the surviving key set is tiny (degenerate keys only) → the
+    // exclusion is a broadcast anti-join, no extra shuffle of `banded`
+    val hot = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val candidates = bounded.as("a")
+      .join(bounded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -118,8 +144,11 @@ object MinHashLSH {
     shinglesSql(DedupCorpus.augmentSql) +
       s"\nSELECT doc_id, ${sigCols.mkString(", ")} FROM sig ORDER BY doc_id"
 
-  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus. */
-  def nearDupPairsOracleSql(minSim: Double = 0.5): String = {
+  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus —
+    * including the bucket-size cap, so Spark and the oracle agree at every
+    * scale (no-op on the test corpus).
+    */
+  def nearDupPairsOracleSql(minSim: Double = 0.5, maxBucket: Long = MaxBucket): String = {
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
@@ -131,9 +160,11 @@ object MinHashLSH {
       .mkString(" + ")
     shinglesSql(DedupCorpus.augmentSql) +
       s""",
-         |bands AS (
+         |bands0 AS (
          |  $bandKeys
          |),
+         |ok AS (SELECT band, key FROM bands0 GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+         |bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, key)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key

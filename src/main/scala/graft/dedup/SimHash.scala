@@ -22,6 +22,12 @@ object SimHash {
   val Bits = 60
   val NumBands = 4
   val BandBits: Int = Bits / NumBands // 15
+  /** Skew guard, mirroring [[MinHashLSH.MaxBucket]]: a 15-bit band chunk
+    * shared by masses of near-identical docs would make that bucket's
+    * self-join quadratic; buckets over the cap are dropped from candidate
+    * generation (exact copies are [[DedupCorpus.exactDedup]]'s job).
+    */
+  val MaxBucket = 64L
 
   /** Per-document SimHash: columns (doc_id, simhash). */
   def fingerprints(corpus: DataFrame): DataFrame = {
@@ -42,9 +48,14 @@ object SimHash {
   }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, via 15-bit
-    * band bucketing.
+    * band bucketing; buckets larger than `maxBucket` never generate
+    * candidates (skew guard — the over-cap key set is tiny, so the
+    * exclusion is a broadcast anti-join).
     */
-  def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairs(
+      fps: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Long = MaxBucket): DataFrame = {
     val banded = fps.select(
       col("doc_id"),
       col("simhash"),
@@ -54,8 +65,13 @@ object SimHash {
           shiftright(col("simhash"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"), Seq("band", "key"))
+    val hot = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    bounded.as("a")
+      .join(bounded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
@@ -89,15 +105,19 @@ object SimHash {
        |SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus. */
-  def nearDupPairsOracleSql(maxHamming: Int = 3): String = {
+  /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus —
+    * including the bucket-size cap (no-op on the test corpus).
+    */
+  def nearDupPairsOracleSql(maxHamming: Int = 3, maxBucket: Long = MaxBucket): String = {
     val bands = (0 until NumBands)
       .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * BandBits}) & ${(1L << BandBits) - 1} AS key FROM fp")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH fp AS (${fingerprintsOracleSql.replace("ORDER BY doc_id", "")}),
-       |bands AS (
+       |bands0 AS (
        |  $bands
        |),
+       |ok AS (SELECT band, key FROM bands0 GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+       |bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, key)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

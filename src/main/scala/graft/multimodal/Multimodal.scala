@@ -35,9 +35,10 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded
   }
 
-  /** STUB codec — stands in for a real media library (none ships in this
-    * container). Dimensions are a deterministic function of payload length
-    * and first/last byte, so specs and the SQL oracle can replay it.
+  /** STUB codec — stands in for a real AUDIO/VIDEO library (none ships in
+    * this container). Dimensions are a deterministic function of payload
+    * length and first/last byte, so specs and the SQL oracle can replay it.
+    * For still images use [[ImageIoCodec]], which is real.
     */
   object StubCodec extends AssetCodec {
     def decode(b: Array[Byte]): Decoded = {
@@ -49,6 +50,55 @@ object Multimodal {
         nFrames = b.length / 100 + 1)
     }
   }
+
+  /** REAL image codec over `javax.imageio` (JDK-only, no external deps):
+    * decodes PNG/BMP/GIF/JPEG payload bytes to their true pixel dimensions.
+    * Stills have one frame. Plugged into [[decodePartitions]] it exercises
+    * the exact executor-side shape a JNI media library needs — and proves
+    * the plumbing with genuinely decoded output, not stub arithmetic.
+    */
+  object ImageIoCodec extends AssetCodec {
+    def decode(b: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "payload is not a decodable image")
+      Decoded(width = img.getWidth.toLong, height = img.getHeight.toLong, nFrames = 1L)
+    }
+  }
+
+  /** Deterministic PNG payload: `w`×`h`, pixel (x,y) colored by a fixed
+    * integer recurrence on (seed, x, y) — byte-stable across JVMs because
+    * PNG is lossless and ImageIO's PNG writer is deterministic for RGB.
+    */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed * 31 + x) * 31 + y) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize n real PNG image assets — executor-side (one `range`
+    * partition per task), dimensions a fixed function of asset_id so specs
+    * can verify the decoded values independently.
+    */
+  def synthesizeImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .map { i => (i, pngBytes(imageWidth(i), imageHeight(i), i), "image") }
+      .toDF("asset_id", "content", "media_type")
+  }
+
+  /** Expected dimensions of [[synthesizeImages]] asset `i`. */
+  def imageWidth(i: Long): Int = 16 + (i % 17).toInt
+  def imageHeight(i: Long): Int = 16 + (i % 13).toInt
 
   val ResizeTarget = 256
 

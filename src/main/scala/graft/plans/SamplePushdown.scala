@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Expression, LessThan, Literal, Rand}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LessThan, LessThanOrEqual, Literal, Rand}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -38,6 +38,7 @@ object SamplePushdown extends Rule[LogicalPlan] {
     */
   private def isSamplePredicate(cond: Expression): Boolean = cond match {
     case LessThan(_: Rand, Literal(_, _)) => cond.references.isEmpty
+    case LessThanOrEqual(_: Rand, Literal(_, _)) => cond.references.isEmpty
     case _ => false
   }
 

@@ -58,6 +58,21 @@ object ReferenceQueries {
   def wordCountLines(lines: DataFrame, urlDecode: Boolean = false): DataFrame =
     wordCount(lines.withColumnRenamed("value", "text"), urlDecode)
 
+  /** Deterministic percent-escaping of a documents corpus: literal '%' →
+    * `%25` FIRST (so every escape in the output is valid), then ' ' → `%20`
+    * and 'e' → `%65`. URL-decoding the result restores the original text
+    * exactly, which puts the P2 decode branch on an oracle-checked path:
+    * `wordCount(urlEscape(docs), urlDecode = true)` must hash-match plain
+    * `wordCount(docs)` — any decode deviation changes the words.
+    */
+  def urlEscape(docs: DataFrame): DataFrame =
+    docs.select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), "%", "%25"),
+          " ", "%20"),
+        "e", "%65").as("text"))
+
   /** P4 → A1: character count (RandomizedCharacterCount.java:27-48). */
   def charCount(docs: DataFrame): DataFrame =
     docs

@@ -34,6 +34,31 @@ final case class SamplingReport(
       f"[Time cost] $timeCostSec%.2fs"
 }
 
+object SamplingReport {
+
+  /** Parse a report back from its stdout/result.txt text form — the
+    * reference's comparator machine-parsed prior runs' result.txt exactly
+    * like this (RSMRResultComparator.java:91-109), so the report text is a
+    * cross-run PROTOCOL, not just logging. Percent-formatted fields come
+    * back at their printed 2-decimal precision (as in the reference).
+    */
+  def parse(text: String): SamplingReport = {
+    val fields = text.linesIterator.collect {
+      case l if l.startsWith("[") && l.contains("]") =>
+        val i = l.indexOf(']')
+        l.substring(1, i) -> l.substring(i + 1).trim
+    }.toMap
+    def pct(label: String): Double = fields(label).stripSuffix("%").toDouble / 100
+    SamplingReport(
+      jobId = fields("Job ID").toInt,
+      total = fields("Total record").toLong,
+      sampled = fields("Sampled record").toLong,
+      designedRate = pct("Designed sample rate"),
+      confidence = fields("Confidence level").toDouble,
+      timeCostSec = fields("Time cost").stripSuffix("s").toDouble)
+  }
+}
+
 /** Seeded Bernoulli sample over a DataFrame, with exact record accounting and
   * Horvitz–Thompson scale-up — the Spark-native replacement for the
   * reference's sampled RecordReaders + ZooKeeper counter tree

@@ -40,10 +40,18 @@ object IvfIndex {
     import spark.implicits._
 
     val vecs = embeddings.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    // Centroids are trained on a seeded Bernoulli SAMPLE of the corpus (the
+    // engine's own sampling layer): k-means quality needs only enough points
+    // per centroid, not the full 100 TB — fitting on everything would make
+    // index BUILD as expensive as a full scan × iterations. `trainFraction`
+    // keeps ≥ ~100·nlist expected points here and would shrink toward 1e-4
+    // at corpus scale; ASSIGNMENT still covers every vector below.
+    val trainFraction = 0.5
+    val train = graft.sampling.Sampled(vecs, trainFraction, seed).data
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list")
-      .fit(vecs)
+      .fit(train)
     val assigned = model.transform(vecs).select(col("vec_id"), col("list"))
 
     // probe table: per query, its nprobe nearest centroids (driver-side —

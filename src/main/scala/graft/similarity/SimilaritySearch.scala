@@ -42,8 +42,14 @@ object SimilaritySearch {
     if ((h(0) & 1) == 0) 1 else -1
   }
 
-  val Signs: IndexedSeq[IndexedSeq[Int]] =
-    (0 until NumPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
+  /** Sign table for an arbitrary plane count — the plane family is an
+    * unbounded deterministic sequence, so callers can scale the number of
+    * hyperplanes with corpus size without changing any existing bucket.
+    */
+  def signsFor(numPlanes: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until numPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
+
+  val Signs: IndexedSeq[IndexedSeq[Int]] = signsFor(NumPlanes)
 
   /** Integer quantization of a float vector column. */
   def quantize(v: Column): Column =
@@ -53,12 +59,15 @@ object SimilaritySearch {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
-  /** Signed sum for plane p (exact integer). */
-  private def planeDot(qv: Column, p: Int): Column =
+  /** Signed sum for one plane's sign row (exact integer). */
+  private def planeDotSigns(qv: Column, signs: IndexedSeq[Int]): Column =
     aggregate(
-      zip_with(qv, array(Signs(p).map(s => lit(s.toLong)): _*), _ * _),
+      zip_with(qv, array(signs.map(s => lit(s.toLong)): _*), _ * _),
       lit(0L),
       _ + _)
+
+  /** Signed sum for plane p (exact integer). */
+  private def planeDot(qv: Column, p: Int): Column = planeDotSigns(qv, Signs(p))
 
   /** LSH bucket id: one sign bit per plane. */
   def bucket(qv: Column): Column =
@@ -125,22 +134,61 @@ object SimilaritySearch {
     rankAndSelect(cands, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: same LSH bucket AND quantized
-    * cosine ≥ minSim. Bucketed-by-construction — never all-pairs.
+  /** Embedding-cosine near-duplicate pairs: same LSH band bucket (any of
+    * `numBands` bands — OR-construction, as in MinHash banding) AND
+    * quantized cosine ≥ minSim. Bucketed-by-construction — never all-pairs.
+    *
+    * Scale control: each band keys on `numPlanes / numBands` sign bits, so
+    * per-band bucket count is 2^(numPlanes/numBands) and the expected join
+    * cost is numBands · N² / 2^(numPlanes/numBands). At 10⁹ vectors grow
+    * `numPlanes` (e.g. 32 planes × 2 bands → 65k buckets per band) —
+    * bucket count scales exponentially in the plane budget while recall is
+    * retained through the OR over bands. The defaults (4 planes, 1 band)
+    * reproduce the oracle-pinned reference configuration; the candidate-
+    * growth behavior is pinned by SimilaritySearchSpec on a 16-plane
+    * config.
     */
-  def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.15): DataFrame = {
-    val prep = prepared(embeddings)
-    val b = prep.select(
+  def nearDupPairs(
+      embeddings: DataFrame,
+      minSim: Double = 0.15,
+      numPlanes: Int = NumPlanes,
+      numBands: Int = 1): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val bandBits = numPlanes / numBands
+    val signs = signsFor(numPlanes)
+    val qv = quantize(col("embedding"))
+    val base = embeddings
+      .select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
+    val bandStructs = (0 until numBands).map { b =>
+      val key = (0 until bandBits)
+        .map { i =>
+          when(planeDotSigns(col("qv"), signs(b * bandBits + i)) > 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }
+        .reduce[Column](_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val banded = base
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val rhs = banded.select(
       col("vec_id").as("vid_b"), col("qv").as("qv_b"),
-      col("nrm").as("nrm_b"), col("bucket"))
-    prep
-      .join(b, Seq("bucket"))
+      col("nrm").as("nrm_b"), col("band"), col("key"))
+    val pairs = banded
+      .join(rhs, Seq("band", "key"))
       .filter(col("vec_id") < col("vid_b"))
       .select(
         col("vec_id").as("vec_a"),
         col("vid_b").as("vec_b"),
         (dotQ(col("qv"), col("qv_b")).cast("double") / (col("nrm") * col("nrm_b"))).as("sim"))
-      .filter(col("sim") >= minSim)
+    // pairs can meet in several bands only when numBands > 1; sim is a
+    // deterministic function of the pair, so a distinct dedupes exactly
+    val deduped = if (numBands == 1) pairs else pairs.distinct()
+    deduped.filter(col("sim") >= minSim)
   }
 
   // ---- DuckDB oracle generation ----

@@ -36,14 +36,20 @@ object TextKVSink {
 /** K2: sampling-report emission. */
 object ReportSink {
 
+  /** NaN/Infinity are not valid JSON number literals (a 0-row sample makes
+    * actualRate 0/0) — emit null so downstream parsers never see a broken
+    * file.
+    */
+  private def num(d: Double): String = if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   /** Print the report (reference stdout contract) and persist it as JSON. */
   def emit(report: graft.sampling.SamplingReport, path: String): Unit = {
     println(report.toString)
     val json =
       s"""{"jobId":${report.jobId},"total":${report.total},"sampled":${report.sampled},
-         |"designedRate":${report.designedRate},"actualRate":${report.actualRate},
-         |"confidence":${report.confidence},"errorRate":${report.errorRate},
-         |"timeCostSec":${report.timeCostSec}}""".stripMargin.replace("\n", "")
+         |"designedRate":${num(report.designedRate)},"actualRate":${num(report.actualRate)},
+         |"confidence":${num(report.confidence)},"errorRate":${num(report.errorRate)},
+         |"timeCostSec":${num(report.timeCostSec)}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }

@@ -30,6 +30,29 @@ object TextLines {
     path
   }
 
+  /** Gzipped variant of [[fixturePath]] — compressed-codec ingestion, the
+    * reference's XML reader handled splittable and non-splittable codecs
+    * (RandomizedXMLRecordReader.java:81-106). Spark's text source detects
+    * `.gz` by extension and decompresses transparently. One gz part mirrors
+    * the reference's single compressed input; gzip is NOT splittable, so at
+    * 100 TB the corpus must be many gz files (parallelism = file count) or
+    * a splittable codec (bzip2/zstd-seekable) — the read path is identical.
+    */
+  def fixtureGzPath(spark: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_gz_$digest"
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy("doc_id")
+        .select(col("text"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").text(path)
+    }
+    path
+  }
+
   /** One `value` column per line — the reference's record shape. */
   def readLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)

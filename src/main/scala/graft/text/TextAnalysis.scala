@@ -131,6 +131,7 @@ object TextAnalysis {
         (n - (GramLen - 1)).as("__ngrams"))
       .select(
         col("doc_id"),
+        col("__ngrams"),
         posexplode(transform(
           sequence(lit(1), col("__ngrams")),
           i => gramHash(col("__codes"), i))))
@@ -138,11 +139,12 @@ object TextAnalysis {
       .withColumnRenamed("col", "h")
     val w = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, WinnowWindow - 1)
-    val maxP = Window.partitionBy("doc_id")
+    // full windows only (p is 0-based): the gram count is __ngrams, already
+    // known before the explode — a second unbounded count(*) window here
+    // would re-sort/re-scan every partition for a value we carry for free
     grams
       .withColumn("wmin", min(col("h")).over(w))
-      .withColumn("np", count(lit(1)).over(maxP))
-      .filter(col("p") <= col("np") - WinnowWindow) // full windows only (p is 0-based)
+      .filter(col("p") <= col("__ngrams") - WinnowWindow)
       .select(col("doc_id"), col("wmin"))
       .distinct()
       .groupBy("doc_id")

@@ -29,4 +29,33 @@ class RatioLadderSpec extends SparkSpec {
     // K1 outputs exist and are non-empty
     assert(new java.io.File(s"$out/exact").listFiles().exists(_.getName.endsWith(".txt")))
   }
+
+  test("ladder across the reference's job families: word/char/CLF/wireless rungs " +
+    "stay within the T4 bound on the additive total") {
+    import org.apache.spark.sql.functions._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ladder_families"
+    val chosen = Set("charcount", "log_size", "wireless", "wordcount")
+    val fams = RatioLadder.families(spark, sf001).filter(f => chosen.contains(f.name))
+    assert(fams.size === chosen.size)
+    fams.foreach { f =>
+      val rungs = RatioLadder.runFamily(f, Seq(1.0, 0.5), out)
+      assert(rungs.map(_.ratio) === Seq(0.5))
+      val exactTotal = f.query(f.source)
+        .agg(sum(col(f.countCol).cast("double"))).head().getDouble(0)
+      rungs.foreach { r =>
+        assert(r.dataErrorRate >= 0.0 && r.dataErrorRate < 1.0, s"${f.name}: per-key error")
+        // the T4 bound speaks about the ADDITIVE TOTAL estimate (that's what
+        // Cochran's formula bounds), so judge the HT-scaled total — read back
+        // through the K1 sink, which also pins the sink round-trip
+        val estTotal = graft.sinks.TextKVSink
+          .read(spark, s"$out/${f.name}/ratio_${r.ratio}/out")
+          .agg(sum(col("value").cast("double"))).head().getDouble(0)
+        val relErr = math.abs(estTotal - exactTotal) / exactTotal
+        // 3× the single-sd bound: deterministic with the fixed seed, and a
+        // regression that breaks HT scaling or sampling lands far outside
+        assert(relErr <= 3 * r.report.errorRate,
+          s"${f.name} ratio ${r.ratio}: total rel-err $relErr vs T4 bound ${r.report.errorRate}")
+      }
+    }
+  }
 }

@@ -21,6 +21,24 @@ class DedupClustersSpec extends SparkSpec {
     assert(out(5L) === ((5L, true)))
   }
 
+  test("edge shuffle width follows the session's shuffle-partition config") {
+    assert(DedupClusters.edgePartitions(spark) ===
+      spark.sessionState.conf.numShufflePartitions)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "6")
+      assert(DedupClusters.edgePartitions(spark) === 6)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("a component deeper than MaxIterations fails loudly instead of silently stopping") {
+    val n = DedupClusters.MaxIterations + 5
+    val corpus = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](DedupClusters.decisions(corpus, pairs).collect())
+    assert(e.getMessage.contains("no fixed point"))
+  }
+
   test("minhash clusters on the augmented corpus: injected dups lose, originals win") {
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
     val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))

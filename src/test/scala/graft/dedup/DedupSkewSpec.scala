@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Skew-guard specs: on a degenerate corpus (hundreds of byte-identical
+  * docs — the "millions of boilerplate pages" failure mode at 100 TB) the
+  * LSH band buckets go quadratic without a cap. These tests pin that
+  *  (a) the cap bounds candidate generation to ~zero on such a corpus,
+  *  (b) uncapped candidate generation really is quadratic (the guard is
+  *      guarding something), and
+  *  (c) the cap is a no-op on the oracle corpus, so CORRECTNESS parity is
+  *      untouched, and
+  *  (d) the mass-identical docs the cap silences are exactly the ones the
+  *      exact content-hash dedup already catches.
+  */
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NIdentical = 200L
+
+  /** 200 identical docs + 8 mutually-distinct docs. */
+  private lazy val degenerate: DataFrame = {
+    val boiler = "all work and no play makes the boilerplate corpus a degenerate bucket"
+    val identical = (0L until NIdentical).map(i => (i, boiler))
+    val distinct = (0L until 8L).map(i =>
+      (1000L + i, s"unique document number $i talks about topic${i} and subject${i * 7} only"))
+    (identical ++ distinct).toDF("doc_id", "text")
+  }
+
+  test("minhash: uncapped candidate generation is quadratic on identical docs") {
+    val sigs = MinHashLSH.signatures(degenerate)
+    val uncapped = MinHashLSH.nearDupPairs(sigs, minSim = 0.0, maxBucket = Long.MaxValue)
+    assert(uncapped.count() >= NIdentical * (NIdentical - 1) / 2)
+  }
+
+  test("minhash: the bucket cap drops the degenerate buckets before the join") {
+    val sigs = MinHashLSH.signatures(degenerate)
+    val capped = MinHashLSH.nearDupPairs(sigs, minSim = 0.0)
+    // the 200-member buckets never generate candidates; only the 8 distinct
+    // docs may collide, bounding pairs at 8·7/2
+    assert(capped.count() <= 28)
+  }
+
+  test("simhash: cap bounds the identical-fingerprint bucket, uncapped is quadratic") {
+    val fps = SimHash.fingerprints(degenerate)
+    val uncapped = SimHash.nearDupPairs(fps, maxHamming = 60, maxBucket = Long.MaxValue)
+    assert(uncapped.count() >= NIdentical * (NIdentical - 1) / 2)
+    val capped = SimHash.nearDupPairs(fps, maxHamming = 60)
+    assert(capped.count() <= 28)
+  }
+
+  test("capped-away identical docs are exactly what exact dedup catches") {
+    val exact = DedupCorpus.exactDedup(degenerate)
+    val boilerGroup = exact.filter(col("dup_cnt") === NIdentical)
+    assert(boilerGroup.count() === 1)
+    assert(boilerGroup.head().getLong(0) === 0L) // smallest doc_id survives
+  }
+
+  test("cap is a no-op on the oracle corpus (CORRECTNESS parity untouched)") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val sigs = MinHashLSH.signatures(corpus)
+    val capped = MinHashLSH.nearDupPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = MinHashLSH.nearDupPairs(sigs, maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    val fps = SimHash.fingerprints(corpus)
+    val cappedSh = SimHash.nearDupPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncappedSh = SimHash.nearDupPairs(fps, maxBucket = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cappedSh === uncappedSh)
+  }
+}

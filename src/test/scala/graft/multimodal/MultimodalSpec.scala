@@ -63,6 +63,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL image codec: decodePartitions recovers true PNG dimensions via javax.imageio") {
+    val n = 64
+    val imgs = Multimodal.synthesizeImages(spark, n)
+    val out = Multimodal.decodePartitions(spark, imgs, Multimodal.ImageIoCodec)
+      .orderBy("asset_id").collect()
+    assert(out.length === n)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) === Multimodal.imageWidth(id).toLong, s"width of asset $id")
+      assert(r.getLong(4) === Multimodal.imageHeight(id).toLong, s"height of asset $id")
+      assert(r.getLong(5) === 1L) // stills: one frame
+    }
+    // and the payloads really are PNGs, not text blobs
+    val magic = imgs.select("content").head().getAs[Array[Byte]](0).take(8)
+    assert(magic.sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+  }
+
   test("feature vectors: 8 dims in [0,1), deterministic") {
     val f = Multimodal.features(Multimodal.assets(docs))
     assert(f.columns.toSeq === ("asset_id" +: (0 until 8).map(i => s"f$i")))

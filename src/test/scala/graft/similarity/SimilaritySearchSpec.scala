@@ -73,4 +73,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.15))
   }
+
+  test("16-plane banded config: candidate count ≪ N² (the 100 TB scale path)") {
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // minSim = -1 turns the sim filter into a no-op, so the row count IS
+    // the candidate count the band join generated
+    val candidates =
+      SimilaritySearch.nearDupPairs(emb, minSim = -1.0, numPlanes = 16, numBands = 2).count()
+    // 2 bands × 8 sign bits → 256 buckets/band; expected cost ≈ 2·N²/256.
+    // Bound at a 10th of all-pairs — an order of magnitude of headroom over
+    // the expectation while catching any regression to quasi-all-pairs
+    // (the 4-plane default generates ~N²/16 ≈ 0.63·allPairs here).
+    assert(candidates < allPairs / 10,
+      s"banded candidates $candidates not ≪ $allPairs")
+  }
+
+  test("OR-construction only adds recall: 16-plane/4-band result ⊇ default result") {
+    // band 0 of the 16-plane/4-band config keys on planes 0-3 = exactly the
+    // default 4-plane bucket, so every default pair must reappear
+    val base = SimilaritySearch.nearDupPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SimilaritySearch.nearDupPairs(emb, numPlanes = 16, numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.subsetOf(banded))
+  }
 }
