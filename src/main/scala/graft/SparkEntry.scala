@@ -143,6 +143,14 @@ object SparkEntry {
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")),
+    // skew-safe two-stage aggregation, on integer cents so the two-stage
+    // sum is order-independent and engine-exact
+    "events_salted_sum" -> ((s, dir) =>
+      graft.operators.SaltedAggregate.sumCount(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "cents").orderBy("user_id")),
     "events_quantiles" -> ((s, dir) =>
       RQ.eventQuantiles(Tables.events(s, dir)).orderBy("event_type")),
     "events_cube" -> ((s, dir) =>
@@ -237,6 +245,11 @@ object SparkEntry {
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
+    "events_salted_sum" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(*) AS cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

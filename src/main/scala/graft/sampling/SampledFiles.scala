@@ -26,15 +26,17 @@ final class SampledFiles private (
     val spark: SparkSession,
     val config: SamplingConfig,
     val allFiles: Seq[String],
-    val selectedFiles: Seq[String]) {
+    val selectedFiles: Seq[String],
+    format: String,
+    options: Map[String, String]) {
 
   val ratio: Double = config.resolvedRatio
 
-  /** The sampled relation: a parquet scan over ONLY the selected files. */
+  /** The sampled relation: a scan over ONLY the selected files. */
   lazy val data: DataFrame =
     if (selectedFiles.isEmpty)
-      spark.read.parquet(allFiles: _*).limit(0)
-    else spark.read.parquet(selectedFiles: _*)
+      spark.read.format(format).options(options).load(allFiles: _*).limit(0)
+    else spark.read.format(format).options(options).load(selectedFiles: _*)
 
   def actualFileRatio: Double =
     if (allFiles.isEmpty) 0.0 else selectedFiles.size.toDouble / allFiles.size
@@ -68,7 +70,37 @@ object SampledFiles {
   }
 
   /** Sample the parquet part-file list of `dir`. */
-  def apply(spark: SparkSession, dir: String, config: SamplingConfig): SampledFiles = {
+  def apply(spark: SparkSession, dir: String, config: SamplingConfig): SampledFiles =
+    build(spark, dir, config, "parquet")
+
+  /** Sample a raw text-file directory — the reference's actual corpus shape
+    * (one big dir of .txt/.gz shards). Unchosen files are never opened; for
+    * gzip (non-splittable) this is the only sampling that also skips the
+    * decompression cost, since a row-level `rand() < p` must still inflate
+    * every byte. Lines land in the standard `value` column, so
+    * [[graft.queries.ReferenceQueries.wordCountLines]] composes directly.
+    */
+  def text(spark: SparkSession, dir: String, config: SamplingConfig): SampledFiles =
+    build(spark, dir, config, "text")
+
+  /** Sample an XML shard directory of `<page>` records — the reference's
+    * flagship corpus shape (its sampled XML RecordReader skipped records
+    * inside one giant file; a sharded corpus lets Spark skip whole FILES,
+    * which is strictly cheaper: skipped shards are never parsed at all).
+    */
+  def xml(
+      spark: SparkSession,
+      dir: String,
+      config: SamplingConfig,
+      rowTag: String = "page"): SampledFiles =
+    build(spark, dir, config, "xml", Map("rowTag" -> rowTag))
+
+  private def build(
+      spark: SparkSession,
+      dir: String,
+      config: SamplingConfig,
+      format: String,
+      options: Map[String, String] = Map.empty): SampledFiles = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
@@ -83,6 +115,6 @@ object SampledFiles {
     val selected =
       if (ratio >= 1.0) files
       else files.filter(f => keep(new Path(f).getName, config.seed, ratio))
-    new SampledFiles(spark, config, files, selected)
+    new SampledFiles(spark, config, files, selected, format, options)
   }
 }

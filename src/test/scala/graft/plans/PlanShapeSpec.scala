@@ -41,6 +41,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial count"), plan.take(2000))
   }
 
+  test("minhash skew guard: hot-bucket exclusion is a broadcast anti-join, not a shuffle") {
+    val corpus = graft.dedup.DedupCorpus.augment(Tables.documents(spark, sf001))
+    val pairs = graft.dedup.MinHashLSH.nearDupPairs(graft.dedup.MinHashLSH.signatures(corpus))
+    val plan = executed(pairs)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("salted aggregate runs two hash-aggregate stages (wide then tiny)") {
+    val src = Tables.events(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long").as("cents"))
+    val plan = executed(graft.operators.SaltedAggregate.sumCount(src, "user_id", "cents"))
+    // (partial+final) × 2 stages = 4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+  }
+
   test("exact-mode Sampled adds zero plan nodes") {
     val base = Tables.documents(spark, sf001)
     val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)

@@ -61,4 +61,51 @@ class SampledFilesSpec extends SparkSpec {
     assert(single.allFiles.size === 1)
     assert(single.report().totalFiles === 1)
   }
+
+  test("XML shard directories sample at file level (whole shards skipped before parse)") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_multifile_xml"
+    val d = new java.io.File(dir)
+    if (!d.exists()) {
+      d.mkdirs()
+      val pages = graft.sources.XmlSource
+        .toPageXml(Tables.documents(spark, sf001).orderBy("doc_id"))
+        .collect().map(_.getString(0))
+      pages.grouped((pages.length + 7) / 8).zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/shard$i.xml"),
+          chunk.mkString("<pages>\n", "\n", "\n</pages>"))
+      }
+    }
+    val s = SampledFiles.xml(spark, dir, SamplingConfig(ratio = 0.5, seed = 42))
+    assert(s.allFiles.size === 8)
+    assert(s.selectedFiles.nonEmpty && s.selectedFiles.size < 8)
+    val expected = spark.read.option("rowTag", "page").format("xml")
+      .load(s.selectedFiles: _*).count()
+    assert(s.data.count() === expected)
+    assert(s.data.columns.contains("text"))
+    // deterministic selection: the docs read are exactly the chosen shards'
+    val again = SampledFiles.xml(spark, dir, SamplingConfig(ratio = 0.5, seed = 42))
+    assert(again.selectedFiles === s.selectedFiles)
+    assert(s.data.select(col("id")).count() === expected)
+  }
+
+  test("raw text corpora sample at file level too (unchosen shards never opened)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_multifile_text"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.documents(spark, sf01)
+        .repartition(16, col("doc_id"))
+        .select(col("text"))
+        .write.mode("overwrite").text(dir)
+    }
+    val s = SampledFiles.text(spark, dir, SamplingConfig(ratio = 0.5, seed = 42))
+    assert(s.allFiles.size === 16)
+    assert(s.selectedFiles.nonEmpty && s.selectedFiles.size < 16)
+    // the sampled relation is the reference's record shape and composes
+    // with the word-count pipeline directly
+    assert(s.data.columns.toSeq === Seq("value"))
+    val direct = spark.read.text(s.selectedFiles: _*).count()
+    assert(s.data.count() === direct)
+    assert(graft.queries.ReferenceQueries.wordCountLines(s.data).count() > 0)
+  }
 }
