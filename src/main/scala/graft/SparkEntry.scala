@@ -73,6 +73,10 @@ object SparkEntry {
       DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
         .orderBy("doc_id")
     }),
+    // the full pipeline a training-data job ships: signatures → pairs →
+    // components → surviving corpus
+    "dedup_cleaned" -> ((s, dir) =>
+      DedupClusters.cleaned(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
     // --- LLM-data-pipeline: similarity search over embeddings ---
     "simsearch_topk" -> ((s, dir) =>
       SimilaritySearch.topK(Tables.embeddings(s, dir))
@@ -136,6 +140,7 @@ object SparkEntry {
     "tpch_q1_sampled_r10" -> ((s, dir) =>
       graft.queries.TpchQueries.q1Sampled(Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))
         .orderBy("l_returnflag", "l_linestatus")),
+    "tpch_q6" -> ((s, dir) => graft.queries.TpchQueries.q6(Tables.lineitem(s, dir))),
     "tpch_q3" -> ((s, dir) =>
       graft.queries.TpchQueries.q3(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -224,6 +229,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
+    "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
@@ -243,6 +249,7 @@ object SparkEntry {
     "wordcount_text_gz" -> WordCountSql,
     "wordcount_urldecode" -> WordCountSql,
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
+    "tpch_q6" -> graft.queries.TpchQueries.Q6OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
     "events_salted_sum" ->

@@ -92,10 +92,24 @@ object DedupClusters {
     components(corpus, pairs)
       .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("keep"))
 
-  /** Oracle SQL: recursive min-label reachability over the SAME pairs the
-    * MinHash oracle computes, then min label per node.
+  /** THE END-TO-END DEDUP PIPELINE: corpus → MinHash signatures → banded
+    * candidate pairs → connected components → surviving documents. This is
+    * the query a training-data pipeline actually ships — everything else in
+    * the dedup package is a stage of it. Output: surviving (doc_id,
+    * content_hash); the join back to the corpus is on doc_id (the shuffle
+    * carries ids + digests, never text).
     */
-  def decisionsOracleSql: String = {
+  def cleaned(corpus: DataFrame): DataFrame = {
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    corpus
+      .join(decisions(corpus, pairs).filter(col("keep")), Seq("doc_id"))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  /** Shared recursive-reachability CTE prefix (exact oracle for the
+    * iterative propagation).
+    */
+  private def reachCtes: String = {
     val pairsSql = MinHashLSH.nearDupPairsOracleSql()
     s"""WITH RECURSIVE pairs AS ($pairsSql),
        |corpus AS (${DedupCorpus.augmentSql}),
@@ -109,8 +123,25 @@ object DedupClusters {
        |  UNION
        |  SELECT e.src, r.label
        |  FROM reach r JOIN edges e ON e.dst = r.node
-       |)
-       |SELECT node AS doc_id, min(label) AS rep, node = min(label) AS keep
-       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Oracle SQL: recursive min-label reachability over the SAME pairs the
+    * MinHash oracle computes, then min label per node.
+    */
+  def decisionsOracleSql: String =
+    reachCtes +
+      s"""
+         |SELECT node AS doc_id, min(label) AS rep, node = min(label) AS keep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Oracle SQL for [[cleaned]]. */
+  def cleanedOracleSql: String =
+    reachCtes +
+      s""",
+         |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node)
+         |SELECT c.doc_id, md5(c.text) AS content_hash
+         |FROM corpus c JOIN dec ON c.doc_id = dec.doc_id
+         |WHERE c.doc_id = dec.rep
+         |ORDER BY c.doc_id""".stripMargin
 }

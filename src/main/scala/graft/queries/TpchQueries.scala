@@ -53,6 +53,35 @@ object TpchQueries {
       s.htScale(col("cnt")).as("est_cnt"))
   }
 
+  /** TPC-H Q6 (forecasting revenue change): single-table filter-aggregate —
+    * the canonical predicate-pushdown showcase. All three filters reach the
+    * parquet scan as PushedFilters (date range, discount band, quantity),
+    * so at 100 TB row groups outside the year are skipped via min/max
+    * stats and the aggregate sees only surviving rows. Revenue in 1e4
+    * integer units.
+    */
+  def q6(lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(sum(priceC * discP).as("revenue_e4"))
+      .select(coalesce(col("revenue_e4"), lit(0L)).as("revenue_e4"))
+  }
+
+  val Q6OracleSql: String =
+    """SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val Q3Cutoff = "1998-06-15"
 
   /** TPC-H Q3 (shipping priority): the classic 3-way join. Shape at scale:

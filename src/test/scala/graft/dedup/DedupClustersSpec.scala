@@ -39,6 +39,20 @@ class DedupClustersSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixed point"))
   }
 
+  test("cleaned pipeline keeps exactly the cluster representatives") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val dec = DedupClusters.decisions(
+      corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
+    val expectedSurvivors = dec.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val cleaned = DedupClusters.cleaned(corpus).collect()
+    assert(cleaned.map(_.getLong(0)).toSet === expectedSurvivors)
+    // every injected exact copy is gone from the cleaned corpus
+    assert(!cleaned.exists(r =>
+      r.getLong(0) >= DedupCorpus.ExactDupOffset && r.getLong(0) < DedupCorpus.NearDupOffset))
+    spark.catalog.clearCache()
+  }
+
   test("minhash clusters on the augmented corpus: injected dups lose, originals win") {
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
     val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))

@@ -59,6 +59,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
   }
 
+  test("tpch q6: all filters reach the parquet scan as pushed filters") {
+    val plan = executed(graft.queries.TpchQueries.q6(Tables.lineitem(spark, sf001)))
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
   test("exact-mode Sampled adds zero plan nodes") {
     val base = Tables.documents(spark, sf001)
     val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)
