@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-engine deterministic hashing and tokenization primitives shared by
@@ -34,13 +34,27 @@ object Hashing {
   /** Word k-gram shingles as an array column (docs shorter than k words
     * yield an empty array). DuckDB equivalent:
     * `[array_to_string(words[i:i+k-1], ' ') for i in range(1, len(words)-k+2)]`.
+    *
+    * PERFORMANCE TRAP: pass a PRE-MATERIALIZED words-array attribute, not
+    * `words(text)` inline — expressions captured inside a higher-order
+    * function's lambda are re-evaluated PER ELEMENT, so an inline
+    * `split(lower(text))` here re-splits the whole document for every
+    * shingle (quadratic per doc; measured 4.9 s vs 0.6 s at sf0.1). Use
+    * [[explodeShingles]], which does the materialization.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val w = words(text)
+  def shingles(w: Column, k: Int): Column =
     when(size(w) < k, array().cast("array<string>"))
       .otherwise(
         transform(
           sequence(lit(0), size(w) - k),
           i => array_join(slice(w, i + lit(1), lit(k)), " ")))
-  }
+
+  /** (doc_id, shingle) rows of `df`'s text column, with the words array
+    * materialized as its own projection before the shingle lambda (see
+    * [[shingles]]; CollapseProject keeps the alias because a non-cheap
+    * expression referenced more than once is never re-inlined).
+    */
+  def explodeShingles(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), words(col("text")).as("__w"))
+      .select(col("doc_id"), explode(shingles(col("__w"), k)).as("shingle"))
 }

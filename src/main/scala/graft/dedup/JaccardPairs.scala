@@ -30,8 +30,7 @@ object JaccardPairs {
       corpus: DataFrame,
       minJaccard: Double = 0.5,
       maxDf: Long = 1000L): DataFrame = {
-    val posting = corpus
-      .select(col("doc_id"), explode(Hashing.shingles(col("text"), ShingleK)).as("shingle"))
+    val posting = Hashing.explodeShingles(corpus, ShingleK)
       .select(col("doc_id"), Hashing.hash60(col("shingle")).as("g"))
       .distinct()
     val rare = posting

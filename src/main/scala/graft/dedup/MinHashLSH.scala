@@ -60,8 +60,7 @@ object MinHashLSH {
     val aggs = Coeffs.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("hv") + lit(b)) % Prime).as(s"m$j")
     }
-    corpus
-      .select(col("doc_id"), explode(Hashing.shingles(col("text"), k)).as("shingle"))
+    Hashing.explodeShingles(corpus, k)
       .select(col("doc_id"), hv.as("hv"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
