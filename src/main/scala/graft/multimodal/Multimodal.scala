@@ -151,11 +151,17 @@ object Multimodal {
     * the shape a real embedding model would emit, as array<double>.
     */
   def features(assetsDf: DataFrame, dims: Int = 8): DataFrame = {
+    // digest the payload ONCE; 8 inline md5(content) copies would hash the
+    // full binary per dimension (the alias survives because it is
+    // referenced `dims` times — CollapseProject keeps multi-use non-cheap
+    // aliases)
     val fs = (0 until dims).map { i =>
-      (graft.dedup.Hashing.hash60(concat(md5(col("content")), lit(s"_$i"))) % 1000000)
+      (graft.dedup.Hashing.hash60(concat(col("__digest"), lit(s"_$i"))) % 1000000)
         .cast("double") / 1000000.0
     }
-    assetsDf.select(col("asset_id") +: fs.zipWithIndex.map { case (f, i) => f.as(s"f$i") }: _*)
+    assetsDf
+      .select(col("asset_id"), md5(col("content")).as("__digest"))
+      .select(col("asset_id") +: fs.zipWithIndex.map { case (f, i) => f.as(s"f$i") }: _*)
   }
 
   /** Imperative decode path: one codec per partition, batched iteration —

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Hashing
@@ -116,14 +115,31 @@ object TextAnalysis {
     * classic winnowing selection. Output per doc: number of distinct
     * fingerprints and the global minimum (the doc's "sketch id").
     *
-    * Scale shape: explode to (doc, pos, hash) → one window min (bounded
-    * frame) → distinct + aggregate; state per doc is O(selected
-    * fingerprints), not O(text).
+    * Scale shape: ENTIRELY per-row array computation — no explode, no
+    * shuffle, no window operator. Earlier rounds exploded to (doc, pos,
+    * hash) and ran a partition-by-doc window min: that shuffles and sorts
+    * every character-gram of the corpus (the 2nd-heaviest query at sf0.1).
+    * The winnowing state is one longs-array of length(text) per row —
+    * the same per-doc state the window sort held, without the exchange.
+    *
+    * Plan-shape care (the HOF lambda trap, see [[graft.dedup.Hashing]]):
+    * `__codes` is safe as a plain projection (referenced 8× in gramHash →
+    * never re-inlined), but the hash array `hs` is referenced ONCE by the
+    * window-min lambda, and CollapseProject re-inlines single-use aliases —
+    * which would recompute the full gram-hash transform PER WINDOW
+    * POSITION. The explode-of-one-struct barrier pins `hs` as a
+    * materialized attribute.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val n = length(col("text"))
-    val grams = docs
-      .filter(n >= GramLen)
+    val hs = transform(sequence(lit(1), col("__ngrams")), i => gramHash(col("__codes"), i))
+    val wmins = transform(
+      sequence(lit(0), col("__ng") - WinnowWindow),
+      p => array_min(slice(col("__hs"), p + lit(1), lit(WinnowWindow))))
+    docs
+      // docs too short for one full window produce no output row (same
+      // row set the explode+filter pipeline produced)
+      .filter(n >= GramLen + WinnowWindow - 1)
       .select(
         col("doc_id"),
         transform(filter(split(col("text"), ""), c => c =!= ""), c => ascii(c).cast("long"))
@@ -131,24 +147,13 @@ object TextAnalysis {
         (n - (GramLen - 1)).as("__ngrams"))
       .select(
         col("doc_id"),
-        col("__ngrams"),
-        posexplode(transform(
-          sequence(lit(1), col("__ngrams")),
-          i => gramHash(col("__codes"), i))))
-      .withColumnRenamed("pos", "p")
-      .withColumnRenamed("col", "h")
-    val w = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, WinnowWindow - 1)
-    // full windows only (p is 0-based): the gram count is __ngrams, already
-    // known before the explode — a second unbounded count(*) window here
-    // would re-sort/re-scan every partition for a value we carry for free
-    grams
-      .withColumn("wmin", min(col("h")).over(w))
-      .filter(col("p") <= col("__ngrams") - WinnowWindow)
-      .select(col("doc_id"), col("wmin"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("min_fp"))
+        explode(array(struct(hs.as("hs"), col("__ngrams").as("ng")))).as("__g"))
+      .select(col("doc_id"), col("__g.hs").as("__hs"), col("__g.ng").as("__ng"))
+      .select(col("doc_id"), wmins.as("__wmins"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("__wmins"))).cast("long").as("n_fp"),
+        array_min(col("__wmins")).as("min_fp"))
   }
 
   // ---- DuckDB oracle generation ----

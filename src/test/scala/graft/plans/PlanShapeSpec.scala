@@ -67,6 +67,11 @@ class PlanShapeSpec extends SparkSpec {
       pushed.contains("l_quantity"), pushed)
   }
 
+  test("winnowing fingerprints are shuffle-free (pure per-row array computation)") {
+    val plan = executed(graft.text.TextAnalysis.fingerprints(Tables.documents(spark, sf001)))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
   test("exact-mode Sampled adds zero plan nodes") {
     val base = Tables.documents(spark, sf001)
     val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)
