@@ -52,8 +52,13 @@ object SamplePushdown extends Rule[LogicalPlan] {
 /** `SparkSessionExtensions` hook:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Installs the engine's optimizer rules AND its native SQL functions
+  * (`dot_product_q`), so plain-SQL users of the session get them too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => SamplePushdown)
+    extensions.injectFunction(graft.functions.DotProductQ.descriptor)
+  }
 }

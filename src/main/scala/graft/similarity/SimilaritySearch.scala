@@ -55,16 +55,17 @@ object SimilaritySearch {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vector columns. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Exact integer dot product of two quantized vector columns — the
+    * codegen'd native expression ([[graft.functions.DotProductQ]]); the
+    * composable HOF spelling `aggregate(zip_with(a, b, _*_), 0L, _+_)`
+    * computes the same value interpreted (equivalence pinned by
+    * DotProductQSpec).
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.DotProductQ.dotq(a, b)
 
   /** Signed sum for one plane's sign row (exact integer). */
   private def planeDotSigns(qv: Column, signs: IndexedSeq[Int]): Column =
-    aggregate(
-      zip_with(qv, array(signs.map(s => lit(s.toLong)): _*), _ * _),
-      lit(0L),
-      _ + _)
+    dotQ(qv, array(signs.map(s => lit(s.toLong)): _*))
 
   /** Signed sum for plane p (exact integer). */
   private def planeDot(qv: Column, p: Int): Column = planeDotSigns(qv, Signs(p))

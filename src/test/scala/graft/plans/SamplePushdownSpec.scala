@@ -19,9 +19,19 @@ class SamplePushdownSpec extends SparkSpec {
       regexp_replace(lower(col("text")), "[aeiou]", "_").as("devoweled"))
 
   private def filterIsBelowProject(plan: LogicalPlan): Boolean = {
-    // after pushdown the Filter's child is the relation, not the Project
+    // after pushdown nothing COMPUTED sits below the Filter — only the
+    // relation, possibly behind the input-parallelism Repartition and
+    // column-pruning (attribute-only) Projects
+    def pierce(p: LogicalPlan): LogicalPlan = p match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => pierce(r.child)
+      case pr: Project
+          if pr.projectList.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+        pierce(pr.child)
+      case other => other
+    }
     val filters = plan.collect { case f: Filter => f }
-    filters.nonEmpty && filters.forall(_.child.isInstanceOf[LogicalRelation])
+    filters.nonEmpty && filters.forall(f => pierce(f.child).isInstanceOf[LogicalRelation])
   }
 
   test("sample filter written above a projection is pushed below it") {

@@ -152,8 +152,9 @@ class SampledSpec extends SparkSpec {
       Sampled(docs, SamplingConfig(ratio = p, seed = seed)).sampledCount / p
     }
     val mean = estimates.sum / estimates.size
-    // stderr of the 20-seed mean ≈ sqrt(N(1-p)/p)/sqrt(20) ≈ 6.3 → assert 3σ
-    assert(math.abs(mean - total) < 20, s"mean HT estimate $mean vs true $total")
+    // per-estimate sd = sqrt(N(1-p)/p) ≈ 44.7 at N=500, p=0.2 → sd of the
+    // 20-seed mean ≈ 10 → assert 3σ
+    assert(math.abs(mean - total) < 30, s"mean HT estimate $mean vs true $total")
     // and individual estimates actually vary (it's a real sample, not a constant)
     assert(estimates.distinct.size > 5)
   }

@@ -77,6 +77,34 @@ class StreamingSampledSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("runningAccounting: custom state accumulates (total, sampled) across triggers") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val cfg = SamplingConfig(ratio = 0.5, seed = 7L)
+    val out = StreamingSampled.runningAccounting(
+      spark, input.toDF().toDF("ts", "key"), "key", cfg)
+    val query = out.toDF().writeStream
+      .format("memory").queryName("acct_stream").outputMode("update").start()
+    try {
+      input.addData(rows: _*) // batch 1: 200 rows
+      query.processAllAvailable()
+      input.addData(rows: _*) // batch 2: same 200 again
+      query.processAllAvailable()
+      // update mode: take the LAST emitted row per key
+      val last = spark.table("acct_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      val perKeyTotal = rows.groupBy(_._2).view.mapValues(_.size.toLong * 2).toMap
+      assert(last.keySet === perKeyTotal.keySet)
+      last.foreach { case (k, (_, total, sampled, rate)) =>
+        assert(total === perKeyTotal(k), s"key $k total")
+        assert(sampled > 0 && sampled < total, s"key $k sampled=$sampled of $total")
+        assert(math.abs(rate - sampled.toDouble / total) < 1e-12)
+        // seeded Bernoulli at p=0.5: the achieved rate is near the design
+        assert(math.abs(rate - 0.5) < 0.2, s"key $k rate $rate")
+      }
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     val input = MemoryStream[(Timestamp, Long)](spark)
     val out = StreamingSampled.dedupWithinWatermark(
