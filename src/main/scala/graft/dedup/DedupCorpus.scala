@@ -20,7 +20,10 @@ object DedupCorpus {
     * with the last two words dropped (doc_id % 11 = 0, id + 200000).
     */
   def augment(documents: DataFrame): DataFrame = {
-    val base = documents.select(col("doc_id"), col("text"))
+    // every dedup pipeline (shingling, hashing, banding) hangs off this —
+    // floor the narrow-stage parallelism once here
+    val base = graft.queries.Tables.parallelismFloor(
+      documents.select(col("doc_id"), col("text")))
     val exactDups = base
       .filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text"))

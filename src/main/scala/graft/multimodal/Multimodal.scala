@@ -106,7 +106,7 @@ object Multimodal {
     * media type round-robins image/audio/video by doc_id.
     */
   def synthesize(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id").as("asset_id"),
       encode(col("text"), "UTF-8").as("content"),
       when(col("doc_id") % 3 === 0, "image")

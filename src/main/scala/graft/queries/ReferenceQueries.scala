@@ -43,7 +43,7 @@ object ReferenceQueries {
       if (urlDecode)
         url_decode(regexp_replace(regexp_replace(line0, "%(?![0-9a-f]{2})", "%25"), "\\+", "%2b"))
       else line0
-    docs
+    graft.queries.Tables.parallelismFloor(docs)
       .select(line.as("line"))
       .filter(!col("line").rlike("[0-9]"))
       .select(explode(split(col("line"), WordDelims)).as("word"))
@@ -75,7 +75,7 @@ object ReferenceQueries {
 
   /** P4 → A1: character count (RandomizedCharacterCount.java:27-48). */
   def charCount(docs: DataFrame): DataFrame =
-    docs
+    graft.queries.Tables.parallelismFloor(docs)
       .select(explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy("ch")
@@ -114,7 +114,7 @@ object ReferenceQueries {
       Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
     val sender = col("user_id")
     val receiver = col("__p").getField("k")
-    events
+    graft.queries.Tables.parallelismFloor(events)
       .withColumn("__p", from_json(col("props"), propsSchema))
       .filter(receiver.isNotNull) // malformed-record tolerance (P5 semantics)
       .groupBy(

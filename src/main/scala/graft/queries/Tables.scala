@@ -15,24 +15,25 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
-  /** Parallelism floor for compute-heavy fact tables. A parquet split can
+  /** Parallelism floor for CPU-heavy NARROW pipelines. A parquet split can
     * never be finer than a row group, so a single-row-group file arrives as
     * ONE scan task and serializes every narrow transformation above it (at
     * test scale: the whole CLF synthesize+parse, gram hashing, shingling of
-    * the corpus on one core). When the scan yields fewer partitions than
-    * half the session's default parallelism, round-robin repartition up to
-    * it — the exchange moves only the small input that caused the deficit,
-    * and Catalyst still pushes filters and column pruning below the
-    * Repartition into the scan. At production scale a big table arrives as
-    * thousands of splits and this inserts nothing into the plan.
+    * the corpus on one core). When the input has fewer partitions than half
+    * the session's default parallelism, round-robin repartition up to it.
+    *
+    * Applied at OPERATOR ENTRY — not in the table loaders — and therefore
+    * ABOVE any sampling filter the caller composed: sample-then-parallelize,
+    * so the exchange carries only surviving rows and a seeded `rand(seed)<p`
+    * filter still fuses into the scan. At production scale a big table
+    * arrives as thousands of splits and this is a no-op.
     */
-  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
   }
 
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    parallelized(spark, read(spark, dir, "documents"))
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
@@ -47,7 +48,7 @@ object Tables {
     // here only guards against a session that forgot it.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = parallelized(spark, read(spark, dir, "events"))
+    val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
@@ -55,13 +56,7 @@ object Tables {
       case _ => raw
     }
   }
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    parallelized(spark, read(spark, dir, "embeddings"))
-  // lineitem is deliberately NOT parallelized: its queries are scan/agg
-  // shaped (their own shuffles parallelize the work), and the round-robin
-  // exchange would sit between the seeded sample filter and the scan —
-  // rand() can't push below an exchange, so the sampled-Q1 path would
-  // shuffle 100% of the rows to keep 10%
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

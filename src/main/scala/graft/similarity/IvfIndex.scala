@@ -39,7 +39,8 @@ object IvfIndex {
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
 
-    val vecs = embeddings.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val vecs = graft.queries.Tables.parallelismFloor(embeddings)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     // Centroids are trained on a seeded Bernoulli SAMPLE of the corpus (the
     // engine's own sampling layer): k-means quality needs only enough points
     // per centroid, not the full 100 TB — fitting on everything would make

@@ -79,7 +79,7 @@ object SimilaritySearch {
   /** embeddings + (qv, nrm, bucket) columns. */
   def prepared(embeddings: DataFrame): DataFrame = {
     val qv = quantize(col("embedding"))
-    embeddings
+    graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .withColumn("bucket", bucket(col("qv")))
@@ -158,7 +158,7 @@ object SimilaritySearch {
     val bandBits = numPlanes / numBands
     val signs = signsFor(numPlanes)
     val qv = quantize(col("embedding"))
-    val base = embeddings
+    val base = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0)

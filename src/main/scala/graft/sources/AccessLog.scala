@@ -62,7 +62,9 @@ object AccessLog {
     val bytes = round(col("value") * 100).cast("long").cast("string")
     val good = concat(
       host, lit(" - - ["), datetime, lit("] \""), request, lit("\" "), status, lit(" "), bytes)
-    events.select(
+    // the synthesize→parse chain is the heaviest per-row string work in the
+    // engine; floor its parallelism at entry (see Tables.parallelismFloor)
+    graft.queries.Tables.parallelismFloor(events).select(
       when(col("event_id") % 97 === 0,
         concat(lit("corrupt "), col("event_id").cast("string")))
         .otherwise(good)

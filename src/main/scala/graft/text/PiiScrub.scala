@@ -20,7 +20,7 @@ object PiiScrub {
     * URLs before phones (URLs contain digit runs), emails independent.
     */
   def scrub(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRegex)).cast("long").as("n_email"),
       regexp_count(col("text"), lit(UrlRegex)).cast("long").as("n_url"),

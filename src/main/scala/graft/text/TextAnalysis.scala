@@ -28,7 +28,7 @@ object TextAnalysis {
     */
   def languageId(docs: DataFrame): DataFrame = {
     val w = Hashing.words(col("text"))
-    val scored = docs.select(
+    val scored = graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id") +: Markers.map { case (lang, ms) =>
         size(filter(w, t => ms.map(m => t === m).reduce[Column](_ || _)))
           .cast("long").as(s"s_$lang")
@@ -59,7 +59,7 @@ object TextAnalysis {
     val stop = Markers.head._2
     val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
     val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
-    docs
+    graft.queries.Tables.parallelismFloor(docs)
       .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         nStop.as("n_stop"), nSpecial.as("n_special"))
       .withColumn("mean_word_len",
@@ -82,7 +82,7 @@ object TextAnalysis {
     * BPE budget estimate used for quick corpus sizing.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("tok_ws"),
       regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
@@ -136,7 +136,7 @@ object TextAnalysis {
     val wmins = transform(
       sequence(lit(0), col("__ng") - WinnowWindow),
       p => array_min(slice(col("__hs"), p + lit(1), lit(WinnowWindow))))
-    docs
+    graft.queries.Tables.parallelismFloor(docs)
       // docs too short for one full window produce no output row (same
       // row set the explode+filter pipeline produced)
       .filter(n >= GramLen + WinnowWindow - 1)
