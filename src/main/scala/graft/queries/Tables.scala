@@ -30,8 +30,20 @@ object Tables {
     */
   def parallelismFloor(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    if (inputDeficient(df, target)) df.repartition(target) else df
   }
+
+  // Deciding the floor needs the scan's partition count, which costs a full
+  // physical planning pass (`df.rdd`); memoized on the canonicalized
+  // logical plan so each distinct source shape pays it once per session.
+  private val floorDecisions =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Boolean]
+
+  private def inputDeficient(df: DataFrame, target: Int): Boolean =
+    floorDecisions.getOrElseUpdate(
+      (df.queryExecution.logical.canonicalized, target),
+      df.rdd.getNumPartitions < math.max(2, target / 2))
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
 
