@@ -73,6 +73,29 @@ object ReferenceQueries {
           " ", "%20"),
         "e", "%65").as("text"))
 
+  /** [[charCount]] over raw text lines (S1 input shape). */
+  def charCountLines(lines: DataFrame): DataFrame =
+    charCount(lines.withColumnRenamed("value", "text"))
+
+  /** Wireless link analysis over RAW comma-separated lines — the
+    * reference's actual input (first two CSV fields as STRING ids,
+    * lexicographically ordered pair, malformed lines dropped:
+    * RandomizedWirelessLogAnalysis.java:25-43).
+    */
+  def wirelessLinksLines(lines: DataFrame): DataFrame = {
+    val p = split(col("value"), ",")
+    graft.queries.Tables.parallelismFloor(lines)
+      // get() (not getItem): a line with <2 fields must yield null → drop,
+      // like the reference's try/catch — ANSI getItem would throw instead
+      .select(get(p, lit(0)).as("snd"), get(p, lit(1)).as("rcv"))
+      .filter(col("snd").isNotNull && col("rcv").isNotNull &&
+        col("snd") =!= "" && col("rcv") =!= "")
+      .groupBy(
+        concat(greatest(col("snd"), col("rcv")), lit("->"),
+          least(col("snd"), col("rcv"))).as("link"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** P4 → A1: character count (RandomizedCharacterCount.java:27-48). */
   def charCount(docs: DataFrame): DataFrame =
     graft.queries.Tables.parallelismFloor(docs)

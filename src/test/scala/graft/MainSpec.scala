@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{ReferenceQueries => RQ, Tables}
+import graft.sampling.{SamplingConfig, SamplingReport}
+import graft.sinks.TextKVSink
+import graft.sources.AccessLog
+
+/** The CLI jobs end-to-end: table-dir mode and the reference's RAW input
+  * formats, exact-mode output equality, and the K2 report protocol.
+  */
+class MainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) = s"${System.getProperty("java.io.tmpdir")}/$name"
+
+  test("randwordcount (table dir, exact): K1 equals the word-count query; report parses") {
+    val out = tmp("graft_main_wc")
+    val rpt = Main.runJob(spark, "randwordcount", sf001, out, None, SamplingConfig.Exact)
+    assert(rpt.sampled === rpt.total && rpt.total > 0)
+    val kv = TextKVSink.read(spark, out)
+      .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    val expect = RQ.wordCount(Tables.documents(spark, sf001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kv === expect)
+    val parsed = SamplingReport.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out.result.txt")))
+    assert(parsed.total === rpt.total)
+  }
+
+  test("randapachelog host over RAW CLF lines equals the events-table pipeline") {
+    val raw = tmp("graft_main_clf_raw")
+    if (!new java.io.File(raw, "_SUCCESS").exists()) {
+      AccessLog.synthesize(Tables.events(spark, sf001))
+        .coalesce(1).withColumnRenamed("line", "value")
+        .write.mode("overwrite").text(raw)
+    }
+    val out = tmp("graft_main_clf_out")
+    Main.runJob(spark, "randapachelog", raw, out, Some("host"), SamplingConfig.Exact)
+    val kv = TextKVSink.read(spark, out)
+      .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    val expect = RQ.clfHost(RQ.clfParsed(Tables.events(spark, sf001)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kv === expect)
+  }
+
+  test("randwireless over RAW csv: lexicographic string pairs, malformed dropped") {
+    val raw = tmp("graft_main_wl_raw")
+    Seq("a,b,x", "b,a", "c,d,9,9", "justonefield", ",b")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(raw)
+    val out = tmp("graft_main_wl_out")
+    Main.runJob(spark, "randwireless", raw, out, None, SamplingConfig.Exact)
+    val kv = TextKVSink.read(spark, out)
+      .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap
+    assert(kv === Map("b->a" -> 2L, "d->c" -> 1L))
+  }
+
+  test("sampled mode (ratio 0.5) reports the achieved rate and writes fewer total counts") {
+    val out = tmp("graft_main_wc_sampled")
+    val rpt = Main.runJob(
+      spark, "randwordcount", sf001, out, None, SamplingConfig(ratio = 0.5, seed = 42))
+    assert(rpt.sampled > 0 && rpt.sampled < rpt.total)
+    assert(math.abs(rpt.actualRate - 0.5) < 0.2)
+    val sampledTotal = TextKVSink.read(spark, out)
+      .agg(sum(col("value").cast("long"))).head().getLong(0)
+    val exactTotal = RQ.wordCount(Tables.documents(spark, sf001))
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(sampledTotal < exactTotal) // unscaled sample counts, as the reference wrote
+  }
+
+  test("unknown job / missing task fail loudly") {
+    intercept[IllegalArgumentException](
+      Main.runJob(spark, "nope", sf001, tmp("x1"), None, SamplingConfig.Exact))
+    intercept[IllegalArgumentException](
+      Main.runJob(spark, "randapachelog", sf001, tmp("x2"), None, SamplingConfig.Exact))
+  }
+}
