@@ -92,6 +92,13 @@ object SparkEntry {
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")),
+    // the 100 TB configuration: 16 planes OR-banded 4×4 bits — oracle-gated,
+    // so the scale path computes exactly what the reference config computes
+    // where their candidate sets overlap
+    "dedup_embedding_pairs_banded" -> ((s, dir) =>
+      SimilaritySearch.nearDupPairs(
+        Tables.embeddings(s, dir), minSim = 0.15, numPlanes = 16, numBands = 4)
+        .orderBy("vec_a", "vec_b")),
     // --- LLM-data-pipeline: text analysis over documents ---
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -233,6 +240,8 @@ object SparkEntry {
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
+    "dedup_embedding_pairs_banded" ->
+      SimilaritySearch.nearDupPairsBandedOracleSql(0.15, 16, 4),
     "text_langid" -> TextAnalysis.languageIdOracleSql,
     "text_quality" -> TextAnalysis.qualityScoreOracleSql,
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
