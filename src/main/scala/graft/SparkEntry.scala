@@ -140,6 +140,15 @@ object SparkEntry {
     "wordcount_urldecode" -> ((s, dir) =>
       RQ.wordCount(RQ.urlEscape(Tables.documents(s, dir)), urlDecode = true)
         .orderBy("word")),
+    // schema-declared JSONL / CSV ingestion of the identical corpus
+    "wordcount_jsonl" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.TextLines.readJsonl(s, graft.sources.TextLines.fixtureJsonlPath(s, dir)))
+        .orderBy("word")),
+    "wordcount_csv" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.TextLines.readCsv(s, graft.sources.TextLines.fixtureCsvPath(s, dir)))
+        .orderBy("word")),
     // --- relational analytics: the sampling layer on TPC-H-style data ---
     "tpch_q1" -> ((s, dir) =>
       graft.queries.TpchQueries.q1(Tables.lineitem(s, dir))
@@ -257,6 +266,8 @@ object SparkEntry {
     "wordcount_xml" -> WordCountSql,
     "wordcount_text_gz" -> WordCountSql,
     "wordcount_urldecode" -> WordCountSql,
+    "wordcount_jsonl" -> WordCountSql,
+    "wordcount_csv" -> WordCountSql,
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q6" -> graft.queries.TpchQueries.Q6OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,

@@ -66,11 +66,14 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIterations) {
+      // lazy checkpoint: the convergence-sum action below is the job that
+      // materializes it, so each round costs ONE job, not two (an eager
+      // checkpoint would run its own), while still truncating lineage
       val next = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+        .localCheckpoint(false)
       val newSum = labelSum(next)
       labels = next
       converged = newSum.compareTo(prevSum) == 0

@@ -56,4 +56,43 @@ object TextLines {
   /** One `value` column per line — the reference's record shape. */
   def readLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** JSONL fixture: one `{"doc_id":…,"text":…}` object per line. */
+  def fixtureJsonlPath(spark: SparkSession, dir: String): String =
+    writeFixture(spark, dir, "jsonl") { docs => path =>
+      docs.select(col("doc_id"), col("text")).coalesce(1)
+        .write.mode("overwrite").json(path)
+    }
+
+  /** CSV fixture with header, standard quoting. */
+  def fixtureCsvPath(spark: SparkSession, dir: String): String =
+    writeFixture(spark, dir, "csv") { docs => path =>
+      docs.select(col("doc_id"), col("text")).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+    }
+
+  private def writeFixture(spark: SparkSession, dir: String, kind: String)(
+      f: org.apache.spark.sql.DataFrame => String => Unit): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$digest"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      f(spark.read.parquet(s"$dir/documents.parquet").orderBy("doc_id"))(path)
+    path
+  }
+
+  /** Schema-declared JSONL ingestion (schema-on-read with an EXPLICIT
+    * schema — no inference scan, the only acceptable form at 100 TB).
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, text STRING")
+      .json(path)
+
+  /** Schema-declared CSV ingestion (quoted fields, header skipped). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, text STRING")
+      .option("header", "true")
+      .csv(path)
 }
