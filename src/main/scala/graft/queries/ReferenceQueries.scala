@@ -225,6 +225,21 @@ object ReferenceQueries {
         percentile(col("value"), lit(0.9)).as("p90"),
         percentile(col("value"), lit(0.99)).as("p99"))
 
+  /** The 100 TB twin of [[eventQuantiles]]: `approx_percentile` (t-digest
+    * style sketch — mergeable, bounded memory per group, one pass) instead
+    * of exact `percentile` (which buffers every value per group). Plan
+    * shape is identical; accuracy is bounded by `acc` (10000 ≈ 0.01%%-ile
+    * resolution). No external oracle — sketches are engine-specific —
+    * so the spec pins it against the exact result within tolerance.
+    */
+  def eventQuantilesApprox(events: DataFrame, acc: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(acc)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(acc)).as("p99"))
+
   /** CUBE over (event type, user bucket): all four grouping-set combinations
     * in ONE pass — Catalyst expands the cube before the aggregate, so the
     * shuffle carries each row once per grouping set with map-side partials.

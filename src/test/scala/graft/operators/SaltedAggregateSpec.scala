@@ -22,6 +22,20 @@ class SaltedAggregateSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the plain join on skewed data, hot key fanned out") {
+    // 10k rows of one hot key + a tail, joined to a small dimension
+    val big = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"label$i") }.toDF("k", "lbl")
+    val plain = big.join(dim, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedJoin(big, dim, "k", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(salted.size === 10050)
+  }
+
   test("degenerate single-key input (the skew case) still aggregates correctly") {
     val skewed = (1 to 10000).map(i => ("hot", i.toLong)).toDF("k", "v")
     val out = SaltedAggregate.sumCount(skewed, "k", "v", buckets = 8).head()

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{ReferenceQueries => RQ}
+
+/** The sketch-based quantile path must track the exact path in RANK — the
+  * actual accuracy contract of a percentile sketch (the value gap between
+  * adjacent order statistics is data-dependent and unbounded, the rank
+  * error is not).
+  */
+class QuantilesSpec extends SparkSpec {
+
+  test("approx quantiles land at the right rank per group (±5 percentiles)") {
+    val events = Tables.events(spark, sf001)
+    val approx = RQ.eventQuantilesApprox(events).collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+        0.99 -> r.getDouble(3))).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (group, ps) =>
+      val values = events.filter(col("event_type") === group)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      ps.foreach { case (target, est) =>
+        val rank = values.count(_ <= est).toDouble / values.length
+        assert(math.abs(rank - target) <= 0.05 || rank >= target, // tail: at/above target ok
+          s"group $group p$target: est $est sits at rank $rank of ${values.length}")
+        assert(rank - target <= 0.05, // but not more than 5 percentiles above
+          s"group $group p$target: est $est overshoots to rank $rank")
+      }
+    }
+  }
+}
