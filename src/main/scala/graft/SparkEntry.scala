@@ -174,6 +174,8 @@ object SparkEntry {
         "user_id", "cents").orderBy("user_id")),
     "events_quantiles" -> ((s, dir) =>
       RQ.eventQuantiles(Tables.events(s, dir)).orderBy("event_type")),
+    "events_distinct_users" -> ((s, dir) =>
+      RQ.eventDistinctUsers(Tables.events(s, dir)).orderBy("event_type")),
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
         .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)))
@@ -277,6 +279,9 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       count(*) AS cnt
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

@@ -240,6 +240,25 @@ object ReferenceQueries {
         percentile_approx(col("value"), lit(0.9), lit(acc)).as("p90"),
         percentile_approx(col("value"), lit(0.99), lit(acc)).as("p99"))
 
+  /** Exact distinct users per event type — the expand-based distinct
+    * aggregation shape (Catalyst rewrites it to a two-level aggregate:
+    * partial distinct per map task, exact merge after one shuffle).
+    */
+  def eventDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+
+  /** The 100 TB twin of [[eventDistinctUsers]]: HyperLogLog++ sketch —
+    * fixed-size mergeable state per group instead of a distinct-value
+    * hash set; `rsd` bounds the relative error. Spec-pinned against the
+    * exact count (sketches are engine-specific, no external oracle).
+    */
+  def eventDistinctUsersApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+
   /** CUBE over (event type, user bucket): all four grouping-set combinations
     * in ONE pass — Catalyst expands the cube before the aggregate, so the
     * shuffle carries each row once per grouping set with map-side partials.

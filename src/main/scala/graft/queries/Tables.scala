@@ -40,10 +40,12 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Boolean]
 
-  private def inputDeficient(df: DataFrame, target: Int): Boolean =
+  private def inputDeficient(df: DataFrame, target: Int): Boolean = {
+    if (floorDecisions.size > 1024) floorDecisions.clear() // bound driver memory
     floorDecisions.getOrElseUpdate(
       (df.queryExecution.logical.canonicalized, target),
       df.rdd.getNumPartitions < math.max(2, target / 2))
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
 

@@ -12,6 +12,21 @@ import graft.queries.{ReferenceQueries => RQ}
   */
 class QuantilesSpec extends SparkSpec {
 
+  test("HLL distinct count tracks exact within the declared rsd") {
+    val events = Tables.events(spark, sf001)
+    val exact = RQ.eventDistinctUsers(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = RQ.eventDistinctUsersApprox(events, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      // 3× the declared relative standard deviation — deterministic
+      // (HLL++ is a deterministic function of the value set)
+      assert(math.abs(approx(k) - n) <= math.max(1.0, 3 * 0.02 * n),
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("approx quantiles land at the right rank per group (±5 percentiles)") {
     val events = Tables.events(spark, sf001)
     val approx = RQ.eventQuantilesApprox(events).collect()
