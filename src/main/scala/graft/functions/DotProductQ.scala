@@ -87,8 +87,15 @@ object DotProductQ {
     })
 
   /** Column-API entry point: `dotq(a, b)` — drop-in for the HOF spelling.
-    * Resolves through the session function registry, so the session must
-    * carry [[graft.plans.GraftExtensions]] (all engine entry points do).
+    * Resolves through the session function registry; registers itself in
+    * the active session when absent, so the Column API works in ANY
+    * session, not only ones built with [[graft.plans.GraftExtensions]]
+    * (the extension still registers it eagerly for plain-SQL users).
     */
-  def dotq(a: Column, b: Column): Column = call_function("dot_product_q", a, b)
+  def dotq(a: Column, b: Column): Column = {
+    val registry = org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+    val (ident, info, builder) = descriptor
+    if (!registry.functionExists(ident)) registry.registerFunction(ident, info, builder)
+    call_function("dot_product_q", a, b)
+  }
 }
