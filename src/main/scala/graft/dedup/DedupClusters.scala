@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * converges in O(component diameter) rounds — near-dup components are
   * shallow (dups of dups), so a handful of joins. Each round is one
   * shuffle on node id; at 100 TB scale the standard upgrade is the
-  * large-star/small-star CC algorithm, same join shape with
+  * large-star/small-star CC algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014), same join shape with
   * alternation — the per-round plan here is exactly that building block.
   */
 object DedupClusters {

@@ -3,7 +3,9 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** MinHash + banded LSH near-duplicate detection over word-shingled text.
+/** MinHash + banded LSH near-duplicate detection over word-shingled text
+  * (Broder, "On the resemblance and containment of documents", 1997;
+  * banding OR-construction per Leskovec/Rajaraman/Ullman, MMDS ch. 3).
   *
   * Pipeline: shingle (word k-grams) → 60-bit shingle hash → N universal-hash
   * minima (the MinHash signature) → B bands of R rows each → band-bucket

@@ -3,7 +3,9 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate fingerprinting over word tokens.
+/** SimHash near-duplicate fingerprinting over word tokens (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC
+  * 2002; banded Hamming search per Manku/Jain/Sarma, WWW 2007).
   *
   * Each token hashes to 60 bits; per document, each bit position accumulates
   * +1/−1 across token occurrences and the sign of the total becomes that bit

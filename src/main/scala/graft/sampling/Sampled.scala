@@ -133,8 +133,9 @@ final class Sampled private (
     */
   def actualRatio: Double = if (totalCount == 0) 0.0 else sampledCount.toDouble / totalCount
 
-  /** Horvitz–Thompson scale-up of an additive aggregate (count/sum) computed
-    * on the sampled data: estimate = aggregate / ratio. This is the estimator
+  /** Horvitz–Thompson scale-up (Horvitz & Thompson, JASA 1952) of an
+    * additive aggregate (count/sum) computed on the sampled data:
+    * estimate = aggregate / ratio. This is the estimator
     * the reference's comparator applies when judging sampled output
     * (RSMRResultComparator.java:58-71, T7).
     *

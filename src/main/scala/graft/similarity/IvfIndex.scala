@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** IVF (inverted-file) approximate nearest neighbour — the second scale
-  * path next to sign-LSH ([[SimilaritySearch.topKAnn]]).
+/** IVF (inverted-file) approximate nearest neighbour — the coarse-
+  * quantizer half of Jégou/Douze/Schmid's IVF-PQ ("Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the second scale path next
+  * to sign-LSH ([[SimilaritySearch.topKAnn]]).
   *
   * Index build: k-means centroids (MLlib, fixed seed) partition the corpus
   * into `nlist` inverted lists; each vector is assigned to its nearest

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *    of the corpus joined against a broadcast query set; per-query top-k
   *    via a window.
   *  - [[topKAnn]] / [[nearDupPairs]]: random-hyperplane (Rademacher sign)
-  *    LSH bucketing — candidates meet only inside a bucket, never
+  *    LSH bucketing (Charikar, STOC 2002; multi-probe per Lv et al.,
+  *    "Multi-Probe LSH", VLDB 2007) — candidates meet only inside a bucket, never
   *    all-pairs. This is the 100 TB path: the bucket join shuffles
   *    (bucket, quantized vector) pairs; more planes + multi-probe tighten
   *    recall at scale.

@@ -110,9 +110,11 @@ object TextAnalysis {
       .map(j => element_at(codes, (i + j).cast("int")) * PolyPow(GramLen - 1 - j))
       .reduce[Column](_ + _) % PolyMod
 
-  /** Winnowing document fingerprints: hash every char 8-gram (rolling set),
-    * slide a window of 4 positions, keep each window's minimum — the
-    * classic winnowing selection. Output per doc: number of distinct
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): hash every char 8-gram (rolling set), slide a window of 4
+    * positions, keep each window's minimum — the classic winnowing
+    * selection. Output per doc: number of distinct
     * fingerprints and the global minimum (the doc's "sketch id").
     *
     * Scale shape: ENTIRELY per-row array computation — no explode, no
