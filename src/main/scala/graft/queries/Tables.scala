@@ -36,6 +36,10 @@ object Tables {
   // Deciding the floor needs the scan's partition count, which costs a full
   // physical planning pass (`df.rdd`); memoized on the canonicalized
   // logical plan so each distinct source shape pays it once per session.
+  // Granularity is session-lifetime: a source that GROWS 16×+ while the
+  // session lives keeps its original verdict until restart — acceptable
+  // for batch jobs (sources are immutable per run); a long-lived service
+  // over mutating tables should size inputs at ingest instead.
   private val floorDecisions =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Boolean]
