@@ -11,62 +11,100 @@ import org.apache.spark.sql.functions._
   * for Nearest Neighbor Search", TPAMI 2011) — the second scale path next
   * to sign-LSH ([[SimilaritySearch.topKAnn]]).
   *
-  * Index build: k-means centroids (MLlib, fixed seed) partition the corpus
-  * into `nlist` inverted lists; each vector is assigned to its nearest
-  * centroid. Search: a query probes its `nprobe` nearest centroids and
-  * ranks only those lists' vectors by exact quantized cosine.
+  * Index build ([[fit]]): k-means centroids (MLlib, fixed seed, trained on
+  * a seeded SAMPLE of the corpus) partition the vectors into `nlist`
+  * inverted lists; each vector is assigned to its nearest centroid. The
+  * index is an ARTIFACT: [[save]] persists the lists as parquet
+  * PARTITIONED BY list id plus a centroid table, [[load]] reads it back —
+  * build once, query many, exactly like a production ANN service.
   *
-  * Scale shape: the assignment is one scan + a broadcast of `nlist`
-  * centroids; search shuffles nothing new — the candidate join is a
-  * broadcast equi-join on the list id (queries and their probe lists are
-  * driver-side metadata, exactly like a partition-pruning predicate). At
-  * 100 TB: centroids come from `fit` on a SAMPLE (the sampling layer again),
-  * the lists are the physical partitioning, and probing is partition
-  * pruning. No oracle SQL — k-means is not replayable in DuckDB; correctness
-  * is pinned by recall/consistency specs against the brute-force baseline.
+  * Search ([[search]]): a query probes its `nprobe` nearest centroids and
+  * ranks only those lists' vectors by exact quantized cosine. Against a
+  * saved index the probe set becomes a PARTITION FILTER on the list
+  * directories — unprobed lists are never read (the "probing is partition
+  * pruning" claim made physical; IvfIndexSpec pins `PartitionFilters` in
+  * the executed plan).
+  *
+  * No oracle SQL — k-means is not replayable in DuckDB; correctness is
+  * pinned by recall/consistency/round-trip specs against brute force.
   */
 object IvfIndex {
 
   val NList = 16
   val NProbe = 4
+  val TrainFraction = 0.5
 
-  /** Candidate top-k via IVF probing. Deterministic for a fixed seed. */
-  def topK(
+  /** A fitted index: centroids (driver-side metadata, `nlist` × dims) and
+    * the assigned (vec_id, list) table.
+    */
+  final case class IvfModel(
+      nlist: Int,
+      centroids: IndexedSeq[Array[Double]],
+      assigned: DataFrame)
+
+  /** Build the index. Centroids are trained on a seeded Bernoulli sample
+    * (the engine's own sampling layer): k-means needs enough points per
+    * centroid, not the full corpus — `trainFraction` keeps ≥ ~100·nlist
+    * expected points here and would shrink toward 1e-4 at corpus scale.
+    * ASSIGNMENT covers every vector (one scan + a broadcast of `nlist`
+    * centroids).
+    */
+  def fit(
       spark: SparkSession,
       embeddings: DataFrame,
-      numQueries: Int = SimilaritySearch.NumQueries,
-      k: Int = SimilaritySearch.TopK,
       nlist: Int = NList,
-      nprobe: Int = NProbe,
-      seed: Long = 42L): DataFrame = {
-    import spark.implicits._
-
+      seed: Long = 42L,
+      trainFraction: Double = TrainFraction): IvfModel = {
     val vecs = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    // Centroids are trained on a seeded Bernoulli SAMPLE of the corpus (the
-    // engine's own sampling layer): k-means quality needs only enough points
-    // per centroid, not the full 100 TB — fitting on everything would make
-    // index BUILD as expensive as a full scan × iterations. `trainFraction`
-    // keeps ≥ ~100·nlist expected points here and would shrink toward 1e-4
-    // at corpus scale; ASSIGNMENT still covers every vector below.
-    val trainFraction = 0.5
     val train = graft.sampling.Sampled(vecs, trainFraction, seed).data
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list")
       .fit(train)
-    val assigned = model.transform(vecs).select(col("vec_id"), col("list"))
+    IvfModel(
+      nlist,
+      model.clusterCenters.map(_.toArray).toIndexedSeq,
+      model.transform(vecs).select(col("vec_id"), col("list")))
+  }
 
-    // probe table: per query, its nprobe nearest centroids (driver-side —
-    // numQueries × nlist distances is metadata, like partition pruning)
-    val centers = model.clusterCenters.map(_.toArray)
+  /** Persist the index: `path/lists/list=<i>/…` (parquet, partitioned so a
+    * probe set prunes directories) + `path/centroids` (id, vector rows).
+    */
+  def save(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.assigned.write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index. */
+  def load(spark: SparkSession, path: String): IvfModel = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+      .toIndexedSeq
+    IvfModel(centroids.size, centroids, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** Per-query probe lists: `nprobe` nearest centroids — driver-side
+    * metadata (numQueries × nlist distances), like a pruning predicate.
+    */
+  private def probePairs(
+      model: IvfModel,
+      embeddings: DataFrame,
+      numQueries: Int,
+      nprobe: Int): Seq[(Long, Int)] = {
     val queryVecs = embeddings
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    val probes = queryVecs.flatMap { case (qid, qv) =>
-      centers.zipWithIndex
+    queryVecs.toSeq.flatMap { case (qid, qv) =>
+      model.centroids.zipWithIndex
         .map { case (c, i) =>
           val d = qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
           (i, d)
@@ -74,13 +112,30 @@ object IvfIndex {
         .sortBy(_._2)
         .take(nprobe)
         .map { case (list, _) => (qid, list) }
-    }.toSeq.toDF("query_id", "list")
+    }
+  }
 
+  /** Top-k via probed lists of a fitted/loaded index. The probe-set filter
+    * is applied directly on the assigned table, so against a [[save]]d
+    * index it prunes list partitions before any IO.
+    */
+  def search(
+      spark: SparkSession,
+      model: IvfModel,
+      embeddings: DataFrame,
+      numQueries: Int = SimilaritySearch.NumQueries,
+      k: Int = SimilaritySearch.TopK,
+      nprobe: Int = NProbe): DataFrame = {
+    import spark.implicits._
+    val pairs = probePairs(model, embeddings, numQueries, nprobe)
+    val probes = pairs.toDF("query_id", "list")
+    val probedLists = pairs.map(_._2).distinct
     val prep = SimilaritySearch.prepared(embeddings)
     val queries = prep
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val cands = assigned
+    val cands = model.assigned
+      .filter(col("list").isin(probedLists: _*)) // partition pruning on a saved index
       .join(broadcast(probes), Seq("list"))
       .join(prep, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
@@ -94,4 +149,17 @@ object IvfIndex {
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim")
   }
+
+  /** Candidate top-k via IVF probing, fitting in-line (the one-shot path
+    * the `simsearch_ivf` query uses). Deterministic for a fixed seed.
+    */
+  def topK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      numQueries: Int = SimilaritySearch.NumQueries,
+      k: Int = SimilaritySearch.TopK,
+      nlist: Int = NList,
+      nprobe: Int = NProbe,
+      seed: Long = 42L): DataFrame =
+    search(spark, fit(spark, embeddings, nlist, seed), embeddings, numQueries, k, nprobe)
 }

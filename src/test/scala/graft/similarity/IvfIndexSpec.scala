@@ -19,6 +19,27 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF index round-trips through save/load; loaded search equals in-memory search") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+    val model = IvfIndex.fit(spark, emb)
+    IvfIndex.save(spark, model, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.nlist === model.nlist)
+    assert(loaded.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) })
+    val direct = IvfIndex.search(spark, model, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDisk = IvfIndex.search(spark, loaded, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDisk === direct)
+    // the saved layout is list-partitioned and the probe set prunes it
+    assert(new java.io.File(s"$path/lists").listFiles().exists(_.getName.startsWith("list=")))
+    val q = IvfIndex.search(spark, loaded, emb)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("list"), plan.take(3000))
+  }
+
   test("IVF recall@10 beats single-bucket chance and is deterministic") {
     val brute = SimilaritySearch.topK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
