@@ -53,19 +53,34 @@ object MinHashLSH {
   private def sigCols: Seq[String] = (0 until NumHashes).map(j => s"m$j")
 
   /** Per-document MinHash signature: columns doc_id, m0..m15.
-    * One explode + one groupBy; the explode and hash fuse into the scan
-    * stage, the groupBy partially aggregates map-side (each partition emits
-    * one candidate minimum per doc per hash function).
+    *
+    * Computed ENTIRELY PER ROW — shingle array → shingle-hash array → 16
+    * `array_min(transform(...))` minima — no explode, no shuffle, no
+    * aggregation state. (Earlier rounds exploded shingles and ran a 16-min
+    * hash aggregate: same values, one corpus-wide shuffle more.) Being a
+    * pure projection also makes signatures STREAMING-SAFE: the same
+    * expression runs in a Structured Streaming select with no aggregation
+    * mode/watermark requirements ([[graft.streaming.StreamingDedup]]).
+    *
+    * Lambda-capture discipline (see [[Hashing.shingles]]): words and the
+    * hash array are materialized as their own projections; `__hv` is
+    * referenced 16× by the minima (never re-inlined), and `__sh`/`__w` sit
+    * in HOF ARGUMENT position (evaluated once per row even if inlined).
+    * Docs with zero shingles (< k words) produce no signature row — the
+    * same row set the explode+groupBy formulation produced.
     */
   def signatures(corpus: DataFrame, k: Int = ShingleK): DataFrame = {
-    val hv = Hashing.hash60(col("shingle")) % Prime
-    val aggs = Coeffs.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("hv") + lit(b)) % Prime).as(s"m$j")
+    val minima = Coeffs.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("__hv"), h => (lit(a) * h + lit(b)) % Prime)).as(s"m$j")
     }
-    Hashing.explodeShingles(corpus, k)
-      .select(col("doc_id"), hv.as("hv"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    corpus
+      .select(col("doc_id"), Hashing.words(col("text")).as("__w"))
+      .select(col("doc_id"), Hashing.shingles(col("__w"), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(
+        col("doc_id"),
+        transform(col("__sh"), s => Hashing.hash60(s) % Prime).as("__hv"))
+      .select(col("doc_id") +: minima: _*)
   }
 
   /** Band key for band b: 60-bit hash of the band's joined signature rows. */
@@ -73,6 +88,22 @@ object MinHashLSH {
     val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string"))
     Hashing.hash60(concat_ws("_", parts: _*))
   }
+
+  /** (doc_id, m0..m15, band, key) — the banding explode with the signature
+    * columns carried through, for consumers that need both the bucket AND
+    * the signature on one row (e.g. the stream-static near-dup join,
+    * [[graft.streaming.StreamingDedup]]). Pure projection+generate —
+    * streaming-safe.
+    */
+  def bandedSignatures(sigs: DataFrame): DataFrame =
+    sigs
+      .select(
+        (col("doc_id") +: sigCols.map(col)) :+
+          explode(array((0 until NumBands)
+            .map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"): _*)
+      .select(
+        (col("doc_id") +: sigCols.map(col)) :+
+          col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
 
   /** Candidate near-duplicate pairs with the MinHash similarity estimate
     * (fraction of agreeing signature components), filtered at `minSim`.
