@@ -53,23 +53,43 @@ object MinHashLSH {
   private def sigCols: Seq[String] = (0 until NumHashes).map(j => s"m$j")
 
   /** Per-document MinHash signature: columns doc_id, m0..m15.
+    * One explode + one groupBy; the explode and hash fuse into the scan
+    * stage (whole-stage codegen), the groupBy partially aggregates
+    * map-side, so the shuffle carries 16 longs per doc per partition.
     *
-    * Computed ENTIRELY PER ROW — shingle array → shingle-hash array → 16
-    * `array_min(transform(...))` minima — no explode, no shuffle, no
-    * aggregation state. (Earlier rounds exploded shingles and ran a 16-min
-    * hash aggregate: same values, one corpus-wide shuffle more.) Being a
-    * pure projection also makes signatures STREAMING-SAFE: the same
-    * expression runs in a Structured Streaming select with no aggregation
-    * mode/watermark requirements ([[graft.streaming.StreamingDedup]]).
-    *
-    * Lambda-capture discipline (see [[Hashing.shingles]]): words and the
-    * hash array are materialized as their own projections; `__hv` is
-    * referenced 16× by the minima (never re-inlined), and `__sh`/`__w` sit
-    * in HOF ARGUMENT position (evaluated once per row even if inlined).
-    * Docs with zero shingles (< k words) produce no signature row — the
-    * same row set the explode+groupBy formulation produced.
+    * Deliberately NOT the per-row array formulation ([[signaturesPerRow]]):
+    * 16 `array_min(transform(...))` passes run as INTERPRETED higher-order
+    * functions and measured ~7× slower than this codegen'd
+    * explode+aggregate — the tiny post-partial-agg shuffle is much cheaper
+    * than 16 interpreted array traversals per document.
     */
   def signatures(corpus: DataFrame, k: Int = ShingleK): DataFrame = {
+    val hv = Hashing.hash60(col("shingle")) % Prime
+    val aggs = Coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("hv") + lit(b)) % Prime).as(s"m$j")
+    }
+    Hashing.explodeShingles(corpus, k)
+      .select(col("doc_id"), hv.as("hv"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** STREAMING-SAFE signature variant: the same values computed entirely
+    * per row (shingle array → hash array → 16 `array_min` minima — no
+    * aggregation), so it runs inside a Structured Streaming select with no
+    * output-mode or watermark requirements
+    * ([[graft.streaming.StreamingDedup]] uses it on the stream side).
+    * Batch pipelines should prefer [[signatures]] — the interpreted HOF
+    * passes here cost more than its shuffle (see its scaladoc); equality
+    * of the two is pinned by DedupSpec.
+    *
+    * Lambda-capture discipline (see [[Hashing.shingles]]): `__hv` is
+    * referenced 16× by the minima (never re-inlined); `__sh`/`__w` sit in
+    * HOF ARGUMENT position (evaluated once per row even if inlined). Docs
+    * with zero shingles produce no row — the same row set [[signatures]]
+    * produces.
+    */
+  def signaturesPerRow(corpus: DataFrame, k: Int = ShingleK): DataFrame = {
     val minima = Coeffs.zipWithIndex.map { case ((a, b), j) =>
       array_min(transform(col("__hv"), h => (lit(a) * h + lit(b)) % Prime)).as(s"m$j")
     }

@@ -10,11 +10,11 @@ import graft.dedup.MinHashLSH
   * arriving document is checked against the existing corpus WITHOUT
   * recomputing anything about the corpus.
   *
-  * Works because [[MinHashLSH.signatures]] is a pure per-row projection
-  * (no aggregation), so it runs inside a streaming select with no output
-  * mode or watermark requirements, and the candidate generation is a
-  * STREAM-STATIC equi-join on (band, key) — stateless on the stream side,
-  * supported in append mode. At scale the static side is the saved
+  * Works because [[MinHashLSH.signaturesPerRow]] is a pure per-row
+  * projection (no aggregation), so it runs inside a streaming select with
+  * no output mode or watermark requirements, and the candidate generation
+  * is a STREAM-STATIC equi-join on (band, key) — stateless on the stream
+  * side, supported in append mode. At scale the static side is the saved
   * signature table (a parquet artifact, refreshed by the batch pipeline);
   * Spark broadcasts or shuffles it once per query start, not per batch.
   *
@@ -37,7 +37,7 @@ object StreamingDedup {
       stream: DataFrame,
       indexSigs: DataFrame,
       minSim: Double = 0.5): DataFrame = {
-    val streamBanded = MinHashLSH.bandedSignatures(MinHashLSH.signatures(stream))
+    val streamBanded = MinHashLSH.bandedSignatures(MinHashLSH.signaturesPerRow(stream))
     val sigNames = (0 until MinHashLSH.NumHashes).map(j => s"m$j")
     val indexBanded = sigNames
       .foldLeft(MinHashLSH.bandedSignatures(indexSigs)

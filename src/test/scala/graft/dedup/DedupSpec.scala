@@ -50,6 +50,12 @@ class DedupSpec extends SparkSpec {
     assert(found.map(_.getDouble(2)).min >= 0.5)
   }
 
+  test("per-row (streaming-safe) signatures equal the batch explode+agg signatures") {
+    val batch = MinHashLSH.signatures(corpus).orderBy("doc_id").collect()
+    val perRow = MinHashLSH.signaturesPerRow(corpus).orderBy("doc_id").collect()
+    assert(batch.sameElements(perRow))
+  }
+
   test("minhash signature is permutation-stable (order of rows irrelevant)") {
     val a = MinHashLSH.signatures(corpus).orderBy("doc_id").collect()
     val b = MinHashLSH.signatures(corpus.orderBy(rand(1))).orderBy("doc_id").collect()
