@@ -67,12 +67,22 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    // The driver captures a bounded tail of stdout (2000 chars in r4, which
+    // clipped the full-precision line, VERDICT r4 §wrong/next 7). The stdout
+    // line is kept compact — ms-rounded times, trials map omitted — and the
+    // FULL precision object (per-trial counts included) goes to
+    // BENCH_LOCAL.json in the working directory.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val trialsJson = trialCounts.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val qsFull = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"trials":$trialsJson,"errors":$errJson,"sf":"$sfDir"}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$trialsJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
