@@ -89,6 +89,17 @@ object SparkEntry {
     "simsearch_ivf" -> ((s, dir) =>
       graft.similarity.IvfIndex.topK(s, Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
+    // the production IVF shape: load a prebuilt saved index (digest-keyed
+    // artifact, built on first use) and search its partition-pruned lists —
+    // the benched time is load+search, never k-means. Spec-pinned equal to
+    // the in-memory fit+search result; rows-only for the driver.
+    "simsearch_ivf_saved" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.similarity.IvfIndex.load(
+        s, graft.similarity.IvfIndex.ensureSaved(s, emb, dir))
+      graft.similarity.IvfIndex.search(s, model, emb)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")),
@@ -176,6 +187,14 @@ object SparkEntry {
       RQ.eventQuantiles(Tables.events(s, dir)).orderBy("event_type")),
     "events_distinct_users" -> ((s, dir) =>
       RQ.eventDistinctUsers(Tables.events(s, dir)).orderBy("event_type")),
+    // the 100 TB twins: t-digest-style percentile sketch and HLL++ distinct
+    // sketch — mergeable bounded-memory state instead of per-group value
+    // buffers. Engine-specific sketches → no external oracle (rows-only
+    // driver check); QuantilesSpec pins both against the exact twins.
+    "events_quantiles_approx" -> ((s, dir) =>
+      RQ.eventQuantilesApprox(Tables.events(s, dir)).orderBy("event_type")),
+    "events_distinct_users_approx" -> ((s, dir) =>
+      RQ.eventDistinctUsersApprox(Tables.events(s, dir)).orderBy("event_type")),
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
         .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)))

@@ -40,6 +40,17 @@ class IvfIndexSpec extends SparkSpec {
     assert(scanLine.contains("list"), plan.take(3000))
   }
 
+  test("ensureSaved builds once and its loaded search equals the in-line fit+search") {
+    val path1 = IvfIndex.ensureSaved(spark, emb, sf001)
+    val path2 = IvfIndex.ensureSaved(spark, emb, sf001) // second call: cache hit
+    assert(path1 === path2)
+    val viaSaved = IvfIndex.search(spark, IvfIndex.load(spark, path1), emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = IvfIndex.topK(spark, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSaved === inline)
+  }
+
   test("IVF recall@10 beats single-bucket chance and is deterministic") {
     val brute = SimilaritySearch.topK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
