@@ -46,6 +46,20 @@ object Main {
   private def isTableDir(in: String, table: String): Boolean =
     new java.io.File(in, s"$table.parquet").exists()
 
+  private def buildSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   /** Run one job; returns the sampling report (also printed + persisted). */
   def runJob(
       spark: SparkSession,
@@ -103,24 +117,25 @@ object Main {
     if (args.length < 3) {
       System.err.println(
         "Usage: graft.Main <randwordcount|randcharcount|randapachelog|randwireless> " +
-          "<in> <out> [task] [ratio|confLevel,errorRate,bitsOfInputLength]")
+          "<in> <out> [task] [ratio|confLevel,errorRate,bitsOfInputLength]\n" +
+          "   or: graft.Main compare <commonPath> <run0> <run1> […runN]")
       sys.exit(2)
     }
     val job = args(0)
+    if (job == "compare") {
+      // the reference's standalone cross-run comparator
+      // (RSMRResultComparator.java:35-88) — first run is the baseline
+      val spark = buildSession()
+      println(graft.compare.CompareRuns.render(
+        graft.compare.CompareRuns.compare(spark, args(1), args.drop(2).toSeq)))
+      spark.stop()
+      return
+    }
     val (task, samplingArg) =
       if (job == "randapachelog") (args.lift(3), args.lift(4))
       else (None, args.lift(3))
     val cfg = samplingArg.map(SamplingConfig.parse(_)).getOrElse(SamplingConfig())
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = buildSession()
     val rpt = runJob(spark, job, args(1), args(2), task, cfg)
     println(rpt.toString)
     spark.stop()

@@ -40,10 +40,16 @@ object RatioLadder {
     TextKVSink.write(exact, keys.head, countCol, s"$outDir/exact")
     ratios.filter(_ < 1.0).map { r =>
       val t0 = System.nanoTime()
-      val (s, est) = RQ.sampled(source, SamplingConfig(ratio = r), query, countCol)
+      val s = graft.sampling.Sampled(source, SamplingConfig(ratio = r))
+      val raw = query(s.data)
       // K1 lines go under out/ so the sink directory stays pure key\tvalue
-      // (report.json / result.txt live beside it, not inside it)
-      TextKVSink.write(est, keys.head, s"est_$countCol", s"$outDir/ratio_$r/out")
+      // (report.json / result.txt live beside it, not inside it). The sink
+      // carries the UNSCALED sampled aggregate — the reference's jobs wrote
+      // raw sample counts and left HT scaling to the comparator
+      // (RSMRResultComparator.java:69-71), so the on-disk protocol must too
+      // (graft.Main compare replays it).
+      TextKVSink.write(raw, keys.head, countCol, s"$outDir/ratio_$r/out")
+      val est = raw.withColumn(s"est_$countCol", s.htScale(col(countCol))).drop(countCol)
       val err = ResultComparator.dataErrorRate(exact, est, keys, countCol, s"est_$countCol")
       val rpt = s.report()
       ReportSink.emit(rpt, s"$outDir/ratio_$r/report.json")

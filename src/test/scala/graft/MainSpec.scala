@@ -69,6 +69,39 @@ class MainSpec extends SparkSpec {
     assert(sampledTotal < exactTotal) // unscaled sample counts, as the reference wrote
   }
 
+  test("compare subcommand scores runJob outputs with the reference formula") {
+    import graft.compare.{CompareRuns, ResultComparator}
+    val base = tmp("graft_cmp_")
+    Main.runJob(spark, "randwordcount", sf001, base + "1.0", None, SamplingConfig.Exact)
+    Main.runJob(
+      spark, "randwordcount", sf001, base + "0.5", None, SamplingConfig(ratio = 0.5, seed = 42))
+    val results = CompareRuns.compare(spark, base, Seq("1.0", "0.5"))
+    assert(results.head.ratio === 1.0 && results.head.dataErrorRate.isEmpty)
+    assert(results(1).ratio === 0.5)
+    // must equal the in-memory comparator's unscaled-run measurement
+    val expected = ResultComparator.dataErrorRateUnscaled(
+      RQ.wordCount(Tables.documents(spark, sf001)),
+      TextKVSink.read(spark, base + "0.5")
+        .select(col("key").as("word"), col("value").cast("long").as("cnt")),
+      Seq("word"), "cnt", 0.5)
+    assert(math.abs(results(1).dataErrorRate.get - expected) < 1e-9)
+    val text = CompareRuns.render(results)
+    assert(text.contains("=== Result with sampling ratio 0.5==="))
+    assert(text.contains("[Designed sample rate]")) // report lines replayed
+    assert(text.contains("[Data error rate]"))
+  }
+
+  test("compare subcommand over a RatioLadder output directory matches the rung") {
+    import graft.compare.CompareRuns
+    val out = tmp("graft_cmp_ladder")
+    val fam = RatioLadder.families(spark, sf001).find(_.name == "wordcount").get
+    val rungs = RatioLadder.runFamily(fam, Seq(1.0, 0.5), out)
+    val results = CompareRuns.compare(spark, s"$out/wordcount/", Seq("exact", "ratio_0.5"))
+    assert(results.head.ratio === 1.0) // report-less exact sink → ratio 1.0
+    assert(results(1).ratio === 0.5)
+    assert(math.abs(results(1).dataErrorRate.get - rungs.head.dataErrorRate) < 1e-9)
+  }
+
   test("unknown job / missing task fail loudly") {
     intercept[IllegalArgumentException](
       Main.runJob(spark, "nope", sf001, tmp("x1"), None, SamplingConfig.Exact))

@@ -46,10 +46,11 @@ class RatioLadderSpec extends SparkSpec {
         assert(r.dataErrorRate >= 0.0 && r.dataErrorRate < 1.0, s"${f.name}: per-key error")
         // the T4 bound speaks about the ADDITIVE TOTAL estimate (that's what
         // Cochran's formula bounds), so judge the HT-scaled total — read back
-        // through the K1 sink, which also pins the sink round-trip
+        // through the K1 sink (which carries the reference's UNSCALED sample
+        // counts) and apply the comparator's 1/ratio scale-up here
         val estTotal = graft.sinks.TextKVSink
           .read(spark, s"$out/${f.name}/ratio_${r.ratio}/out")
-          .agg(sum(col("value").cast("double"))).head().getDouble(0)
+          .agg(sum(col("value").cast("double"))).head().getDouble(0) / r.ratio
         val relErr = math.abs(estTotal - exactTotal) / exactTotal
         // 3× the single-sd bound: deterministic with the fixed seed, and a
         // regression that breaks HT scaling or sampling lands far outside
