@@ -171,6 +171,13 @@ object SparkEntry {
     "tpch_q3" -> ((s, dir) =>
       graft.queries.TpchQueries.q3(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // physical-strategy twins of q3, oracle-gated against the SAME SQL:
+    // the salted customer⋈orders join (skew spreading) and the pre-bucketed
+    // zero-exchange orders⋈lineitem join
+    "tpch_q3_skewjoin" -> ((s, dir) =>
+      graft.queries.TpchQueries.q3SkewJoin(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "tpch_q3_bucketed" -> ((s, dir) => graft.queries.TpchQueries.q3Bucketed(s, dir)),
     "tpch_q5" -> ((s, dir) =>
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -292,6 +299,8 @@ object SparkEntry {
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q6" -> graft.queries.TpchQueries.Q6OracleSql,
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
+    "tpch_q3_skewjoin" -> graft.queries.TpchQueries.Q3OracleSql,
+    "tpch_q3_bucketed" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
     "events_salted_sum" ->
       """SELECT user_id,
