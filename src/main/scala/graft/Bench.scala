@@ -54,9 +54,11 @@ object Bench {
 
     names.foreach(run(_, recordError = false)) // warmup
     val trialCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val trialTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = names.flatMap { name =>
       val trials = (1 to 3).flatMap(_ => run(name, recordError = true))
       trialCounts(name) = trials.size
+      trialTimes(name) = trials
       if (trials.isEmpty) None else Some(name -> trials.sorted.apply(trials.size / 2))
     }
 
@@ -70,17 +72,24 @@ object Bench {
     // The driver captures a bounded tail of stdout (2000 chars in r4, which
     // clipped the full-precision line, VERDICT r4 §wrong/next 7). The stdout
     // line is kept compact — ms-rounded times, trials map omitted — and the
-    // FULL precision object (per-trial counts included) goes to
+    // FULL precision object (every individual trial time included, so a
+    // round-over-round drift is diagnosable from spread vs shift) goes to
     // BENCH_LOCAL.json in the working directory.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT, not the f interpolator: String.format under a
+    // comma-decimal default locale (de_DE et al.) would render 1,234 and
+    // break the driver's JSON parse (ADVICE r5).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val trialsJson = trialCounts.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val perTrialJson = trialTimes
+      .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"trials":$trialsJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"trials":$trialsJson,"trial_times":$perTrialJson,"errors":$errJson,"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

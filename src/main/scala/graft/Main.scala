@@ -124,7 +124,13 @@ object Main {
     val job = args(0)
     if (job == "compare") {
       // the reference's standalone cross-run comparator
-      // (RSMRResultComparator.java:35-88) — first run is the baseline
+      // (RSMRResultComparator.java:35-88) — first run is the baseline.
+      // Needs ≥2 runs: 3 args passed the generic guard but died in a bare
+      // require stack trace instead of the usage text (ADVICE r5)
+      if (args.length < 4) {
+        System.err.println("Usage: graft.Main compare <commonPath> <run0> <run1> […runN]")
+        sys.exit(2)
+      }
       val spark = buildSession()
       println(graft.compare.CompareRuns.render(
         graft.compare.CompareRuns.compare(spark, args(1), args.drop(2).toSeq)))

@@ -85,8 +85,12 @@ object SparkEntry {
       SimilaritySearch.topKAnn(Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
     // IVF variant: k-means index is not replayable in DuckDB → rows-only
-    // driver check; recall/consistency pinned by IvfIndexSpec
-    "simsearch_ivf" -> ((s, dir) =>
+    // driver check; recall/consistency pinned by IvfIndexSpec. Named
+    // `_build` because the timed path IS fit (k-means) + search — the
+    // production search-only path is `simsearch_ivf_saved` below
+    // (VERDICT r5 §wrong 4: the old `simsearch_ivf` name read like a
+    // search benchmark while measuring index build).
+    "simsearch_ivf_build" -> ((s, dir) =>
       graft.similarity.IvfIndex.topK(s, Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
     // the production IVF shape: load a prebuilt saved index (digest-keyed

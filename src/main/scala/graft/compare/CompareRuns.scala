@@ -43,15 +43,21 @@ object CompareRuns {
 
   /** result.txt candidates: inside the run dir (the reference layout,
     * RSMRResultComparator.java:93), the `<out>.result.txt` sibling
-    * ([[graft.Main.runJob]]'s naming), or beside a `…/out` sink dir
-    * ([[graft.RatioLadder]]'s layout).
+    * ([[graft.Main.runJob]]'s naming), or — ONLY for a sink dir literally
+    * named `out` — beside it ([[graft.RatioLadder]]'s `<rung>/out` +
+    * `<rung>/result.txt` layout). The parent fallback must not apply to
+    * arbitrary run dirs: a report-less run sharing a parent with another
+    * run's result.txt would silently score with the wrong designed rate
+    * instead of the documented exact=1.0 default (ADVICE r5).
     */
   private def findReportText(runDir: String): Option[String] = {
     val f = new java.io.File(runDir)
-    Seq(
+    val candidates = Seq(
       new java.io.File(f, "result.txt"),
-      new java.io.File(f.getParentFile, f.getName + ".result.txt"),
-      new java.io.File(f.getParentFile, "result.txt"))
+      new java.io.File(f.getParentFile, f.getName + ".result.txt")) ++
+      (if (f.getName == "out") Seq(new java.io.File(f.getParentFile, "result.txt"))
+       else Nil)
+    candidates
       .find(_.isFile)
       .map(p => new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8"))
   }
@@ -82,7 +88,9 @@ object CompareRuns {
     val dirs = runs.map(commonPath + _)
     val reports = dirs.map(findReportText)
     val ratios = reports.map(_.map(SamplingReport.parse(_).designedRate).getOrElse(1.0))
-    val kvs = dirs.map(d => TextKVSink.read(spark, kvPath(d)))
+    // readParts, not read: the reference layout keeps result.txt INSIDE the
+    // run dir beside part-r-00000 — it must not be ingested as K1 rows
+    val kvs = dirs.map(d => TextKVSink.readParts(spark, kvPath(d)))
     runs.indices.map { i =>
       val rate =
         if (i == 0) None

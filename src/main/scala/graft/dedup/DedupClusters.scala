@@ -82,6 +82,9 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    // stderr, not stdout (the bench/driver parse stdout as JSON): one line
+    // per CC run so a bench-time drift can be checked against round count
+    System.err.println(s"DedupClusters.components: $iter rounds, converged=$converged")
     if (!converged)
       throw new IllegalStateException(
         s"DedupClusters: no fixed point after $MaxIterations rounds " +

@@ -27,6 +27,59 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Idempotent [[writeBucketed]]: after this returns, `table` exists in
+    * the session catalog. Safe against the two failure modes a bare
+    * check-then-write has (VERDICT r5 §next 7):
+    *
+    *  - SAME-JVM concurrency: two threads ensuring the same table — the
+    *    whole ensure is serialized on a per-process lock, the loser sees
+    *    `tableExists` and returns.
+    *  - CROSS-JVM staleness: a previous process left the managed-table
+    *    LOCATION in the shared warehouse but this process's in-memory
+    *    catalog has no entry, so CREATE fails with
+    *    LOCATION_ALREADY_EXISTS. An unregistered location is an artifact
+    *    of unknown provenance (no catalog row ⇒ no bucket-spec metadata to
+    *    trust) — delete it and rewrite.
+    *
+    * A concurrent writer in ANOTHER JVM between the delete and the write
+    * still surfaces as LOCATION_ALREADY_EXISTS; that race is retried once
+    * against the re-checked state and then failed loudly — with an
+    * in-memory catalog per process there is no shared metadata to
+    * arbitrate further (a production deployment shares a real metastore,
+    * whose CREATE is atomic).
+    */
+  def ensureBucketed(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      buckets: Int)(df: => DataFrame): Unit = ensureLock.synchronized {
+    def staleLocation(): java.io.File = {
+      val warehouse = new java.net.URI(
+        spark.sessionState.conf.warehousePath).getPath
+      new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT))
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
+    var attempts = 0
+    while (!spark.catalog.tableExists(table)) {
+      attempts += 1
+      if (attempts > 2)
+        throw new IllegalStateException(
+          s"Bucketing.ensureBucketed: $table still absent after $attempts attempts")
+      val loc = staleLocation()
+      if (loc.exists()) deleteRecursively(loc)
+      try writeBucketed(df, table, key, buckets)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if attempts < 2 =>
+          System.err.println(s"Bucketing.ensureBucketed: retrying $table after ${e.getErrorClass}")
+      }
+    }
+  }
+
+  private val ensureLock = new Object
+
   /** Join two same-bucketed tables on their bucket key — no exchange. */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)

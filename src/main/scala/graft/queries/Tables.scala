@@ -51,6 +51,30 @@ object Tables {
       df.rdd.getNumPartitions < math.max(2, target / 2))
   }
 
+  /** 12-hex digest of `paths` AND the (relative name, length, mtime) of
+    * every file under them — the cache key for derived artifacts (bucketed
+    * catalog tables, saved ANN indexes, rendered source fixtures). Keying
+    * on the path alone silently reuses a stale artifact when the data at
+    * that path is regenerated in place (ADVICE r5); folding the file
+    * listing in makes any rewrite produce a new key. Driver-side metadata
+    * IO only — one recursive listing per artifact ensure, never file
+    * contents.
+    */
+  def contentDigest(paths: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File, rel: String): Unit = {
+      md.update(s"$rel|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).foreach(c => walk(c, s"$rel/${c.getName}"))
+    }
+    paths.foreach { p =>
+      md.update(p.getBytes("UTF-8"))
+      val f = new java.io.File(p)
+      if (f.exists()) walk(f, f.getName)
+    }
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read

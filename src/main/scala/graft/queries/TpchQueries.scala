@@ -164,14 +164,18 @@ object TpchQueries {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       buckets: Int = 8): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // content-fingerprinted key (not path-only): regenerating the corpus in
+    // place yields a new digest, so a stale bucketed layout is never
+    // silently reused (ADVICE r5); ensureBucketed handles concurrent
+    // ensures and stale unregistered warehouse locations.
+    val digest = Tables.contentDigest(
+      Tables.path(dir, "orders"), Tables.path(dir, "lineitem"))
     val ot = s"graft_b_orders_$digest"
     val lt = s"graft_b_lineitem_$digest"
-    if (!spark.catalog.tableExists(ot))
-      graft.operators.Bucketing.writeBucketed(Tables.orders(spark, dir), ot, "o_orderkey", buckets)
-    if (!spark.catalog.tableExists(lt))
-      graft.operators.Bucketing.writeBucketed(Tables.lineitem(spark, dir), lt, "l_orderkey", buckets)
+    graft.operators.Bucketing.ensureBucketed(spark, ot, "o_orderkey", buckets)(
+      Tables.orders(spark, dir))
+    graft.operators.Bucketing.ensureBucketed(spark, lt, "l_orderkey", buckets)(
+      Tables.lineitem(spark, dir))
     q3(Tables.customer(spark, dir), spark.table(ot), spark.table(lt))
   }
 

@@ -159,8 +159,12 @@ object IvfIndex {
     * timed path (VERDICT r4 §wrong 1: `simsearch_ivf` re-fits per trial).
     */
   def ensureSaved(spark: SparkSession, embeddings: DataFrame, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // keyed by the embeddings table's CONTENT fingerprint (file listing +
+    // sizes + mtimes), not the path string: regenerating the data at `dir`
+    // produces a new key instead of silently serving an index fitted on the
+    // old vectors (ADVICE r5)
+    val digest = graft.queries.Tables.contentDigest(
+      graft.queries.Tables.path(dir, "embeddings"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
     if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
       save(spark, fit(spark, embeddings), path)
@@ -168,7 +172,9 @@ object IvfIndex {
   }
 
   /** Candidate top-k via IVF probing, fitting in-line (the one-shot path
-    * the `simsearch_ivf` query uses). Deterministic for a fixed seed.
+    * the `simsearch_ivf_build` query uses — the entry name carries `_build`
+    * because the k-means fit dominates its time). Deterministic for a
+    * fixed seed.
     */
   def topK(
       spark: SparkSession,

@@ -26,11 +26,32 @@ object TextKVSink {
       .write.mode("overwrite").text(path)
 
   /** Read a K1 sink back into (key, value string) columns. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  def read(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
       .select(
         substring_index(col("value"), "\t", 1).as("key"),
         substring_index(col("value"), "\t", -1).as("value"))
+
+  /** [[read]] for a RUN directory, excluding a K2 `result.txt` the
+    * reference layout keeps INSIDE the dir beside the part files
+    * (RSMRResultComparator.java:93). Reading it as K1 rows is mostly
+    * harmless (report lines have no tab → value casts to null and drops
+    * out of the sums) but pollutes the join input, and a report line that
+    * ever contained a tab would parse as a real key (ADVICE r5). Spark
+    * already skips `_`/`.`-prefixed files; `result.txt` needs the explicit
+    * filter.
+    */
+  def readParts(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(dir)
+    val parts =
+      if (d.isDirectory)
+        d.listFiles()
+          .filter(f => f.isFile && f.getName != "result.txt" &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(_.getPath).sorted.toSeq
+      else Seq.empty
+    if (parts.isEmpty) read(spark, dir) else read(spark, parts: _*)
+  }
 }
 
 /** K2: sampling-report emission. */

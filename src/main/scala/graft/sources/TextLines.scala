@@ -16,8 +16,9 @@ object TextLines {
     * (once per corpus) and return its path.
     */
   def fixturePath(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // content-fingerprinted (ADVICE r5): regenerated source data gets a
+    // fresh fixture instead of silently reusing the stale rendering
+    val digest = graft.queries.Tables.contentDigest(s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_$digest"
     val done = new java.io.File(path, "_SUCCESS")
     if (!done.exists()) {
@@ -39,8 +40,7 @@ object TextLines {
     * a splittable codec (bzip2/zstd-seekable) — the read path is identical.
     */
   def fixtureGzPath(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val digest = graft.queries.Tables.contentDigest(s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_gz_$digest"
     val done = new java.io.File(path, "_SUCCESS")
     if (!done.exists()) {
@@ -73,8 +73,7 @@ object TextLines {
 
   private def writeFixture(spark: SparkSession, dir: String, kind: String)(
       f: org.apache.spark.sql.DataFrame => String => Unit): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val digest = graft.queries.Tables.contentDigest(s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$digest"
     if (!new java.io.File(path, "_SUCCESS").exists())
       f(spark.read.parquet(s"$dir/documents.parquet").orderBy("doc_id"))(path)

@@ -35,8 +35,8 @@ object XmlSource {
     * operator).
     */
   def fixturePath(spark: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // content-fingerprinted cache key — see [[graft.queries.Tables.contentDigest]]
+    val digest = graft.queries.Tables.contentDigest(s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_xml_$digest.xml"
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) {

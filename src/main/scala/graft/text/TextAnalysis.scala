@@ -27,12 +27,18 @@ object TextAnalysis {
     * declaration-order tie-break. Output: doc_id, s_<lang>…, pred_lang.
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val w = Hashing.words(col("text"))
-    val scored = graft.queries.Tables.parallelismFloor(docs).select(
-      col("doc_id") +: Markers.map { case (lang, ms) =>
-        size(filter(w, t => ms.map(m => t === m).reduce[Column](_ || _)))
-          .cast("long").as(s"s_$lang")
-      }: _*)
+    // Materialize the words array ONCE as its own projection: `__w` is a
+    // non-cheap expression referenced by all three marker filters, so
+    // CollapseProject keeps the alias (see [[graft.dedup.Hashing.shingles]]'s
+    // trap note) — inlining `Hashing.words(col("text"))` into each filter
+    // would re-split the document once per language (VERDICT r5 §wrong 2).
+    val scored = graft.queries.Tables.parallelismFloor(docs)
+      .select(col("doc_id"), Hashing.words(col("text")).as("__w"))
+      .select(
+        col("doc_id") +: Markers.map { case (lang, ms) =>
+          size(filter(col("__w"), t => ms.map(m => t === m).reduce[Column](_ || _)))
+            .cast("long").as(s"s_$lang")
+        }: _*)
     // argmax with earlier-language tie-break: en wins ties vs de, etc.
     val pred = Markers.zipWithIndex.foldRight(lit(Markers.last._1)) {
       case (((lang, _), i), acc) =>
@@ -53,13 +59,16 @@ object TextAnalysis {
     * it's deterministic, cheap, and filterable at scale.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val w = Hashing.words(col("text"))
+    // Same single-split discipline as [[languageId]]: `__w` is multi-use →
+    // CollapseProject never re-inlines it, so the text splits once per row.
+    val w = col("__w")
     val nChars = length(col("text")).cast("long")
     val nWords = size(filter(w, t => t =!= "")).cast("long")
     val stop = Markers.head._2
     val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
     val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
     graft.queries.Tables.parallelismFloor(docs)
+      .select(col("doc_id"), col("text"), Hashing.words(col("text")).as("__w"))
       .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         nStop.as("n_stop"), nSpecial.as("n_special"))
       .withColumn("mean_word_len",

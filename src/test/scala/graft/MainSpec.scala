@@ -102,6 +102,52 @@ class MainSpec extends SparkSpec {
     assert(math.abs(results(1).dataErrorRate.get - rungs.head.dataErrorRate) < 1e-9)
   }
 
+  test("compare handles the reference's result.txt-inside-run-dir layout") {
+    import graft.compare.CompareRuns
+    // Build the EXACT reference layout (RSMRResultComparator.java:93):
+    // <run>/part-r-00000 + <run>/result.txt, both inside the run dir.
+    val base = tmp("graft_cmp_ref_")
+    Main.runJob(spark, "randwordcount", sf001, base + "1.0", None, SamplingConfig.Exact)
+    Main.runJob(
+      spark, "randwordcount", sf001, base + "0.5", None, SamplingConfig(ratio = 0.5, seed = 42))
+    for (r <- Seq("1.0", "0.5")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(base + r + ".result.txt"),
+        java.nio.file.Paths.get(base + r, "result.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val results = CompareRuns.compare(spark, base, Seq("1.0", "0.5"))
+    // the in-dir report is found AND its lines are NOT ingested as K1 rows:
+    // the scored rate must equal the sibling-layout run's (previous test)
+    assert(results.head.ratio === 1.0)
+    assert(results(1).ratio === 0.5)
+    val sibling = CompareRuns.compare(spark, tmp("graft_cmp_"), Seq("1.0", "0.5"))
+    assert(math.abs(results(1).dataErrorRate.get - sibling(1).dataErrorRate.get) < 1e-9)
+    // K1 read excludes result.txt: no report-label keys leak into the rows
+    val keys = graft.sinks.TextKVSink.readParts(spark, base + "1.0")
+      .select("key").collect().map(_.getString(0))
+    assert(!keys.exists(_.startsWith("[")))
+  }
+
+  test("a report-less run dir does NOT inherit a sibling result.txt (exact default)") {
+    import graft.compare.CompareRuns
+    // parent dir holds result.txt + two plain run dirs; neither is named
+    // 'out', so the parent fallback must not apply and both score as exact
+    val parent = tmp("graft_cmp_orphan")
+    val p = java.nio.file.Paths.get(parent)
+    for (r <- Seq("a", "b")) {
+      TextKVSink.write(
+        RQ.wordCount(Tables.documents(spark, sf001)), "word", "cnt", s"$parent/$r")
+    }
+    java.nio.file.Files.writeString(
+      p.resolve("result.txt"),
+      Main.runJob(spark, "randwordcount", sf001, tmp("graft_cmp_orphan_src"), None,
+        SamplingConfig(ratio = 0.5, seed = 42)).toString)
+    val results = CompareRuns.compare(spark, s"$parent/", Seq("a", "b"))
+    assert(results.forall(_.ratio === 1.0)) // NOT the sibling's 0.5
+    assert(results(1).dataErrorRate.get === 0.0) // identical exact runs
+  }
+
   test("unknown job / missing task fail loudly") {
     intercept[IllegalArgumentException](
       Main.runJob(spark, "nope", sf001, tmp("x1"), None, SamplingConfig.Exact))
