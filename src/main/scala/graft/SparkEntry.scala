@@ -150,6 +150,13 @@ object SparkEntry {
       RQ.wordCountLines(
         graft.sources.TextLines.readLines(s, graft.sources.TextLines.fixtureGzPath(s, dir)))
         .orderBy("word")),
+    // bzip2 ingestion — the SPLITTABLE compressed codec (one big file still
+    // scans as parallel splits; Bzip2SplitSpec pins >1 split on a
+    // multi-block file) — must hash-match wordcount
+    "wordcount_text_bz2" -> ((s, dir) =>
+      RQ.wordCountLines(
+        graft.sources.TextLines.readLines(s, graft.sources.TextLines.fixtureBz2Path(s, dir)))
+        .orderBy("word")),
     // P2 urlDecode on an oracle path: escape deterministically, decode in
     // the query — the round trip must hash-match wordcount
     "wordcount_urldecode" -> ((s, dir) =>
@@ -297,6 +304,7 @@ object SparkEntry {
     "wordcount_text" -> WordCountSql,
     "wordcount_xml" -> WordCountSql,
     "wordcount_text_gz" -> WordCountSql,
+    "wordcount_text_bz2" -> WordCountSql,
     "wordcount_urldecode" -> WordCountSql,
     "wordcount_jsonl" -> WordCountSql,
     "wordcount_csv" -> WordCountSql,

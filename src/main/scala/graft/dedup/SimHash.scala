@@ -55,9 +55,16 @@ object SimHash {
     * exclusion is a broadcast anti-join).
     */
   def nearDupPairs(
-      fps: DataFrame,
+      fpsIn: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Long = MaxBucket): DataFrame = {
+    // The fingerprint table feeds three consumers (the hot-bucket count and
+    // both self-join sides), each otherwise recomputing the explode +
+    // 60-conditional-sum aggregate — the same multi-consumer shape as
+    // [[MinHashLSH.nearDupPairs]], materialized the same way: one lazy
+    // localCheckpoint, ContextCleaner-released, no CacheManager residue
+    // (see the rationale there).
+    val fps = fpsIn.localCheckpoint(false)
     val banded = fps.select(
       col("doc_id"),
       col("simhash"),

@@ -159,10 +159,6 @@ object SimilaritySearch {
     val bandBits = numPlanes / numBands
     val signs = signsFor(numPlanes)
     val qv = quantize(col("embedding"))
-    val base = graft.queries.Tables.parallelismFloor(embeddings)
-      .select(col("vec_id"), qv.as("qv"))
-      .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
-      .filter(col("nrm") > 0)
     val bandStructs = (0 until numBands).map { b =>
       val key = (0 until bandBits)
         .map { i =>
@@ -172,9 +168,22 @@ object SimilaritySearch {
         .reduce[Column](_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }
+    // Quantize + norm + ALL band keys in one pass, materialized once via a
+    // lazy localCheckpoint: the self-join's two sides otherwise each rescan
+    // the corpus and re-run the numPlanes 64-dim plane dots per row
+    // (verified: 2 parquet scans in the executed plan — the two exchanges
+    // don't canonicalize equal, so ReuseExchange can't dedupe them). The
+    // checkpointed row is compact (vec_id, qv, nrm, numBands band keys);
+    // the per-side explode above it is trivial. Same no-residue cleanup
+    // story as [[graft.dedup.MinHashLSH.nearDupPairs]].
+    val base = graft.queries.Tables.parallelismFloor(embeddings)
+      .select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("qv"), col("nrm"), array(bandStructs: _*).as("__bks"))
+      .localCheckpoint(false)
     val banded = base
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("qv"), col("nrm"), explode(col("__bks")).as("bk"))
       .select(col("vec_id"), col("qv"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val rhs = banded.select(

@@ -53,6 +53,31 @@ object TextLines {
     path
   }
 
+  /** Bzip2 variant of [[fixtureGzPath]] — the SPLITTABLE compressed codec
+    * (the reference's XML reader distinguished exactly this:
+    * RandomizedXMLRecordReader.java:81-106 seeks split boundaries through a
+    * SplittableCompressionCodec, vs stream-from-start for gzip). Spark's
+    * text source keeps the same property: a `.bz2` file scans as MULTIPLE
+    * input splits (the codec re-synchronizes on bzip2 block markers), so
+    * one big compressed file still parallelizes — the 100 TB answer gzip
+    * can't give. Hadoop's writer hardcodes 900 KB blocks ("BZh9"), so
+    * multi-split behavior needs a >900 KB corpus; Bzip2SplitSpec pins it
+    * on a purpose-built multi-block file.
+    */
+  def fixtureBz2Path(spark: SparkSession, dir: String): String = {
+    val digest = graft.queries.Tables.contentDigest(s"$dir/documents.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_bz2_$digest"
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy("doc_id")
+        .select(col("text"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "bzip2").text(path)
+    }
+    path
+  }
+
   /** One `value` column per line — the reference's record shape. */
   def readLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
