@@ -215,7 +215,25 @@ object SparkEntry {
       RQ.eventDistinctUsersApprox(Tables.events(s, dir)).orderBy("event_type")),
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
-        .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)))
+        .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)),
+    // --- window-function family: one user_id shuffle each, no state on
+    // the driver (Sessionize/AsofJoin scaladoc has the 100 TB argument) ---
+    "events_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(Tables.events(s, dir))
+        .orderBy("user_id", "session_id")),
+    "events_topk_group" -> ((s, dir) =>
+      graft.operators.GroupTopK.topK(Tables.events(s, dir))
+        .orderBy("event_type", "rn")),
+    "events_asof" -> ((s, dir) =>
+      graft.operators.AsofJoin.asof(Tables.events(s, dir))
+        .orderBy("event_id")),
+    // --- corpus curation: benchmark decontamination + token-budget mix ---
+    "docs_decontaminated" -> ((s, dir) =>
+      graft.text.Decontaminate.clean(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_token_budget" -> ((s, dir) =>
+      graft.sampling.TokenBudget.select(Tables.documents(s, dir))
+        .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -331,5 +349,10 @@ object SparkEntry {
     "events_cube" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
         |FROM events GROUP BY CUBE(1, 2)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "events_sessions" -> graft.operators.Sessionize.sessionsOracleSql(),
+    "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
+    "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
+    "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql())
 }

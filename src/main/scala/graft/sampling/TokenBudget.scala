@@ -1,0 +1,106 @@
+package graft.sampling
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Hashing
+
+/** Token-budget corpus selection: shuffle the documents into a
+  * deterministic pseudo-random order (a seeded content hash of the doc id)
+  * and keep the prefix whose RUNNING token total fits a budget — "give me
+  * an unbiased ~40 % -of-tokens training mix" as one relational query.
+  *
+  * Scale design (100 TB): a running total needs a global prefix sum, and a
+  * single global window (`Window.orderBy` with no partition) would drag
+  * every row through ONE task. Instead the classic two-level distributed
+  * prefix sum: rows hash into `buckets` ordered strata; per-bucket token
+  * totals (a `buckets`-row aggregate) turn into per-bucket OFFSETS with a
+  * driver-scale window; each row's global cumulative = its bucket's offset
+  * (broadcast back) + a within-bucket running sum (a window PARTITIONED by
+  * bucket — parallel across buckets). Net cost: one narrow scan, one
+  * `buckets`-row shuffle, one partitioned window — no global sort, no
+  * single-task stage. Because the hash order is deterministic, the
+  * selected set is exactly reproducible (and oracle-checkable) — unlike
+  * `ORDER BY rand() LIMIT`-style selection.
+  *
+  * Token counts use the whitespace tokenizer already oracle-proven by
+  * [[graft.text.TextAnalysis.tokenCounts]]; the budget is an integer
+  * fraction `num/den` of the corpus total, computed with integer division
+  * so both engines agree to the last token.
+  */
+object TokenBudget {
+
+  /** Bucket count for the two-level prefix sum: at 100 TB make it ≥ the
+    * cluster's task slots; the offset table stays metadata-sized either
+    * way.
+    */
+  val Buckets = 64
+
+  /** Documents selected under a `num/den`-of-total token budget.
+    * Output: doc_id, tok (whitespace tokens), cum (global running total in
+    * hash order — the proof the budget holds).
+    */
+  def select(
+      docs: DataFrame,
+      num: Long = 2,
+      den: Long = 5,
+      buckets: Int = Buckets): DataFrame = {
+    val tb = docs
+      .select(
+        col("doc_id"),
+        Hashing.hash60(concat(lit("tb:"), col("doc_id").cast("string"))).as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .withColumn("b", (col("h") % buckets).cast("int"))
+    // buckets-row aggregate → per-bucket exclusive-prefix offsets. The
+    // unpartitioned window is fine HERE: it runs over `buckets` rows of
+    // metadata, never over data.
+    val offsets = tb.groupBy("b").agg(sum(col("tok")).as("btot"))
+      .withColumn("off",
+        coalesce(
+          sum(col("btot")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("b", "off")
+    val budget = tb.agg(sum(col("tok")).as("corpus_tok"))
+      .select(expr(s"corpus_tok * $num DIV $den").as("budget"))
+    val inBucket = Window.partitionBy("b")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb.withColumn("cum_b", sum(col("tok")).over(inBucket))
+      .join(broadcast(offsets), "b")
+      .crossJoin(broadcast(budget))
+      .withColumn("cum", col("off") + col("cum_b"))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("tok"), col("cum"))
+  }
+
+  /** DuckDB oracle for [[select]] — the same two-level prefix sum (windowed
+    * integer sums are HUGEINT there, hence the BIGINT casts; `//` is
+    * DuckDB's integer division, matching Spark's `DIV`).
+    */
+  def selectOracleSql(num: Long = 2, den: Long = 5, buckets: Int = Buckets): String =
+    s"""WITH tb AS (
+       |  SELECT doc_id,
+       |         ${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+       |         CAST(${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} % $buckets AS INT) AS b
+       |  FROM documents
+       |),
+       |offs AS (
+       |  SELECT b, CAST(COALESCE(sum(btot) OVER (
+       |           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |         0) AS BIGINT) AS off
+       |  FROM (SELECT b, sum(tok) AS btot FROM tb GROUP BY b)
+       |),
+       |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb),
+       |c AS (
+       |  SELECT tb.doc_id, tb.tok,
+       |         offs.off + CAST(sum(tb.tok) OVER (
+       |           PARTITION BY tb.b ORDER BY tb.h, tb.doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM tb JOIN offs USING (b)
+       |)
+       |SELECT doc_id, tok, cum FROM c, lim
+       |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+}
