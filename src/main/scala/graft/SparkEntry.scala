@@ -227,6 +227,9 @@ object SparkEntry {
     "events_asof" -> ((s, dir) =>
       graft.operators.AsofJoin.asof(Tables.events(s, dir))
         .orderBy("event_id")),
+    "events_value_tier" -> ((s, dir) =>
+      graft.operators.RangeJoin.eventsByTier(s, Tables.events(s, dir))
+        .orderBy("tier")),
     // --- corpus curation: benchmark decontamination + token-budget mix ---
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
@@ -353,6 +356,7 @@ object SparkEntry {
     "events_sessions" -> graft.operators.Sessionize.sessionsOracleSql(),
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
+    "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql())
 }
