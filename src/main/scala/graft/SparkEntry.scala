@@ -157,6 +157,13 @@ object SparkEntry {
       RQ.wordCountLines(
         graft.sources.TextLines.readLines(s, graft.sources.TextLines.fixtureBz2Path(s, dir)))
         .orderBy("word")),
+    // ORC ingestion — the second columnar format (full-width fixture, so
+    // the scan must COLUMN-PRUNE to text; OrcSourceSpec pins ReadSchema)
+    "wordcount_orc" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.OrcSource.readDocuments(
+          s, graft.sources.OrcSource.fixtureOrcPath(s, dir)))
+        .orderBy("word")),
     // P2 urlDecode on an oracle path: escape deterministically, decode in
     // the query — the round trip must hash-match wordcount
     "wordcount_urldecode" -> ((s, dir) =>
@@ -189,6 +196,10 @@ object SparkEntry {
       graft.queries.TpchQueries.q3SkewJoin(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "tpch_q3_bucketed" -> ((s, dir) => graft.queries.TpchQueries.q3Bucketed(s, dir)),
+    "tpch_q10" -> ((s, dir) =>
+      graft.queries.TpchQueries.q10(
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
     "tpch_q5" -> ((s, dir) =>
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -326,6 +337,7 @@ object SparkEntry {
     "wordcount_xml" -> WordCountSql,
     "wordcount_text_gz" -> WordCountSql,
     "wordcount_text_bz2" -> WordCountSql,
+    "wordcount_orc" -> WordCountSql,
     "wordcount_urldecode" -> WordCountSql,
     "wordcount_jsonl" -> WordCountSql,
     "wordcount_csv" -> WordCountSql,
@@ -335,6 +347,7 @@ object SparkEntry {
     "tpch_q3_skewjoin" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q3_bucketed" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
+    "tpch_q10" -> graft.queries.TpchQueries.Q10OracleSql,
     "events_salted_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -228,4 +228,69 @@ object TpchQueries {
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff 00:00:00'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val Q10Start = "1996-10-01"
+  val Q10End = "1997-01-01"
+
+  /** TPC-H Q10 (returned-item reporting): top 20 customers by revenue lost
+    * to returns in a quarter.
+    *
+    * Deliberate plan improvement over the literal TPC-H shape: the
+    * returned-lineitem revenue is PRE-AGGREGATED per custkey BEFORE the
+    * customer join (the textbook grouping keys c_name/c_acctbal/n_name are
+    * functionally dependent on c_custkey, so grouping early is semantics-
+    * preserving — a partial-aggregate pushdown Catalyst does not do on its
+    * own). At 100 TB that turns the customer join input from every
+    * returned lineitem into one row per buying customer, and the dimension
+    * chain (nation) broadcasts. The top-20 runs as TakeOrderedAndProject —
+    * per-partition heaps, never a global sort.
+    */
+  def q10(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val perCust = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4"))
+      .join(
+        orders
+          .filter(col("o_orderdate") >= lit(Q10Start).cast("timestamp") &&
+            col("o_orderdate") < lit(Q10End).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+    perCust
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("c_acctbal_c"),
+        col("n_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val Q10OracleSql: String =
+    s"""WITH percust AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '$Q10Start 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '$Q10End 00:00:00'
+       |  GROUP BY o_custkey
+       |)
+       |SELECT c_custkey, c_name,
+       |       CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_c,
+       |       n_name, revenue_e4
+       |FROM percust
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin
 }

@@ -46,12 +46,18 @@ object TokenBudget {
       num: Long = 2,
       den: Long = 5,
       buckets: Int = Buckets): DataFrame = {
+    // Three consumers (bucket totals, corpus total, the cumsum join) would
+    // otherwise each rescan the parquet and re-tokenize every document
+    // (verified: 3 FileScans in the executed plan). Materialize the compact
+    // stats row (4 longs/doc) once — same lazy-localCheckpoint pattern as
+    // [[graft.dedup.MinHashLSH.nearDupPairs]], no CacheManager residue.
     val tb = docs
       .select(
         col("doc_id"),
         Hashing.hash60(concat(lit("tb:"), col("doc_id").cast("string"))).as("h"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
       .withColumn("b", (col("h") % buckets).cast("int"))
+      .localCheckpoint(false)
     // buckets-row aggregate → per-bucket exclusive-prefix offsets. The
     // unpartitioned window is fine HERE: it runs over `buckets` rows of
     // metadata, never over data.

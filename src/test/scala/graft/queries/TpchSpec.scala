@@ -28,4 +28,19 @@ class TpchSpec extends SparkSpec {
       assert(math.abs(e - x) / x < 0.18, s"group $k: est $e vs exact $x")
     }
   }
+
+  test("q10: top-20 plans as TakeOrderedAndProject with a broadcast nation join") {
+    val df = TpchQueries.q10(
+      Tables.customer(spark, sf001), Tables.orders(spark, sf001),
+      Tables.lineitem(spark, sf001), Tables.nation(spark, sf001))
+    val out = df.collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    // descending revenue with custkey tie-break — deterministic top-20
+    val revs = out.map(_.getLong(4))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    val plan = df.queryExecution.executedPlan.toString
+    // per-partition heaps instead of a global sort, broadcast dimension
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
 }
