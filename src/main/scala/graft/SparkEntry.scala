@@ -104,6 +104,9 @@ object SparkEntry {
       graft.similarity.IvfIndex.search(s, model, emb)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
+    "simsearch_centroids" -> ((s, dir) =>
+      graft.similarity.EmbeddingCentroids.centroids(Tables.embeddings(s, dir))
+        .orderBy("label", "dim")),
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")),
@@ -320,6 +323,7 @@ object SparkEntry {
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
+    "simsearch_centroids" -> graft.similarity.EmbeddingCentroids.centroidsOracleSql(),
     "dedup_embedding_pairs_banded" ->
       SimilaritySearch.nearDupPairsBandedOracleSql(0.15, 16, 4),
     "text_langid" -> TextAnalysis.languageIdOracleSql,
