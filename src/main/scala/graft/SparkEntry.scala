@@ -230,6 +230,10 @@ object SparkEntry {
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
         .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)),
+    "events_props_sum" -> ((s, dir) =>
+      RQ.eventPropsSum(Tables.events(s, dir)).orderBy("event_type")),
+    "events_pivot" -> ((s, dir) =>
+      RQ.eventPivot(Tables.events(s, dir)).orderBy("dow")),
     // --- window-function family: one user_id shuffle each, no state on
     // the driver (Sessionize/AsofJoin scaladoc has the 100 TB argument) ---
     "events_sessions" -> ((s, dir) =>
@@ -370,6 +374,17 @@ object SparkEntry {
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
         |FROM events GROUP BY CUBE(1, 2)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "events_props_sum" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_pivot" ->
+      ("""SELECT strftime(ts, '%a') AS dow, """ +
+        graft.queries.ReferenceQueries.EventTypes.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS $t")
+          .mkString(", ") +
+        """ FROM events GROUP BY 1 ORDER BY 1"""),
     "events_sessions" -> graft.operators.Sessionize.sessionsOracleSql(),
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),

@@ -268,6 +268,41 @@ object ReferenceQueries {
       .cube(col("event_type"), (col("user_id") % 10).cast("long").as("user_bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Semi-structured extraction: the `props` column is a JSON string; pull
+    * the `k` property and aggregate it per event type. `get_json_object`
+    * is a codegen'd path expression evaluated inside the scan stage — no
+    * UDF, no schema inference pass over the data (contrast
+    * `spark.read.json`'s sampling job; at 100 TB you extract the fields
+    * you need, you don't infer a schema you won't use).
+    */
+  def eventPropsSum(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  /** All event-type values, fixed for [[eventPivot]]'s column set. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT day-of-week × event type → revenue cents: the OLAP reshape.
+    * The value list is EXPLICIT — without it Spark runs a driver-side
+    * distinct job over the pivot column before it can even plan, and the
+    * output width is unbounded; with it the pivot compiles to one grouped
+    * aggregate of CASE-filtered sums (exactly what the oracle SQL spells),
+    * one shuffle with map-side partials.
+    */
+  def eventPivot(events: DataFrame): DataFrame =
+    events
+      .select(
+        date_format(col("ts"), "EEE").as("dow"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("dow"))
+      .pivot("event_type", EventTypes)
+      .agg(sum(col("cents")))
+
   /** Sampled word count with Horvitz–Thompson scale-up: the reference's
     * flagship approximate query (SURVEY.md §7.3). Counts computed on a
     * seeded Bernoulli sample, scaled by 1/ratio — the estimator the
