@@ -189,6 +189,11 @@ object SparkEntry {
       graft.queries.TpchQueries.q1Sampled(Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))
         .orderBy("l_returnflag", "l_linestatus")),
     "tpch_q6" -> ((s, dir) => graft.queries.TpchQueries.q6(Tables.lineitem(s, dir))),
+    // seeded Bernoulli sample + HT scale-up; no external oracle by design
+    // (rows-only driver check, statistical spec in TpchSpec)
+    "tpch_q6_sampled_r10" -> ((s, dir) =>
+      graft.queries.TpchQueries.q6Sampled(
+        Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))),
     "tpch_q3" -> ((s, dir) =>
       graft.queries.TpchQueries.q3(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),

@@ -60,25 +60,42 @@ object TpchQueries {
     * stats and the aggregate sees only surviving rows. Revenue in 1e4
     * integer units.
     */
+  // the synthetic corpus ships 1995-2001 (TESTDATA), so the window is 1996
+  // — TPC-H's literal 1994 would select ZERO rows and the query would be a
+  // hollow coalesce(0): every filter must actually cut data to mean anything
+  val Q6Start = "1996-01-01"
+  val Q6End = "1997-01-01"
+
   def q6(lineitem: DataFrame): DataFrame = {
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discP = round(col("l_discount") * 100).cast("long")
     lineitem
       .filter(
-        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") >= lit(Q6Start).cast("timestamp") &&
+          col("l_shipdate") < lit(Q6End).cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
       .agg(sum(priceC * discP).as("revenue_e4"))
       .select(coalesce(col("revenue_e4"), lit(0L)).as("revenue_e4"))
   }
 
+  /** Sampled Q6 with HT scale-up — the filter-heavy single-aggregate is
+    * the AQP sweet spot: one global sum over ~6 k qualifying rows at sf0.1
+    * keeps the relative error ≈ √((1−p)/(p·n)) small, unlike per-group
+    * estimates over tiny groups (a sampled Q3 would average 4 lineitems
+    * per order — statistically useless, so it is deliberately NOT offered).
+    */
+  def q6Sampled(lineitem: DataFrame, cfg: SamplingConfig): DataFrame = {
+    val s = Sampled(lineitem, cfg)
+    q6(s.data).select(s.htScale(col("revenue_e4")).as("est_revenue_e4"))
+  }
+
   val Q6OracleSql: String =
-    """SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    s"""SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |WHERE l_shipdate >= TIMESTAMP '$Q6Start 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '$Q6End 00:00:00'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 

@@ -29,6 +29,23 @@ class TpchSpec extends SparkSpec {
     }
   }
 
+  test("sampled q6: HT estimate tracks exact revenue within sampling noise") {
+    val exact = TpchQueries.q6(Tables.lineitem(spark, sf01))
+      .collect().head.getLong(0).toDouble
+    val n = Tables.lineitem(spark, sf01)
+      .filter(col("l_shipdate") >= lit(TpchQueries.Q6Start).cast("timestamp") &&
+        col("l_shipdate") < lit(TpchQueries.Q6End).cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24).count()
+    val est = TpchQueries.q6Sampled(
+      Tables.lineitem(spark, sf01), SamplingConfig(ratio = 0.1))
+      .collect().head.getDouble(0)
+    // rel-stddev ≈ √((1−p)/(p·n)); 4σ bound on the seeded sample
+    val bound = 4.0 * math.sqrt(0.9 / (0.1 * n))
+    assert(math.abs(est - exact) / exact < bound,
+      s"est $est vs exact $exact (n=$n, bound=$bound)")
+  }
+
   test("q10: top-20 plans as TakeOrderedAndProject with a broadcast nation join") {
     val df = TpchQueries.q10(
       Tables.customer(spark, sf001), Tables.orders(spark, sf001),
