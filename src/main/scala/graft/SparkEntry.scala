@@ -259,6 +259,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "docs_token_budget" -> ((s, dir) =>
       graft.sampling.TokenBudget.select(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_packed" -> ((s, dir) =>
+      graft.text.SequencePacking.packs(Tables.documents(s, dir))
         .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,5 +398,6 @@ object SparkEntry {
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
-    "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql())
+    "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
+    "docs_packed" -> graft.text.SequencePacking.packsOracleSql())
 }

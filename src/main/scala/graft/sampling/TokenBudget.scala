@@ -37,20 +37,18 @@ object TokenBudget {
     */
   val Buckets = 64
 
-  /** Documents selected under a `num/den`-of-total token budget.
-    * Output: doc_id, tok (whitespace tokens), cum (global running total in
-    * hash order — the proof the budget holds).
+  /** The shared core: per-doc stats (`tb`, materialized once) and the
+    * cumulative frame (`doc_id, tok, cum` with `cum` = global running token
+    * total in bucket-major hash order). [[select]] filters it against a
+    * budget; [[graft.text.SequencePacking]] chunks it into packs.
     */
-  def select(
-      docs: DataFrame,
-      num: Long = 2,
-      den: Long = 5,
-      buckets: Int = Buckets): DataFrame = {
-    // Three consumers (bucket totals, corpus total, the cumsum join) would
-    // otherwise each rescan the parquet and re-tokenize every document
-    // (verified: 3 FileScans in the executed plan). Materialize the compact
-    // stats row (4 longs/doc) once — same lazy-localCheckpoint pattern as
-    // [[graft.dedup.MinHashLSH.nearDupPairs]], no CacheManager residue.
+  private[graft] def withCum(docs: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
+    // Multiple consumers (bucket totals, corpus total, the cumsum join)
+    // would otherwise each rescan the parquet and re-tokenize every
+    // document (verified: 3 FileScans in the executed plan). Materialize
+    // the compact stats row (4 longs/doc) once — same lazy-localCheckpoint
+    // pattern as [[graft.dedup.MinHashLSH.nearDupPairs]], no CacheManager
+    // residue.
     val tb = docs
       .select(
         col("doc_id"),
@@ -68,25 +66,20 @@ object TokenBudget {
             Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("b", "off")
-    val budget = tb.agg(sum(col("tok")).as("corpus_tok"))
-      .select(expr(s"corpus_tok * $num DIV $den").as("budget"))
     val inBucket = Window.partitionBy("b")
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tb.withColumn("cum_b", sum(col("tok")).over(inBucket))
+    val cum = tb.withColumn("cum_b", sum(col("tok")).over(inBucket))
       .join(broadcast(offsets), "b")
-      .crossJoin(broadcast(budget))
       .withColumn("cum", col("off") + col("cum_b"))
-      .filter(col("cum") <= col("budget"))
-      .select(col("doc_id"), col("tok"), col("cum"))
+    (tb, cum)
   }
 
-  /** DuckDB oracle for [[select]] — the same two-level prefix sum (windowed
-    * integer sums are HUGEINT there, hence the BIGINT casts; `//` is
-    * DuckDB's integer division, matching Spark's `DIV`).
+  /** Shared SQL prefix for the cumulative frame `c(doc_id, tok, cum)` —
+    * composed into both oracle queries (`WITH $CumCteSql SELECT …`).
     */
-  def selectOracleSql(num: Long = 2, den: Long = 5, buckets: Int = Buckets): String =
-    s"""WITH tb AS (
+  private[graft] def cumCteSql(buckets: Int): String =
+    s"""tb AS (
        |  SELECT doc_id,
        |         ${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h,
        |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
@@ -99,14 +92,39 @@ object TokenBudget {
        |         0) AS BIGINT) AS off
        |  FROM (SELECT b, sum(tok) AS btot FROM tb GROUP BY b)
        |),
-       |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb),
        |c AS (
        |  SELECT tb.doc_id, tb.tok,
        |         offs.off + CAST(sum(tb.tok) OVER (
        |           PARTITION BY tb.b ORDER BY tb.h, tb.doc_id
        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM tb JOIN offs USING (b)
-       |)
+       |)""".stripMargin
+
+  /** Documents selected under a `num/den`-of-total token budget.
+    * Output: doc_id, tok (whitespace tokens), cum (global running total in
+    * hash order — the proof the budget holds).
+    */
+  def select(
+      docs: DataFrame,
+      num: Long = 2,
+      den: Long = 5,
+      buckets: Int = Buckets): DataFrame = {
+    val (tb, cum) = withCum(docs, buckets)
+    val budget = tb.agg(sum(col("tok")).as("corpus_tok"))
+      .select(expr(s"corpus_tok * $num DIV $den").as("budget"))
+    cum
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("tok"), col("cum"))
+  }
+
+  /** DuckDB oracle for [[select]] — the same two-level prefix sum (windowed
+    * integer sums are HUGEINT there, hence the BIGINT casts; `//` is
+    * DuckDB's integer division, matching Spark's `DIV`).
+    */
+  def selectOracleSql(num: Long = 2, den: Long = 5, buckets: Int = Buckets): String =
+    s"""WITH ${cumCteSql(buckets)},
+       |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb)
        |SELECT doc_id, tok, cum FROM c, lim
        |WHERE cum <= budget ORDER BY doc_id""".stripMargin
 }

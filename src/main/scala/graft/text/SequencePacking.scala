@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training packs
+  * by concat-and-chunk — lay the corpus out in a deterministic
+  * pseudo-random order, run a global token prefix sum, and cut a pack
+  * boundary every `packTokens` tokens; each document belongs to the pack
+  * its FIRST token lands in. This is the batch-layout step an LLM training
+  * pipeline runs after curation (greedy best-fit bin packing is inherently
+  * sequential; concat-and-chunk is the order-deterministic, shuffle-
+  * friendly form actually used at scale, and what makes it expressible as
+  * one relational query).
+  *
+  * All the heavy machinery is shared with
+  * [[graft.sampling.TokenBudget]]: the same materialized per-doc stats and
+  * the same two-level distributed prefix sum (no global single-task
+  * window), so packing costs one narrow scan + one `buckets`-row shuffle +
+  * one partitioned window regardless of corpus size. Pack sizes deviate
+  * from `packTokens` by at most one document's tokens (a doc is never
+  * split across packs here — the token-level split happens downstream in
+  * the tokenizer, which only needs the pack assignment).
+  */
+object SequencePacking {
+
+  /** ~2k-token packs — a typical training sequence budget. */
+  val PackTokens = 2048L
+
+  /** Output: doc_id, tok, cum (global running total), pack_id
+    * (0-based: the pack containing the doc's first token).
+    */
+  def packs(
+      docs: DataFrame,
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val (_, cum) = graft.sampling.TokenBudget.withCum(docs, buckets)
+    cum
+      .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
+      .select(col("doc_id"), col("tok"), col("cum"), col("pack_id"))
+  }
+
+  /** DuckDB oracle for [[packs]] — shared prefix-sum CTE + the same
+    * integer chunk arithmetic.
+    */
+  def packsOracleSql(
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): String =
+    s"""WITH ${graft.sampling.TokenBudget.cumCteSql(buckets)}
+       |SELECT doc_id, tok, cum,
+       |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+}
