@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Harness discipline (VERDICT r1 §wrong 4-5): one warmup pass per query
   * (absorbs codegen + first-touch scan costs), then median of 3 timed
-  * trials; failures are never swallowed — a crashing query is reported in
-  * an `errors` field and the process exits non-zero.
+  * trials — interleaved round-robin across queries, with process-CPU time
+  * recorded next to wall time (VERDICT r7 §wrong 2, contention
+  * de-confounding); failures are never swallowed — a crashing query is
+  * reported in an `errors` field and the process exits non-zero.
   *
   * Timed action: a noop-sink write, which executes the FULL plan including
   * each query's final orderBy (a `count()` would let Catalyst drop the
@@ -29,16 +31,25 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // Process-CPU time alongside wall time (VERDICT r7 §wrong 2): on a
+    // contended host, wall time inflates while the query's own CPU time
+    // stays flat, so the pair separates "plan regressed" from "host was
+    // busy". local-mode executors are threads of this JVM, so process CPU
+    // covers the whole query.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
     // Warmup failures are NOT errors (transient first-touch issues would
     // otherwise fail the whole bench even when all timed trials pass);
     // only timed-trial failures count, and the per-query trial count is
     // reported so a median over <3 samples is visible in the JSON.
-    def run(name: String, recordError: Boolean): Option[Double] =
+    def run(name: String, recordError: Boolean): Option[(Double, Double)] =
       try {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9))
       } catch {
         case e: Throwable =>
           if (recordError)
@@ -53,13 +64,25 @@ object Bench {
       }
 
     names.foreach(run(_, recordError = false)) // warmup
-    val trialCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // Trials interleave round-robin (pass 1 over every query, then pass 2,
+    // pass 3) instead of 3 back-to-back per query: a multi-minute host
+    // contention window then costs each query at most one of its three
+    // trials — the median survives — rather than landing on a contiguous
+    // alphabetical block and reading as a family-wide regression (r6 hit
+    // log_size/log_totalsize, r7 hit the whole events_* block this way).
     val trialTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val trialCpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    for (_ <- 1 to 3; name <- names) run(name, recordError = true).foreach {
+      case (wall, cpu) =>
+        trialTimes(name) = trialTimes.getOrElse(name, Seq.empty) :+ wall
+        trialCpu(name) = trialCpu.getOrElse(name, Seq.empty) :+ cpu
+    }
+    val trialCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    names.foreach(n => trialCounts(n) = trialTimes.getOrElse(n, Seq.empty).size)
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val results = names.flatMap { name =>
-      val trials = (1 to 3).flatMap(_ => run(name, recordError = true))
-      trialCounts(name) = trials.size
-      trialTimes(name) = trials
-      if (trials.isEmpty) None else Some(name -> trials.sorted.apply(trials.size / 2))
+      val trials = trialTimes.getOrElse(name, Seq.empty)
+      if (trials.isEmpty) None else Some(name -> median(trials))
     }
 
     def jq(s: String): String =
@@ -87,9 +110,15 @@ object Bench {
     val perTrialJson = trialTimes
       .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val cpuJson = trialCpu
+      .map { case (k, ts) => jq(k) + ":" + median(ts) }
+      .mkString("{", ",", "}")
+    val perTrialCpuJson = trialCpu
+      .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"trials":$trialsJson,"trial_times":$perTrialJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_cpu":$cpuJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"errors":$errJson,"sf":"$sfDir"}""")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
