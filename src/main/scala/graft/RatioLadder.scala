@@ -90,7 +90,13 @@ object RatioLadder {
       Family("log_totalsize", events, clf(RQ.clfTotalsize), "key", countCol = "total"),
       Family("log_pagesize", events, clf(RQ.clfPagesize), "page", countCol = "total"),
       Family("log_page", events, clf(RQ.clfPage), "page"),
-      Family("wireless", events, RQ.wirelessLinks(_), "link"))
+      Family("wireless", events, RQ.wirelessLinks(_), "link"),
+      // the curation-layer AQP families (beyond the reference's surface):
+      // quality histogram + corpus token total under the same ladder
+      // protocol, so the T4 bound is proven on the LLM-pipeline shapes too
+      Family("text_quality", docs, graft.text.TextAnalysis.qualityDistribution(_), "bucket"),
+      Family("text_tokens", docs, graft.text.TextAnalysis.tokenTotals(_), "key",
+        countCol = "total"))
   }
 
   /** Run the full ladder for one family into `outDir/<family>/`. */

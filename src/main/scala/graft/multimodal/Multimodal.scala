@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * pipeline: opaque `BINARY` payloads + typed metadata, decode,
   * feature-extraction, resize planning, and frame sampling.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * [[StubCodec]] derives deterministic fake dimensions from the payload
-  * bytes. Everything around it is real and tested: the binary schema, the
+  * Codec honesty: still images decode for REAL via [[ImageIoCodec]]
+  * (javax.imageio) and audio decodes for REAL via [[WavCodec]]
+  * (javax.sound.sampled) — both JDK-native, no external deps. VIDEO is the
+  * one remaining stub ([[StubCodec]] derives deterministic fake dimensions
+  * from the payload bytes; no container codec can parse video). Everything
+  * around the codecs is real and tested: the binary schema, the
   * per-partition imperative decode path ([[decodePartitions]], the Scala
   * analogue of a pandas `mapInPandas` batch UDF), the declarative metadata
   * expressions the oracle checks, and the array/struct plumbing for frames
@@ -35,10 +38,11 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded
   }
 
-  /** STUB codec — stands in for a real AUDIO/VIDEO library (none ships in
-    * this container). Dimensions are a deterministic function of payload
-    * length and first/last byte, so specs and the SQL oracle can replay it.
-    * For still images use [[ImageIoCodec]], which is real.
+  /** STUB codec — stands in for a real VIDEO library (none ships in this
+    * container). Dimensions are a deterministic function of payload length
+    * and first/last byte, so specs and the SQL oracle can replay it. For
+    * still images use [[ImageIoCodec]] and for audio [[WavCodec]] — both
+    * real.
     */
   object StubCodec extends AssetCodec {
     def decode(b: Array[Byte]): Decoded = {
@@ -101,6 +105,131 @@ object Multimodal {
   def imageHeight(i: Long): Int = 16 + (i % 13).toInt
 
   val ResizeTarget = 256
+
+  // ---- real audio: deterministic WAV synthesis + javax.sound.sampled decode
+  // ---- (the audio twin of the ImageIoCodec path; video remains the one
+  // ---- honest stub — no container codec can parse it)
+
+  /** Decoded audio metadata a real audio codec returns. */
+  final case class DecodedAudio(sampleRate: Long, nSamples: Long, rms: Double)
+
+  /** Number of synthesized audio assets in the [[audioFeatures]] query. */
+  val AudioAssets = 500
+
+  /** Synthesis parameters as fixed functions of asset_id — the oracle and
+    * the spec recompute them independently of the decode path.
+    */
+  def audioSampleRate(i: Long): Int = Seq(8000, 16000, 32000)((i % 3).toInt)
+  def audioNumSamples(i: Long): Int = 4000 + (i % 32).toInt * 250
+  def audioAmplitude(i: Long): Int = 256 + (i % 64).toInt * 16
+
+  /** Square-wave half-period in samples. */
+  val AudioHalfPeriod = 4
+
+  /** Deterministic WAV payload: hand-rolled RIFF/WAVE header + 16-bit LE
+    * mono PCM square wave of the given amplitude — byte-stable across JVMs
+    * by construction. A square wave because every sample has magnitude
+    * `amplitude`, so RMS == amplitude/32768 EXACTLY (32768 is a power of
+    * two → the normalization is exact in IEEE 754, and sqrt of the exact
+    * square is exact), which makes the decoded RMS replayable in DuckDB SQL.
+    */
+  def wavBytes(nSamples: Int, sampleRate: Int, amplitude: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate = rate * blockAlign
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < nSamples) {
+      val s = if ((j / AudioHalfPeriod) % 2 == 0) amplitude else -amplitude
+      bb.putShort(s.toShort)
+      j += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio codec over `javax.sound.sampled` (JDK-only, headless-safe):
+    * parses the WAV container, returns true sample rate and frame count,
+    * and computes RMS over the normalized 16-bit PCM samples.
+    */
+  object WavCodec extends Serializable {
+    def decode(b: Array[Byte]): DecodedAudio = {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          "expected 16-bit mono PCM")
+        val n = in.getFrameLength
+        val data = in.readAllBytes()
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val pcm = java.nio.ByteBuffer.wrap(data).order(order)
+        var sumSq = 0.0
+        var j = 0
+        while (j < n) {
+          val x = pcm.getShort(j * 2) / 32768.0
+          sumSq += x * x
+          j += 1
+        }
+        DecodedAudio(
+          sampleRate = fmt.getSampleRate.toLong,
+          nSamples = n,
+          rms = if (n == 0) 0.0 else math.sqrt(sumSq / n))
+      } finally in.close()
+    }
+  }
+
+  /** Synthesize n real WAV audio assets, executor-side. */
+  def synthesizeAudio(spark: SparkSession, n: Int = AudioAssets): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .map { i =>
+        (i, wavBytes(audioNumSamples(i), audioSampleRate(i), audioAmplitude(i)), "audio")
+      }
+      .toDF("asset_id", "content", "media_type")
+  }
+
+  /** Real audio feature extraction: WAV-decode each payload per partition
+    * (one codec per task — the mapInPandas batch shape) → sample rate,
+    * sample count, duration, RMS. Oracle-gated: every output value is a
+    * fixed function of asset_id because the synthesis is deterministic and
+    * the square wave makes RMS exact (see [[wavBytes]]).
+    */
+  def audioFeatures(spark: SparkSession, audioDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    audioDf
+      .select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val d = WavCodec.decode(bytes)
+          (id, d.sampleRate, d.nSamples, d.nSamples * 1000.0 / d.sampleRate, d.rms)
+        }
+      }
+      .toDF("asset_id", "sample_rate", "n_samples", "duration_ms", "rms")
+  }
+
+  /** DuckDB oracle for [[audioFeatures]] over [[synthesizeAudio]]: pure
+    * arithmetic on asset_id (no table needed — `range` is the generator).
+    */
+  def audioFeaturesOracleSql(n: Int = AudioAssets): String =
+    s"""SELECT i AS asset_id,
+       |       CAST([8000, 16000, 32000][CAST(i % 3 AS INT) + 1] AS BIGINT) AS sample_rate,
+       |       CAST(4000 + (i % 32) * 250 AS BIGINT) AS n_samples,
+       |       CAST(4000 + (i % 32) * 250 AS DOUBLE) * 1000.0
+       |         / [8000, 16000, 32000][CAST(i % 3 AS INT) + 1] AS duration_ms,
+       |       CAST(256 + (i % 64) * 16 AS DOUBLE) / 32768.0 AS rms
+       |FROM range(0, $n) t(i)
+       |ORDER BY asset_id""".stripMargin
 
   /** Synthesize binary assets from documents: payload = UTF-8 text bytes,
     * media type round-robins image/audio/video by doc_id.

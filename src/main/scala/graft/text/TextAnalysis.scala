@@ -98,6 +98,33 @@ object TextAnalysis {
         .as("tok_re"),
       ceil(length(col("text")).cast("double") / 4).cast("long").as("tok_bpe_est"))
 
+  /** Corpus-level quality histogram: documents per 0.1-wide quality bucket
+    * (bucket = floor(quality·10), so [0,1] → buckets 0..10). Count-shaped,
+    * which makes it a [[graft.queries.ReferenceQueries.sampled]] target: at
+    * 100 TB the curation question "what does the quality distribution look
+    * like?" is exactly where a 1 % seeded sample + HT scale-up answers in
+    * 1 % of the scan cost with a T4-bounded error (the reference's AQP core,
+    * RandomSamplingUtil.java:376-382, applied to the LLM-curation layer).
+    */
+  def qualityDistribution(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .groupBy(floor(col("quality") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-level token budget: one row, total regex tokens (the BPE-ish
+    * pre-tokenizer count from [[tokenCounts]]) over the whole corpus —
+    * the "how many tokens is this dataset?" sizing question. Same
+    * count-shape as the reference's `totalsize` task
+    * (RandomizedApacheLogAnalysis.java:93-95), so the sampled twin
+    * HT-scales it identically.
+    */
+  def tokenTotals(docs: DataFrame): DataFrame =
+    graft.queries.Tables.parallelismFloor(docs)
+      .select(regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .cast("long").as("__tok"))
+      .groupBy(lit("Total").as("key"))
+      .agg(sum(col("__tok")).as("total"))
+
   val GramLen = 8
   val WinnowWindow = 4
   val PolyBase = 131L

@@ -34,7 +34,8 @@ class RatioLadderSpec extends SparkSpec {
     "stay within the T4 bound on the additive total") {
     import org.apache.spark.sql.functions._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_ladder_families"
-    val chosen = Set("charcount", "log_size", "wireless", "wordcount")
+    val chosen =
+      Set("charcount", "log_size", "wireless", "wordcount", "text_quality", "text_tokens")
     val fams = RatioLadder.families(spark, sf001).filter(f => chosen.contains(f.name))
     assert(fams.size === chosen.size)
     fams.foreach { f =>

@@ -80,6 +80,29 @@ class MultimodalSpec extends SparkSpec {
     assert(magic.sameElements(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
   }
 
+  test("REAL audio codec: WavCodec recovers rate/frames/RMS from synthesized WAVs " +
+    "exactly, and the payloads are real RIFF/WAVE containers") {
+    val n = 96
+    val wavs = Multimodal.synthesizeAudio(spark, n)
+    val out = Multimodal.audioFeatures(spark, wavs).orderBy("asset_id").collect()
+    assert(out.length === n)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === Multimodal.audioSampleRate(id).toLong, s"rate of asset $id")
+      assert(r.getLong(2) === Multimodal.audioNumSamples(id).toLong, s"frames of asset $id")
+      assert(r.getDouble(3) ===
+        Multimodal.audioNumSamples(id) * 1000.0 / Multimodal.audioSampleRate(id))
+      // square wave → RMS == amplitude/32768 BIT-exactly (power-of-two
+      // normalization + sqrt of an exact square; scaladoc on wavBytes)
+      assert(r.getDouble(4) === Multimodal.audioAmplitude(id) / 32768.0,
+        s"rms of asset $id")
+    }
+    // payloads really are WAV containers, not text blobs
+    val magic = wavs.select("content").head().getAs[Array[Byte]](0)
+    assert(new String(magic.take(4), "US-ASCII") === "RIFF")
+    assert(new String(magic.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
   test("feature vectors: 8 dims in [0,1), deterministic") {
     val f = Multimodal.features(Multimodal.assets(docs))
     assert(f.columns.toSeq === ("asset_id" +: (0 until 8).map(i => s"f$i")))
