@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupCorpus, DedupClusters, JaccardPairs, MinHashLSH}
+import graft.queries.Tables
+
+/** Synthetic scale probe: explode the sf-dir fixtures ×k (union of
+  * transformed copies) and time the heaviest engine operators at each
+  * factor, asserting wall time grows ≤ ~linearly — the cheapest local[32]
+  * evidence that the 100 TB design claims (banded joins, bounded buckets,
+  * one-shuffle windows) hold beyond the fixture scale.
+  *
+  * Copy construction matters for honesty:
+  *  - documents: each copy applies a per-copy LETTER ROTATION cipher
+  *    (translate a→b→c…, by k) so copies share (almost) no vocabulary —
+  *    plain duplication would make every doc a cross-copy near-duplicate
+  *    and the dedup pair count quadratic IN THE FIXTURE, not the engine.
+  *    With disjoint vocabularies each copy carries its own injected-dup
+  *    structure, so outputs and join work scale ~k×, which is exactly what
+  *    a k×-larger real corpus does.
+  *  - events: user_id/event_id shifted per copy → k× users at the same
+  *    per-user event density (what growth looks like in production).
+  *
+  * Usage: `runMain graft.tools.ScaleProbe [factors]` (default 1,8,32);
+  * env SPARK_GRAFT_SF_DIR picks the base fixture (default sf0.1).
+  * Writes PROFILE_SCALE.json to the working dir; exits non-zero if any
+  * operator's large-factor scaling ratio exceeds linear × [[Slack]].
+  */
+object ScaleProbe {
+
+  /** Tolerated super-linearity (shuffle fan-in, spill, scheduling). */
+  val Slack = 2.0
+
+  /** ×k documents: union of copies with shifted doc_ids and a per-copy
+    * suffix appended to EVERY token, so copies share no vocabulary at any
+    * k. (A 26-letter rotation cipher was tried first: at k > 26 the
+    * rotations wrap and copy i duplicates copy i−26 byte-for-byte, which
+    * doubled posting-list df and showed up as a 9.8× jump on the ×8→×32
+    * step of `dedup_ngram_pairs` — a fixture artifact, not engine
+    * behavior.)
+    */
+  def explodeDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "([a-z0-9]+)", s"$$1q$i")).as("text"))
+    }.reduce(_ unionAll _)
+
+  /** ×k events: union of copies with shifted user/event ids. */
+  def explodeEvents(events: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      events
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption
+      .map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 8, 32))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val events0 = Tables.events(spark, sfDir)
+
+    // the heaviest bench families (BENCH_r07 ranking), by engine shape:
+    // capped bucket joins (minhash/ngram pairs), the iterative CC pipeline
+    // (cleaned), the per-row winnowing array pipeline (fingerprints), and
+    // the one-shuffle session window
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "dedup_minhash_pairs" -> (k =>
+        MinHashLSH.nearDupPairs(
+          MinHashLSH.signatures(DedupCorpus.augment(explodeDocs(docs0, k))))),
+      "dedup_ngram_pairs" -> (k =>
+        JaccardPairs.nearDupPairs(DedupCorpus.augment(explodeDocs(docs0, k)))),
+      "dedup_cleaned" -> (k =>
+        DedupClusters.cleaned(DedupCorpus.augment(explodeDocs(docs0, k)))),
+      "text_fingerprint" -> (k =>
+        graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
+      "events_sessions" -> (k =>
+        graft.operators.Sessionize.sessions(explodeEvents(events0, k))))
+
+    def runOnce(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
+    ops.foreach { case (name, build) =>
+      runOnce(build(1)) // warmup: absorb codegen + first-touch scan
+      val times = factors.map(k => k -> runOnce(build(k)))
+      results(name) = times
+      println(s"[probe] $name: " +
+        times.map { case (k, t) => f"x$k=$t%.2fs" }.mkString(" "))
+    }
+
+    // scaling verdict on the top factor pair (least noise): t(kHi)/t(kLo)
+    // must stay within (kHi/kLo) × Slack
+    val (kLo, kHi) = (factors(factors.size - 2), factors.last)
+    var failed = false
+    val verdicts = results.map { case (name, times) =>
+      val m = times.toMap
+      val ratio = m(kHi) / m(kLo)
+      val bound = kHi.toDouble / kLo * Slack
+      val ok = ratio <= bound
+      if (!ok) failed = true
+      println(f"[probe] $name%-20s t(x$kHi)/t(x$kLo) = $ratio%.2f (linear=${kHi.toDouble / kLo}%.1f, bound=$bound%.1f) ${if (ok) "OK" else "SUPERLINEAR"}")
+      name -> (ratio, ok)
+    }
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = results.map { case (name, times) =>
+      val (ratio, ok) = verdicts(name)
+      s""""$name":{${times.map { case (k, t) => s""""x$k":${fmt(t)}""" }.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
+    }.mkString("{", ",", s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PROFILE_SCALE.json"), json)
+    println(json)
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
