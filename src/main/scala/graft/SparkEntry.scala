@@ -86,6 +86,14 @@ object SparkEntry {
     // components → surviving corpus
     "dedup_cleaned" -> ((s, dir) =>
       DedupClusters.cleaned(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
+    // duplicate-rate estimation: exact twin + UNIVERSE (hash-range) sampled
+    // estimator — deterministic content-hash predicate, so the sampled run
+    // is fully oracle-gated (a Bernoulli row sample would understate the
+    // rate ~p×; cluster-atomic sampling is the honest estimator)
+    "dedup_rate" -> ((s, dir) =>
+      graft.dedup.DedupRate.rateStats(DedupCorpus.augment(Tables.documents(s, dir)))),
+    "dedup_rate_sampled_u10" -> ((s, dir) =>
+      graft.dedup.DedupRate.rateStatsSampled(DedupCorpus.augment(Tables.documents(s, dir)))),
     // --- LLM-data-pipeline: similarity search over embeddings ---
     "simsearch_topk" -> ((s, dir) =>
       SimilaritySearch.topK(Tables.embeddings(s, dir))
@@ -361,6 +369,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
+    "dedup_rate" -> graft.dedup.DedupRate.rateStatsOracleSql,
+    "dedup_rate_sampled_u10" -> graft.dedup.DedupRate.rateStatsSampledOracleSql(),
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
