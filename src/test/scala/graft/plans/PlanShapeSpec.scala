@@ -75,6 +75,34 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("derepeat shuffles no data by key (pure per-row array computation)") {
+    val plan = executed(graft.text.Derepeat.derepeated(
+      graft.text.Derepeat.withParagraphs(Tables.documents(spark, sf001))))
+    // same doctrine as winnowing: the only exchange allowed is the
+    // input-parallelism round-robin — paragraph split, first-occurrence
+    // filter, and re-join all stay inside the row
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      plan.take(3000))
+  }
+
+  test("universe-sampled dedup rate: the hash-range filter evaluates in the scan " +
+    "stage and the scan reads only the text column") {
+    val corpus = graft.dedup.DedupCorpus.augment(
+      Tables.documents(spark, sf001)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    val plan = executed(graft.dedup.DedupRate.rateStatsSampled(corpus, 10))
+    // the 90 % of rows outside the hash range must die before any exchange:
+    // Filter sits below the first Exchange in the plan tree (plan strings
+    // print top-down, so the scan-side filter appears AFTER the exchange
+    // line)
+    val lines = plan.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val scanFilter = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(firstExchange >= 0 && scanFilter > firstExchange, plan.take(3000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan.take(3000))
+  }
+
   test("exact-mode Sampled adds zero plan nodes") {
     val base = Tables.documents(spark, sf001)
     val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)
