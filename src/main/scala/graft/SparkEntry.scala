@@ -145,6 +145,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_pii" -> ((s, dir) =>
       graft.text.PiiScrub.scrub(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Gopher-style repetition quality signals (dup-word / top-word /
+    // dup-bigram fractions) — the standard degenerate-text filters
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
     // --- LLM-data-pipeline: multimodal binary-column plumbing (stub codec) ---
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaQuery(Tables.documents(s, dir)).orderBy("asset_id")),
@@ -383,6 +387,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "text_pii" -> graft.text.PiiScrub.OracleSql,
+    "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
     "mm_features" -> Multimodal.featuresOracleSql(),

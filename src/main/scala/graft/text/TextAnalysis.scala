@@ -125,6 +125,80 @@ object TextAnalysis {
       .groupBy(lit("Total").as("key"))
       .agg(sum(col("__tok")).as("total"))
 
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, Table A1 —
+    * the repetition family of quality filters): per document, the fraction
+    * of duplicate words, the share of the single most frequent word, and
+    * the fraction of duplicate word bigrams. High values flag templated /
+    * degenerate text a curation pass drops.
+    *
+    * Shape: explode → (doc_id, token) count → per-doc roll-up, for words
+    * and bigrams. Deliberately NOT a per-row HOF frequency count: mode-of-
+    * array via lambdas is O(n²) interpreted per element (the HOF trap), while
+    * the two-level hash aggregate gets map-side partials and bounded state.
+    * Two exchanges per token family, both carrying only DISTINCT
+    * (doc, token) partial counts — strictly smaller than the token stream;
+    * repartitioning by doc_id first would collapse them to one exchange
+    * but ship every raw token over the wire, a loss on repetitive corpora.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def stats(tok: DataFrame, prefix: String): DataFrame =
+      tok
+        .groupBy(col("doc_id"), col("__t"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("__c")).cast("long").as(s"n_$prefix"),
+          count(lit(1)).cast("long").as(s"n_distinct_$prefix"),
+          max(col("__c")).cast("long").as(s"__top"))
+        .withColumn(s"dup_${prefix}_frac",
+          (col(s"n_$prefix") - col(s"n_distinct_$prefix")).cast("double") / col(s"n_$prefix"))
+        .withColumn(s"top_${prefix}_frac",
+          col("__top").cast("double") / col(s"n_$prefix"))
+        .drop("__top")
+    val base = graft.queries.Tables.parallelismFloor(docs)
+    val words = base
+      .select(col("doc_id"), explode(Hashing.words(col("text"))).as("__t"))
+      .filter(col("__t") =!= "")
+    val bigrams = Hashing.explodeShingles(base, 2).withColumnRenamed("shingle", "__t")
+    stats(words, "words").join(stats(bigrams, "bigrams"), Seq("doc_id"), "left")
+  }
+
+  def repetitionSignalsOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+       |  FROM documents
+       |),
+       |wc AS (SELECT doc_id, t, count(*) AS c FROM w WHERE t <> '' GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c) AS BIGINT) AS n_words,
+       |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+       |         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_words_frac,
+       |         CAST(max(c) AS DOUBLE) / sum(c) AS top_words_frac
+       |  FROM wc GROUP BY doc_id
+       |),
+       |ww AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |       FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+       |                         for i in range(1, len(w))]) AS t
+       |  FROM ww WHERE len(w) >= 2
+       |),
+       |bc AS (SELECT doc_id, t, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       |         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_bigrams_frac,
+       |         CAST(max(c) AS DOUBLE) / sum(c) AS top_bigrams_frac
+       |  FROM bc GROUP BY doc_id
+       |)
+       |SELECT ws.doc_id, n_words, n_distinct_words, dup_words_frac, top_words_frac,
+       |       n_bigrams, n_distinct_bigrams, dup_bigrams_frac, top_bigrams_frac
+       |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+       |ORDER BY 1""".stripMargin
+
   val GramLen = 8
   val WinnowWindow = 4
   val PolyBase = 131L

@@ -23,6 +23,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie.getAs[String]("pred_lang") === "en")
   }
 
+  test("repetitionSignals: golden hand-computed rows incl. the short-doc null edge") {
+    val in = Seq(
+      (1L, "a b a b a"), //  5 words {a:3,b:2}; 4 bigrams {a b:2, b a:2}
+      (2L, "x") //           1 word, no bigrams → null bigram columns
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(in).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_words") === 5L)
+    assert(r1.getAs[Long]("n_distinct_words") === 2L)
+    assert(r1.getAs[Double]("dup_words_frac") === 3.0 / 5)
+    assert(r1.getAs[Double]("top_words_frac") === 3.0 / 5)
+    assert(r1.getAs[Long]("n_bigrams") === 4L)
+    assert(r1.getAs[Double]("dup_bigrams_frac") === 0.5)
+    assert(r1.getAs[Double]("top_bigrams_frac") === 0.5)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_words") === 1L)
+    assert(r2.getAs[Double]("dup_words_frac") === 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("n_bigrams")))
+    // corpus sanity: fractions bounded, every doc present
+    val corpus = TextAnalysis.repetitionSignals(docs)
+    assert(corpus.count() === docs.count())
+    assert(corpus.filter(col("dup_words_frac") < 0 || col("dup_words_frac") >= 1 ||
+      col("top_words_frac") <= 0 || col("top_words_frac") > 1).count() === 0)
+  }
+
   test("qualityScore: ratios in [0,1], quality in [0,1], golden hand-computed row") {
     val out = TextAnalysis.qualityScore(docs)
     assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
