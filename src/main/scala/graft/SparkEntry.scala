@@ -60,6 +60,20 @@ object SparkEntry {
     "text_tokens_sampled_r10" -> ((s, dir) =>
       RQ.sampled(Tables.documents(s, dir), SamplingConfig(ratio = 0.1),
         TextAnalysis.tokenTotals, countCol = "total")._2),
+    // stratified AQP: rare event types kept at full rate, the bulk sampled
+    // hard, per-row HT weights → unbiased per-stratum count/sum estimates
+    // (the curation shape: over-sample rare strata, under-sample the bulk)
+    "events_stratified_sum" -> ((s, dir) => {
+      val sampled = graft.sampling.StratifiedSampled.sample(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+        "event_type",
+        rates = Map("view" -> 0.05, "click" -> 0.2),
+        defaultRatio = 1.0)
+      graft.sampling.StratifiedSampled.estimateCounts(sampled, "event_type", "cents")
+        .orderBy("event_type")
+    }),
     // --- LLM-data-pipeline: deduplication over the augmented documents
     // --- corpus (deterministic injected exact/near duplicates) ---
     "dedup_exact" -> ((s, dir) =>
