@@ -35,21 +35,30 @@ object Bench {
     // contended host, wall time inflates while the query's own CPU time
     // stays flat, so the pair separates "plan regressed" from "host was
     // busy". local-mode executors are threads of this JVM, so process CPU
-    // covers the whole query.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // covers the whole query. com.sun.management is HotSpot-specific and
+    // getProcessCpuTime may return -1 where unsupported (ADVICE r8) — the
+    // cpu fields are simply omitted there rather than crashing the bench.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
     // Warmup failures are NOT errors (transient first-touch issues would
     // otherwise fail the whole bench even when all timed trials pass);
     // only timed-trial failures count, and the per-query trial count is
     // reported so a median over <3 samples is visible in the JSON.
-    def run(name: String, recordError: Boolean): Option[(Double, Double)] =
+    def run(name: String, recordError: Boolean): Option[(Double, Option[Double])] =
       try {
-        val c0 = osBean.getProcessCpuTime
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        Some(((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9))
+        val c1 = cpuNow()
+        Some((
+          (System.nanoTime() - t0) / 1e9,
+          if (c0 < 0 || c1 < 0) None else Some((c1 - c0) / 1e9)))
       } catch {
         case e: Throwable =>
           if (recordError)
@@ -70,12 +79,17 @@ object Bench {
     // trials — the median survives — rather than landing on a contiguous
     // alphabetical block and reading as a family-wide regression (r6 hit
     // log_size/log_totalsize, r7 hit the whole events_* block this way).
+    // Every query is pre-seeded with an empty trial list so the JSON key
+    // set is stable even when all trials of a query fail (ADVICE r8: a
+    // vanished key is silent schema drift for cross-round diff tooling;
+    // trialCounts=0 still flags the failure).
     val trialTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val trialCpu = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    names.foreach { n => trialTimes(n) = Seq.empty; trialCpu(n) = Seq.empty }
     for (_ <- 1 to 3; name <- names) run(name, recordError = true).foreach {
       case (wall, cpu) =>
-        trialTimes(name) = trialTimes.getOrElse(name, Seq.empty) :+ wall
-        trialCpu(name) = trialCpu.getOrElse(name, Seq.empty) :+ cpu
+        trialTimes(name) = trialTimes(name) :+ wall
+        cpu.foreach(c => trialCpu(name) = trialCpu(name) :+ c)
     }
     val trialCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
     names.foreach(n => trialCounts(n) = trialTimes.getOrElse(n, Seq.empty).size)
@@ -111,7 +125,7 @@ object Bench {
       .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val cpuJson = trialCpu
-      .map { case (k, ts) => jq(k) + ":" + median(ts) }
+      .collect { case (k, ts) if ts.nonEmpty => jq(k) + ":" + median(ts) }
       .mkString("{", ",", "}")
     val perTrialCpuJson = trialCpu
       .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }

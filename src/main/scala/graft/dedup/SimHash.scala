@@ -86,8 +86,12 @@ object SimHash {
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so the
+      // order is semantically free — but cross-band duplicate candidates
+      // that fail the threshold would otherwise still pay the distinct's
+      // full exchange (VERDICT r8 §wrong 1)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---- DuckDB oracle generation ----

@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Band choice is 8 bands × 8 bits (not SimHash's 4×15): by pigeonhole,
   * Hamming ≤ 7 over 64 bits ⟹ at least one 8-bit band is identical, so
-  * candidate generation has FULL RECALL at the [[MaxHamming]] = 7 threshold
-  * — the banded join provably equals brute-force all-pairs (the spec pins
-  * this), while staying a bucket join. At 100 TB the same skew cap as
-  * SimHash applies: buckets over [[MaxBucket]] are dropped from candidate
-  * generation via a broadcast anti-join (8-bit keys are coarse, so the cap
-  * is what keeps a pathological bucket from going quadratic).
+  * candidate generation has full recall at the [[MaxHamming]] = 7 threshold
+  * BELOW THE [[MaxBucket]] SKEW CAP — a pair whose every shared band lands
+  * in an over-cap bucket is dropped, the same recall trade-off
+  * [[graft.dedup.SimHash]] documents (ADVICE r8: the equality is
+  * conditional, not absolute). Below the cap the banded join provably
+  * equals brute-force all-pairs (the spec pins this on a fixture where no
+  * bucket exceeds the cap), while staying a bucket join. At 100 TB the cap
+  * is what keeps a pathological bucket (8-bit keys are coarse) from going
+  * quadratic: over-cap buckets are dropped from candidate generation via a
+  * broadcast anti-join.
   *
   * Decode is imperative ([[hashes]] — one ImageIO codec per task, the
   * mapInPandas batch shape); no DuckDB oracle can replay a PNG codec, so
@@ -178,7 +182,9 @@ object ImageDedup {
         col("a.asset_id").as("asset_a"),
         col("b.asset_id").as("asset_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter before distinct — same exchange-shrinking swap as
+      // [[graft.dedup.SimHash.nearDupPairs]] (VERDICT r8 §wrong 1)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

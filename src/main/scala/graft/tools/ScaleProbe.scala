@@ -45,8 +45,11 @@ object ScaleProbe {
     (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        // (?i): uppercase token runs must get the per-copy suffix too —
+        // Hashing.words lowercases before tokenizing, so an unsuffixed
+        // "Word" would be shared vocabulary across all copies (ADVICE r8)
         (if (i == 0) col("text")
-         else regexp_replace(col("text"), "([a-z0-9]+)", s"$$1q$i")).as("text"))
+         else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"))
     }.reduce(_ unionAll _)
 
   /** ×k events: union of copies with shifted user/event ids. */
@@ -61,6 +64,8 @@ object ScaleProbe {
     val factors = args.headOption
       .map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 8, 32))
+    require(factors.size >= 2,
+      s"need at least two scale factors to compute a scaling ratio, got: ${factors.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
