@@ -60,6 +60,44 @@ object SparkEntry {
     "text_tokens_sampled_r10" -> ((s, dir) =>
       RQ.sampled(Tables.documents(s, dir), SamplingConfig(ratio = 0.1),
         TextAnalysis.tokenTotals, countCol = "total")._2),
+    // --- universe-sampled (hash-range) AQP twins: the keep-predicate is a
+    // --- deterministic md5-range test on the sampling unit, so unlike the
+    // --- rand(seed) r10 twins these replay bit-exactly in DuckDB — the
+    // --- fully ORACLE-GATED sampled family (the DedupRate pattern,
+    // --- VERDICT r8 next-1, generalized via sampling/UniverseSampled) ---
+    "wordcount_sampled_u10" -> ((s, dir) =>
+      RQ.sampledUniverse(Tables.documents(s, dir), col("doc_id"), 10, RQ.wordCount(_))
+        .orderBy("word")),
+    "wireless_sampled_u10" -> ((s, dir) =>
+      RQ.sampledUniverse(Tables.events(s, dir), col("event_id"), 10, RQ.wirelessLinks)
+        .orderBy("link")),
+    "text_quality_sampled_u10" -> ((s, dir) =>
+      RQ.sampledUniverse(Tables.documents(s, dir), col("doc_id"), 10,
+        TextAnalysis.qualityDistribution).orderBy("bucket")),
+    "text_tokens_sampled_u10" -> ((s, dir) =>
+      RQ.sampledUniverse(Tables.documents(s, dir), col("doc_id"), 10,
+        TextAnalysis.tokenTotals, countCol = "total")),
+    "tpch_q6_sampled_u10" -> ((s, dir) =>
+      graft.queries.TpchQueries.q6SampledUniverse(Tables.lineitem(s, dir))),
+    // hash-range stratified: integer basis-point thresholds per stratum,
+    // deterministic keep-set, exact HT weights (10000/500 = 20.0) → the
+    // stratified estimator is oracle-gated end to end
+    "events_stratified_sum_u" -> ((s, dir) => {
+      val sampled = graft.sampling.StratifiedSampled.sampleUniverse(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+        "event_type",
+        col("event_id"),
+        ratesBp = Map("view" -> 500, "click" -> 2000))
+      graft.sampling.StratifiedSampled.estimateCounts(sampled, "event_type", "cents")
+        .orderBy("event_type")
+    }),
+    // token-budget selection from a 10 % scan with HT-scaled budget
+    // accounting ("select ~40 % of the corpus tokens, from a 10 % sample")
+    "docs_token_budget_sampled_u10" -> ((s, dir) =>
+      graft.sampling.TokenBudget.selectSampled(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // stratified AQP: rare event types kept at full rate, the bulk sampled
     // hard, per-row HT weights → unbiased per-stratum count/sum estimates
     // (the curation shape: over-sample rare strata, under-sample the bulk)
@@ -334,6 +372,47 @@ object SparkEntry {
       |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
       |GROUP BY word ORDER BY word""".stripMargin
 
+  /** Universe-sampled word count: [[WordCountSql]] over the hash-range
+    * keep-set, counts HT-scaled ×1/p.
+    */
+  private def wordCountSampledUSql(pct: Int): String = {
+    import graft.sampling.UniverseSampled
+    s"""SELECT word, count(*) * ${UniverseSampled.scaleSql(pct)} AS est_cnt
+       |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+       |      FROM documents
+       |      WHERE ${UniverseSampled.keepSql("doc_id", pct)}
+       |        AND NOT regexp_matches(lower(text), '[0-9]'))
+       |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$$')
+       |GROUP BY word ORDER BY word""".stripMargin
+  }
+
+  /** Universe-sampled wireless links (unit = event row). */
+  private def wirelessSampledUSql(pct: Int): String = {
+    import graft.sampling.UniverseSampled
+    s"""SELECT concat(greatest(user_id, k), '->', least(user_id, k)) AS link,
+       |       count(*) * ${UniverseSampled.scaleSql(pct)} AS est_cnt
+       |FROM (SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |      FROM events WHERE ${UniverseSampled.keepSql("event_id", pct)})
+       |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Universe-stratified estimate oracle (integer bp thresholds, exact HT
+    * weights).
+    */
+  private def stratifiedSumUSql: String = {
+    val (thrSql, keepSql) = graft.sampling.StratifiedSampled.universeSqlParts(
+      "event_type", "event_id", Map("view" -> 500, "click" -> 2000))
+    val mod = graft.sampling.StratifiedSampled.FineMod
+    s"""WITH s AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, $thrSql AS thr
+       |  FROM events WHERE $keepSql
+       |)
+       |SELECT event_type,
+       |       sum($mod.0 / thr) AS est_cnt,
+       |       sum(cents * ($mod.0 / thr)) AS est_sum
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "wordcount" -> WordCountSql,
     "charcount" ->
@@ -397,7 +476,7 @@ object SparkEntry {
     "dedup_embedding_pairs_banded" ->
       SimilaritySearch.nearDupPairsBandedOracleSql(0.15, 16, 4),
     "text_langid" -> TextAnalysis.languageIdOracleSql,
-    "text_quality" -> TextAnalysis.qualityScoreOracleSql,
+    "text_quality" -> TextAnalysis.qualityScoreOracleSql(),
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "text_pii" -> graft.text.PiiScrub.OracleSql,
@@ -419,6 +498,15 @@ object SparkEntry {
     "wordcount_csv" -> WordCountSql,
     "tpch_q1" -> graft.queries.TpchQueries.Q1OracleSql,
     "tpch_q6" -> graft.queries.TpchQueries.Q6OracleSql,
+    // the universe-sampled family: deterministic hash-range predicates →
+    // the sampled results themselves are oracle-gated
+    "wordcount_sampled_u10" -> wordCountSampledUSql(10),
+    "wireless_sampled_u10" -> wirelessSampledUSql(10),
+    "text_quality_sampled_u10" -> TextAnalysis.qualityDistributionSampledUOracleSql(10),
+    "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),
+    "tpch_q6_sampled_u10" -> graft.queries.TpchQueries.q6SampledUniverseOracleSql(),
+    "events_stratified_sum_u" -> stratifiedSumUSql,
+    "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q3_skewjoin" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q3_bucketed" -> graft.queries.TpchQueries.Q3OracleSql,

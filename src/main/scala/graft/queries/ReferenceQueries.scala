@@ -325,4 +325,22 @@ object ReferenceQueries {
     val est = query(s.data).withColumn(s"est_$countCol", s.htScale(col(countCol))).drop(countCol)
     (s, est)
   }
+
+  /** Universe-sampled (hash-range) variant of any count-shaped pipeline:
+    * same HT scale-up as [[sampled]], but the keep-predicate is a
+    * deterministic hash of `unit` ([[graft.sampling.UniverseSampled]]),
+    * so the result is fully replayable by the DuckDB oracle — the
+    * oracle-proven AQP path beside the seeded Bernoulli one.
+    */
+  def sampledUniverse(
+      source: DataFrame,
+      unit: Column,
+      pct: Int,
+      query: DataFrame => DataFrame,
+      countCol: String = "cnt"): DataFrame =
+    query(graft.sampling.UniverseSampled.sample(source, unit, pct))
+      .withColumn(
+        s"est_$countCol",
+        col(countCol) * lit(graft.sampling.UniverseSampled.scale(pct)))
+      .drop(countCol)
 }

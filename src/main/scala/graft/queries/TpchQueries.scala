@@ -90,6 +90,34 @@ object TpchQueries {
     q6(s.data).select(s.htScale(col("revenue_e4")).as("est_revenue_e4"))
   }
 
+  /** Universe-sampled Q6: the hash-range (deterministic) AQP twin of
+    * [[q6Sampled]] — the sampling unit is the lineitem row identity
+    * (orderkey:linenumber), so the keep-set is replayable in DuckDB and
+    * the whole estimator is oracle-gated ([[graft.sampling.UniverseSampled]]).
+    */
+  def q6SampledUniverse(lineitem: DataFrame, pct: Int = 10): DataFrame = {
+    val unit = concat(
+      col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string"))
+    q6(graft.sampling.UniverseSampled.sample(lineitem, unit, pct))
+      .select((col("revenue_e4") * lit(graft.sampling.UniverseSampled.scale(pct)))
+        .as("est_revenue_e4"))
+  }
+
+  /** DuckDB oracle for [[q6SampledUniverse]]. */
+  def q6SampledUniverseOracleSql(pct: Int = 10): String = {
+    val keep = graft.sampling.UniverseSampled.keepSql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)", pct)
+    s"""SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+       |       * ${graft.sampling.UniverseSampled.scaleSql(pct)} AS est_revenue_e4
+       |FROM lineitem
+       |WHERE $keep
+       |  AND l_shipdate >= TIMESTAMP '$Q6Start 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '$Q6End 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+  }
+
   val Q6OracleSql: String =
     s"""SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |       * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4

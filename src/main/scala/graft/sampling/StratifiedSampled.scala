@@ -43,4 +43,54 @@ object StratifiedSampled {
       .agg(
         sum(col("ht_weight")).as("est_cnt"),
         sum(col(valueCol) * col("ht_weight")).as("est_sum"))
+
+  /** Per-ten-thousand modulus for the universe-stratified keep-predicate
+    * (basis-point granularity, so a 0.05 % stratum rate is expressible).
+    */
+  val FineMod = 10000L
+
+  private val Salt = "su:"
+
+  /** Universe (hash-range) stratified sample: same per-stratum rates as
+    * [[sample]], but the keep decision is a deterministic hash of `unit`
+    * against a per-stratum threshold in basis points (`ratesBp`, out of
+    * [[FineMod]]) — fully replayable in the DuckDB oracle, unlike
+    * `rand(seed)` (see [[UniverseSampled]]). Thresholds are INTEGERS so
+    * both the predicate and `ht_weight` = FineMod/threshold are engine-
+    * exact (10000/500 = 20.0 etc. — exact in IEEE 754).
+    */
+  def sampleUniverse(
+      df: DataFrame,
+      stratumCol: String,
+      unit: Column,
+      ratesBp: Map[String, Int],
+      defaultBp: Int = FineMod.toInt): DataFrame = {
+    val thr: Column = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (stratum, bp)) =>
+      when(col(stratumCol) === stratum, lit(bp)).otherwise(acc)
+    }
+    df.withColumn("__thr", thr)
+      .filter(
+        graft.dedup.Hashing.hash60(concat(lit(Salt), unit.cast("string")))
+          % FineMod < col("__thr"))
+      .withColumn("ht_weight", lit(FineMod.toDouble) / col("__thr"))
+      .drop("__thr")
+  }
+
+  /** DuckDB oracle fragments for [[sampleUniverse]] +
+    * [[estimateCounts]]: (threshold CASE expression, keep predicate) over
+    * `unitExpr`.
+    */
+  def universeSqlParts(
+      stratumCol: String,
+      unitExpr: String,
+      ratesBp: Map[String, Int],
+      defaultBp: Int = FineMod.toInt): (String, String) = {
+    val thrSql = ratesBp
+      .map { case (stratum, bp) => s"WHEN $stratumCol = '$stratum' THEN $bp" }
+      .mkString("CASE ", " ", s" ELSE $defaultBp END")
+    val keepSql =
+      s"${graft.dedup.Hashing.hash60Sql(s"'$Salt' || CAST($unitExpr AS VARCHAR)")}" +
+        s" % $FineMod < $thrSql"
+    (thrSql, keepSql)
+  }
 }

@@ -78,13 +78,13 @@ object TokenBudget {
   /** Shared SQL prefix for the cumulative frame `c(doc_id, tok, cum)` —
     * composed into both oracle queries (`WITH $CumCteSql SELECT …`).
     */
-  private[graft] def cumCteSql(buckets: Int): String =
+  private[graft] def cumCteSql(buckets: Int, from: String = "documents"): String =
     s"""tb AS (
        |  SELECT doc_id,
        |         ${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h,
        |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
        |         CAST(${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} % $buckets AS INT) AS b
-       |  FROM documents
+       |  FROM $from
        |),
        |offs AS (
        |  SELECT b, CAST(COALESCE(sum(btot) OVER (
@@ -127,4 +127,50 @@ object TokenBudget {
        |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb)
        |SELECT doc_id, tok, cum FROM c, lim
        |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+
+  /** Token-budget selection over a `pct`-percent universe sample with
+    * Horvitz–Thompson budget accounting — "select ~num/den of the corpus
+    * tokens, from a pct % scan": the corpus token total is ESTIMATED from
+    * the sample (×1/p), the budget is num/den of that estimate, and the
+    * hash-ordered prefix is kept while its HT-scaled running total
+    * (`est_cum` = cum×1/p, each sampled doc standing in for 1/p docs) fits
+    * the budget. All-integer arithmetic (1/p = [[UniverseSampled.RangeMod]]
+    * DIV pct), deterministic keep-set — fully oracle-gated, the AQP answer
+    * to a selection query that would otherwise scan 100 TB to pick a 40 %
+    * mix.
+    */
+  def selectSampled(
+      docs: DataFrame,
+      pct: Int = 10,
+      num: Long = 2,
+      den: Long = 5,
+      buckets: Int = Buckets): DataFrame = {
+    val scaleN: Long = UniverseSampled.RangeMod / pct
+    val sample = UniverseSampled.sample(docs, col("doc_id"), pct)
+    val (tb, cum) = withCum(sample, buckets)
+    val budget = tb.agg(sum(col("tok")).as("stok"))
+      .select(expr(s"stok * $scaleN * $num DIV $den").as("budget"))
+    cum
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") * lit(scaleN) <= col("budget"))
+      .select(
+        col("doc_id"), col("tok"), col("cum"),
+        (col("cum") * lit(scaleN)).as("est_cum"))
+  }
+
+  /** DuckDB oracle for [[selectSampled]] (same CTE chain over the
+    * hash-range sampled slice).
+    */
+  def selectSampledOracleSql(
+      pct: Int = 10,
+      num: Long = 2,
+      den: Long = 5,
+      buckets: Int = Buckets): String = {
+    val scaleN = UniverseSampled.RangeMod / pct
+    s"""WITH src AS (SELECT * FROM documents WHERE ${UniverseSampled.keepSql("doc_id", pct)}),
+       |${cumCteSql(buckets, from = "src")},
+       |lim AS (SELECT CAST(sum(tok) * $scaleN * $num // $den AS BIGINT) AS budget FROM tb)
+       |SELECT doc_id, tok, cum, CAST(cum * $scaleN AS BIGINT) AS est_cum FROM c, lim
+       |WHERE cum * $scaleN <= budget ORDER BY doc_id""".stripMargin
+  }
 }

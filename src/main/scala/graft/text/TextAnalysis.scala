@@ -296,7 +296,7 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  def qualityScoreOracleSql: String = {
+  def qualityScoreOracleSql(from: String = "documents"): String = {
     val stop = markerListSql(Markers.head._2)
     s"""WITH base AS (
        |  SELECT doc_id,
@@ -307,7 +307,7 @@ object TextAnalysis {
        |                              t -> list_contains($stop, t))) AS BIGINT) AS n_stop,
        |         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
        |           AS n_special
-       |  FROM documents
+       |  FROM $from
        |),
        |ratios AS (
        |  SELECT *,
@@ -327,6 +327,32 @@ object TextAnalysis {
        |         AS quality
        |FROM ratios ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB oracle for the universe-sampled [[qualityDistribution]] twin:
+    * the quality formula is identical IEEE arithmetic in both engines, so
+    * `floor(quality*10)` buckets agree bit-exactly, and the hash-range
+    * keep-set is deterministic — the sampled histogram is fully
+    * oracle-gated (unlike the `rand(seed)` r10 twin).
+    */
+  def qualityDistributionSampledUOracleSql(pct: Int = 10): String = {
+    val inner = qualityScoreOracleSql(from = "src").replace(" ORDER BY doc_id", "")
+    s"""WITH src AS (SELECT * FROM documents
+       |             WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}),
+       |q AS ($inner)
+       |SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket,
+       |       count(*) * ${graft.sampling.UniverseSampled.scaleSql(pct)} AS est_cnt
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for the universe-sampled [[tokenTotals]] twin. */
+  def tokenTotalsSampledUOracleSql(pct: Int = 10): String =
+    s"""SELECT 'Total' AS key,
+       |       CAST(sum(CAST(len(regexp_extract_all(lower(text),
+       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT)
+       |         * ${graft.sampling.UniverseSampled.scaleSql(pct)} AS est_total
+       |FROM documents
+       |WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}
+       |GROUP BY 1""".stripMargin
 
   def tokenCountsOracleSql: String =
     s"""SELECT doc_id,
