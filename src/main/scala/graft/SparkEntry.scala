@@ -201,6 +201,11 @@ object SparkEntry {
     // dup-bigram fractions) — the standard degenerate-text filters
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
+    // fastText-style linear quality classifier over hashed uni+bigram
+    // features with a deterministic integer weight table (oracle-gated;
+    // a trained model swaps in a broadcast weight array, same plan)
+    "text_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityModel(Tables.documents(s, dir)).orderBy("doc_id")),
     // --- LLM-data-pipeline: multimodal binary-column plumbing (stub codec) ---
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaQuery(Tables.documents(s, dir)).orderBy("asset_id")),
@@ -481,6 +486,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
+    "text_quality_model" -> TextAnalysis.qualityModelOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.framesOracleSql,
     "mm_features" -> Multimodal.featuresOracleSql(),

@@ -199,6 +199,91 @@ object TextAnalysis {
        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
        |ORDER BY 1""".stripMargin
 
+  /** Weight-table modulus for [[qualityModel]]: weights lie in
+    * [−(WeightMod−1)/2, +(WeightMod−1)/2] = [−500, 500].
+    */
+  val WeightMod = 1001L
+
+  /** fastText-style linear quality classifier (Joulin et al., "Bag of
+    * Tricks for Efficient Text Classification", 2016): features are word
+    * unigrams + word bigrams hashed into a weight table (the hashing
+    * trick), the document score is the mean feature weight, and the label
+    * thresholds the score — the standard learned quality filter a curation
+    * pipeline runs over every document.
+    *
+    * The weight table here is DERIVED from the feature hash
+    * (`hash60 % 1001 − 500`, a fixed integer in [−500, 500]) rather than
+    * trained — deterministic SQL, so the whole scorer is oracle-gated. A
+    * trained model swaps in a broadcast weight array (`element_at` on the
+    * bucketed hash) with the identical plan shape; nothing else changes.
+    *
+    * Scale shape: explode → one hash-aggregate with map-side partials
+    * (integer sum + count per doc), then a broadcast-free left join back to
+    * the doc spine (docs with zero features keep score 0). All integer
+    * arithmetic until the final mean, so both engines agree bit-exactly.
+    * Deliberately NOT a per-row HOF sum: `aggregate(transform(...))`
+    * lambdas are interpreted per element (the HOF trap), while explode +
+    * agg is whole-stage codegen with partial aggregation.
+    */
+  def qualityModel(docs: DataFrame): DataFrame = {
+    val base = graft.queries.Tables.parallelismFloor(docs)
+    val uni = base
+      .select(col("doc_id"), explode(Hashing.words(col("text"))).as("f"))
+      .filter(col("f") =!= "")
+    val bi = Hashing.explodeShingles(base, 2).withColumnRenamed("shingle", "f")
+    val scored = uni.unionAll(bi)
+      .select(
+        col("doc_id"),
+        (Hashing.hash60(concat(lit("q:"), col("f"))) % WeightMod - (WeightMod - 1) / 2).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_raw"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_raw"), lit(0L)).as("score_raw"))
+      .withColumn("score",
+        when(col("n_feats") > 0, col("score_raw").cast("double") / col("n_feats"))
+          .otherwise(lit(0.0)))
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+  }
+
+  /** DuckDB oracle for [[qualityModel]] (bigram construction follows the
+    * [[repetitionSignalsOracleSql]] pattern — raw split array, so empty
+    * boundary tokens participate exactly as in [[Hashing.explodeShingles]]).
+    */
+  def qualityModelOracleSql: String = {
+    val half = (WeightMod - 1) / 2
+    s"""WITH uni AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS f
+       |  FROM documents
+       |),
+       |ww AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |       FROM documents),
+       |bi AS (
+       |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+       |                         for i in range(1, len(w))]) AS f
+       |  FROM ww WHERE len(w) >= 2
+       |),
+       |feats AS (SELECT doc_id, f FROM uni WHERE f <> '' UNION ALL SELECT doc_id, f FROM bi),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |         sum(${Hashing.hash60Sql("'q:' || f")} % $WeightMod - $half) AS score_raw
+       |  FROM feats GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+       |       CAST(COALESCE(score_raw, 0) AS BIGINT) AS score_raw,
+       |       CASE WHEN COALESCE(n_feats, 0) > 0
+       |            THEN CAST(score_raw AS DOUBLE) / n_feats ELSE 0.0 END AS score,
+       |       CASE WHEN (CASE WHEN COALESCE(n_feats, 0) > 0
+       |                       THEN CAST(score_raw AS DOUBLE) / n_feats ELSE 0.0 END) >= 0
+       |            THEN 'keep' ELSE 'drop' END AS label
+       |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
   val PolyBase = 131L
