@@ -206,11 +206,18 @@ object SparkEntry {
     // a trained model swaps in a broadcast weight array, same plan)
     "text_quality_model" -> ((s, dir) =>
       TextAnalysis.qualityModel(Tables.documents(s, dir)).orderBy("doc_id")),
-    // --- LLM-data-pipeline: multimodal binary-column plumbing (stub codec) ---
+    // --- LLM-data-pipeline: multimodal binary columns — manifest-metadata
+    // --- plumbing (mm_meta/mm_features) + REAL JDK-native codecs for all
+    // --- three media families (GIF video / WAV audio / PNG stills) ---
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaQuery(Tables.documents(s, dir)).orderBy("asset_id")),
-    "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.assets(Tables.documents(s, dir)))
+    // REAL multi-frame decode (javax.imageio GIF) over deterministic
+    // synthesized animated GIFs: frame sampling on the TRUE container
+    // frame count, oracle-exact because the synthesis makes frame counts
+    // closed-form in asset_id (the WavCodec precedent; no stub remains)
+    "mm_frames" -> ((s, _) =>
+      Multimodal.frameSample(
+        Multimodal.decodePartitions(s, Multimodal.synthesizeVideo(s), Multimodal.GifCodec))
         .orderBy("asset_id", "frame_idx")),
     "mm_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.assets(Tables.documents(s, dir))).orderBy("asset_id")),
@@ -488,7 +495,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "text_quality_model" -> TextAnalysis.qualityModelOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
-    "mm_frames" -> Multimodal.framesOracleSql,
+    "mm_frames" -> Multimodal.videoFramesOracleSql(),
     "mm_features" -> Multimodal.featuresOracleSql(),
     "mm_audio_features" -> Multimodal.audioFeaturesOracleSql(),
     // same semantic result as wordcount — these queries ingest the identical

@@ -7,24 +7,26 @@ import org.apache.spark.sql.functions._
   * pipeline: opaque `BINARY` payloads + typed metadata, decode,
   * feature-extraction, resize planning, and frame sampling.
   *
-  * Codec honesty: still images decode for REAL via [[ImageIoCodec]]
-  * (javax.imageio) and audio decodes for REAL via [[WavCodec]]
-  * (javax.sound.sampled) — both JDK-native, no external deps. VIDEO is the
-  * one remaining stub ([[StubCodec]] derives deterministic fake dimensions
-  * from the payload bytes; no container codec can parse video). Everything
-  * around the codecs is real and tested: the binary schema, the
-  * per-partition imperative decode path ([[decodePartitions]], the Scala
-  * analogue of a pandas `mapInPandas` batch UDF), the declarative metadata
-  * expressions the oracle checks, and the array/struct plumbing for frames
-  * and features.
+  * All three media families decode for REAL with JDK-native codecs — no
+  * external deps, no stubs: still images via [[ImageIoCodec]]
+  * (javax.imageio PNG), multi-frame video-like containers via [[GifCodec]]
+  * (javax.imageio animated GIF — same decode contract as a video library:
+  * container → frame count + dimensions), audio via [[WavCodec]]
+  * (javax.sound.sampled). Each runs through the per-partition imperative
+  * decode path ([[decodePartitions]] / [[audioFeatures]], the Scala
+  * analogue of a pandas `mapInPandas` batch UDF: one codec instance per
+  * task, batched iteration, no per-row setup).
   *
-  * Two decode paths compute identical results by construction:
-  *  - [[assets]]: pure codegen'd expressions (scan-fused, 100 TB-friendly);
-  *  - [[decodePartitions]]: `mapPartitions` over the binary payloads — the
-  *    shape a real codec (JNI/library call) needs: batched per partition,
-  *    one codec instance per task, no per-row setup.
-  * MultimodalSpec asserts they agree row-for-row; the oracle pins the
-  * declarative one.
+  * Two metadata paths serve different layers:
+  *  - [[assets]]: pure codegen'd expressions over MANIFEST metadata —
+  *    deterministic functions of the payload, standing in for the
+  *    dimensions an upstream catalog records; at 100 TB resize planning
+  *    runs off the catalog without touching payload bytes, and this path
+  *    is scan-fused and oracle-gated (`mm_meta`).
+  *  - [[decodePartitions]] with a real codec: true decoded metadata from
+  *    the container bytes — oracle-gated where the synthesis makes the
+  *    decoded values closed-form in asset_id (`mm_frames` over GIF,
+  *    `mm_audio_features` over WAV).
   */
 object Multimodal {
 
@@ -38,20 +40,29 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Decoded
   }
 
-  /** STUB codec — stands in for a real VIDEO library (none ships in this
-    * container). Dimensions are a deterministic function of payload length
-    * and first/last byte, so specs and the SQL oracle can replay it. For
-    * still images use [[ImageIoCodec]] and for audio [[WavCodec]] — both
-    * real.
+  /** REAL multi-frame (video-like) codec over `javax.imageio`'s GIF
+    * reader: parses the animated-GIF container and returns the true frame
+    * count (`getNumImages(true)` walks every image block) and the first
+    * frame's pixel dimensions — the JDK-native stand-in for a video
+    * container library (same decode CONTRACT: container → frame count +
+    * dimensions), completing the codec family after [[ImageIoCodec]]
+    * (stills) and [[WavCodec]] (audio). No stub remains.
     */
-  object StubCodec extends AssetCodec {
+  object GifCodec extends AssetCodec {
     def decode(b: Array[Byte]): Decoded = {
-      val first = if (b.nonEmpty) (b(0) & 0xff).toLong else 0L
-      val last = if (b.nonEmpty) (b(b.length - 1) & 0xff).toLong else 0L
-      Decoded(
-        width = 64 + (b.length * 7 + first) % 1024,
-        height = 64 + (b.length * 13 + last) % 1024,
-        nFrames = b.length / 100 + 1)
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "payload is not a decodable image container")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Decoded(
+            width = r.getWidth(0).toLong,
+            height = r.getHeight(0).toLong,
+            nFrames = r.getNumImages(true).toLong)
+        } finally r.dispose()
+      } finally iis.close()
     }
   }
 
@@ -103,6 +114,81 @@ object Multimodal {
   /** Expected dimensions of [[synthesizeImages]] asset `i`. */
   def imageWidth(i: Long): Int = 16 + (i % 17).toInt
   def imageHeight(i: Long): Int = 16 + (i % 13).toInt
+
+  // ---- real video-like decode: deterministic animated-GIF synthesis +
+  // ---- GifCodec (the multi-frame twin of the ImageIoCodec path)
+
+  /** Number of synthesized video assets in the [[graft.SparkEntry]]
+    * `mm_frames` query.
+    */
+  val VideoAssets = 200
+
+  /** Synthesis parameters as fixed functions of asset_id — the oracle and
+    * the spec recompute them independently of the decode path.
+    */
+  def videoWidth(i: Long): Int = 16 + (i % 17).toInt
+  def videoHeight(i: Long): Int = 16 + (i % 13).toInt
+  def videoFrames(i: Long): Int = 2 + (i % 15).toInt
+
+  /** Deterministic animated-GIF payload: `nFrames` grayscale frames of
+    * `w`×`h` written through ImageIO's sequence writer (one image block
+    * per frame — exactly what [[GifCodec]]'s `getNumImages(true)` counts).
+    * Pixel content is an arbitrary fixed recurrence; only the container
+    * structure (dimensions, frame count) carries the oracle-checked
+    * signal.
+    */
+  def gifBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((seed * 31 + f * 17 + x * 7 + y * 3) & 0xff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Synthesize n real animated-GIF video assets, executor-side. */
+  def synthesizeVideo(spark: SparkSession, n: Int = VideoAssets): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .map { i =>
+        (i, gifBytes(videoWidth(i), videoHeight(i), videoFrames(i), i), "video")
+      }
+      .toDF("asset_id", "content", "media_type")
+  }
+
+  /** DuckDB oracle for [[frameSample]] over GIF-decoded [[synthesizeVideo]]
+    * assets: frame counts are closed-form in asset_id, so the sampled frame
+    * indices are pure arithmetic (`range(0, n, max(1, n//4))` ==
+    * Spark's `sequence(0, n-1, step)`).
+    */
+  def videoFramesOracleSql(n: Int = VideoAssets): String =
+    s"""SELECT i AS asset_id,
+       |       unnest(range(0, 2 + i % 15, GREATEST(1, (2 + i % 15) // 4))) AS frame_idx
+       |FROM range(0, $n) t(i)
+       |ORDER BY asset_id, frame_idx""".stripMargin
 
   val ResizeTarget = 256
 
@@ -253,9 +339,12 @@ object Multimodal {
     coalesce(ascii(decode(oneByte, "UTF-8")).cast("long"), lit(0L))
   }
 
-  /** Declarative decode: assets + (byte_len, width, height, n_frames,
-    * out_w, out_h) — the resize plan keeps aspect ratio toward
-    * [[ResizeTarget]] and is pure integer/floor arithmetic.
+  /** Declarative MANIFEST metadata: assets + (byte_len, width, height,
+    * n_frames) as deterministic functions of the payload — the catalog
+    * columns an upstream ingest records, so resize/frame planning can run
+    * scan-fused without decoding payload bytes (real decoded metadata is
+    * [[decodePartitions]]' job). Pure integer/floor arithmetic → oracle-
+    * replayable.
     */
   def assets(docs: DataFrame): DataFrame = {
     val base = synthesize(docs)
@@ -300,7 +389,7 @@ object Multimodal {
   def decodePartitions(
       spark: SparkSession,
       assetsDf: DataFrame,
-      codec: AssetCodec = StubCodec): DataFrame = {
+      codec: AssetCodec): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte], String)] = assetsDf
       .select(col("asset_id"), col("content"), col("media_type"))
@@ -334,12 +423,6 @@ object Multimodal {
        |            THEN GREATEST(1, CAST(floor(height * $ResizeTarget.0 / width + 0.5) AS BIGINT))
        |            ELSE height END AS out_h
        |FROM meta ORDER BY asset_id""".stripMargin
-
-  def framesOracleSql: String =
-    s"""WITH meta AS ($metaSqlBase)
-       |SELECT asset_id, unnest(range(0, n_frames, GREATEST(1, n_frames // 4))) AS frame_idx
-       |FROM meta WHERE media_type = 'video'
-       |ORDER BY asset_id, frame_idx""".stripMargin
 
   def featuresOracleSql(dims: Int = 8): String = {
     val fs = (0 until dims)

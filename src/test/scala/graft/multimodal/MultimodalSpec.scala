@@ -17,36 +17,45 @@ class MultimodalSpec extends SparkSpec {
     assert(types === Set("image", "audio", "video"))
   }
 
-  test("imperative mapPartitions decode agrees row-for-row with the declarative path") {
-    val declarative = Multimodal.assets(docs)
-      .select("asset_id", "media_type", "byte_len", "width", "height", "n_frames")
+  test("REAL video-like codec: GifCodec recovers true dimensions and frame " +
+    "counts from synthesized animated GIFs, and the payloads are real GIF containers") {
+    val n = 64
+    val vids = Multimodal.synthesizeVideo(spark, n)
+    val out = Multimodal.decodePartitions(spark, vids, Multimodal.GifCodec)
       .orderBy("asset_id").collect()
-    val imperative = Multimodal
-      .decodePartitions(spark, Multimodal.synthesize(docs))
-      .select("asset_id", "media_type", "byte_len", "width", "height", "n_frames")
-      .orderBy("asset_id").collect()
-    assert(declarative.length === imperative.length)
-    declarative.zip(imperative).foreach { case (d, i) => assert(d === i) }
+    assert(out.length === n)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) === Multimodal.videoWidth(id).toLong, s"width of asset $id")
+      assert(r.getLong(4) === Multimodal.videoHeight(id).toLong, s"height of asset $id")
+      assert(r.getLong(5) === Multimodal.videoFrames(id).toLong, s"frames of asset $id")
+    }
+    // payloads really are GIF containers, not text blobs
+    val magic = vids.select("content").head().getAs[Array[Byte]](0)
+    assert(new String(magic.take(6), "US-ASCII").startsWith("GIF8"))
   }
 
-  test("stub codec golden values") {
-    val d = Multimodal.StubCodec.decode("abc".getBytes("UTF-8"))
-    assert(d.width === 64 + (3 * 7 + 'a'.toLong) % 1024)
-    assert(d.height === 64 + (3 * 13 + 'c'.toLong) % 1024)
-    assert(d.nFrames === 1) // 3 bytes / 100 + 1
-  }
-
-  test("frame sampling: ~4 frames per video asset, step floor(n/4)") {
-    val frames = Multimodal.frameSample(Multimodal.assets(docs))
-    val perAsset = frames.groupBy("asset_id").count().collect()
-    assert(perAsset.nonEmpty)
-    // step max(1, n/4) over n frames → between 4 and 7 samples when n ≥ 4
-    assert(perAsset.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 7))
-    // long docs get genuinely multi-frame samples
-    assert(perAsset.exists(r => r.getLong(1) >= 4))
-    // only video assets sampled
+  test("frame sampling over REAL GIF decode: step floor(n/4) on the true frame count") {
+    val n = 60 // covers every videoFrames residue 2..16
+    val decoded = Multimodal.decodePartitions(
+      spark, Multimodal.synthesizeVideo(spark, n), Multimodal.GifCodec)
+    val perAsset = Multimodal.frameSample(decoded)
+      .groupBy("asset_id").count().orderBy("asset_id").collect()
+    assert(perAsset.length === n) // every asset is video → all sampled
+    perAsset.foreach { r =>
+      val id = r.getLong(0)
+      val nf = Multimodal.videoFrames(id).toLong
+      val step = math.max(1L, nf / 4)
+      val expected = (nf - 1) / step + 1 // |sequence(0, nf-1, step)|
+      assert(r.getLong(1) === expected, s"asset $id with $nf frames")
+    }
+    // multi-frame sampling genuinely happens (nf ≥ 8 → ≥ 4 samples)
+    assert(perAsset.exists(_.getLong(1) >= 4))
+    // manifest-metadata path still drives planning for non-video assets:
+    // only video rows are sampled
+    val mixed = Multimodal.frameSample(Multimodal.assets(docs))
     val videoCount = docs.filter(col("doc_id") % 3 === 2).count()
-    assert(perAsset.length === videoCount)
+    assert(mixed.select("asset_id").distinct().count() === videoCount)
   }
 
   test("resize plan preserves aspect ratio toward the 256 target") {
