@@ -80,10 +80,16 @@ object ScaleProbe {
     val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val events0 = Tables.events(spark, sfDir)
 
-    // the heaviest bench families (BENCH_r07 ranking), by engine shape:
-    // capped bucket joins (minhash/ngram pairs), the iterative CC pipeline
-    // (cleaned), the per-row winnowing array pipeline (fingerprints), and
-    // the one-shuffle session window
+    // the heaviest bench families (BENCH_r07/r08 rankings), by engine
+    // shape: capped bucket joins (minhash/ngram pairs), the iterative CC
+    // pipeline (cleaned), the per-row winnowing array pipeline
+    // (fingerprints), the one-shuffle session window, the broadcast
+    // semi-join probe (decontaminated), the two-level token-frequency
+    // aggregate (repetition), and the decode-dominated perceptual-hash
+    // image dedup (its fixture scales by group count; at large k most
+    // 8-bit band buckets exceed the skew cap — the cap is exactly what
+    // keeps the candidate join from going quadratic in population, so the
+    // probe exercises the guard, and decode+hash dominate the timing)
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_minhash_pairs" -> (k =>
         MinHashLSH.nearDupPairs(
@@ -95,7 +101,16 @@ object ScaleProbe {
       "text_fingerprint" -> (k =>
         graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
       "events_sessions" -> (k =>
-        graft.operators.Sessionize.sessions(explodeEvents(events0, k))))
+        graft.operators.Sessionize.sessions(explodeEvents(events0, k))),
+      "docs_decontaminated" -> (k =>
+        graft.text.Decontaminate.clean(
+          explodeDocs(docs0, k).withColumn("n_chars", length(col("text")).cast("long")))),
+      "text_repetition" -> (k =>
+        graft.text.TextAnalysis.repetitionSignals(explodeDocs(docs0, k))),
+      "mm_dedup_pairs" -> (k =>
+        graft.multimodal.ImageDedup.nearDupPairs(
+          graft.multimodal.ImageDedup.hashes(
+            spark, graft.multimodal.ImageDedup.synthesizeVariants(spark, nGroups = 100 * k)))))
 
     def runOnce(df: DataFrame): Double = {
       val t0 = System.nanoTime()
