@@ -51,6 +51,34 @@ object StreamingSampled {
         (col("cnt") / lit(p)).as("est_cnt"))
   }
 
+  /** Universe-sampled (hash-range) tumbling-window counts — the streaming
+    * form of [[graft.sampling.UniverseSampled]], and the CORRECT sampler
+    * for exactly-once pipelines: `rand(seed)` draws per (partition, row
+    * position), so a replayed/retried micro-batch or a re-partitioned
+    * recovery run keeps a DIFFERENT row set (the sampled stream is not
+    * reproducible under failure recovery), while a deterministic hash of
+    * the row's unit keeps the SAME rows on every replay — sampling commutes
+    * with retries. Corollary (pinned by the spec): the streaming result is
+    * row-IDENTICAL to its batch twin, not just statistically close.
+    */
+  def windowedCountsUniverse(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      unit: Column,
+      pct: Int,
+      windowDur: String,
+      watermark: String): DataFrame =
+    graft.sampling.UniverseSampled.sample(events, unit, pct)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"),
+        col(keyCol),
+        col("cnt"),
+        (col("cnt") * lit(graft.sampling.UniverseSampled.scale(pct))).as("est_cnt"))
+
   /** Streaming exact dedup by id within the watermark horizon — built on
     * `dropDuplicatesWithinWatermark`, so the state store holds ids only as
     * long as late data could still arrive (bounded state, the only kind

@@ -57,6 +57,43 @@ class StreamingSampledSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("universe-sampled windowed counts: streaming result is row-IDENTICAL " +
+    "to the batch twin (deterministic keep-set, replay-safe)") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    // unit = the full row rendered as a string (ts millis + key): stable
+    // across partitionings, replays, and engines
+    def unit = concat(col("ts").cast("long"), lit("|"), col("key"))
+    val out = StreamingSampled.windowedCountsUniverse(
+      input.toDF().toDF("ts", "key"), "ts", "key", unit, 30, "10 minutes", "20 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("wcu_stream").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streaming = spark.table("wcu_stream")
+        .select("win_start", "key", "cnt", "est_cnt")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val batch = graft.sampling.UniverseSampled
+        .sample(rows.toDF("ts", "key"), unit, 30)
+        .groupBy(window(col("ts"), "10 minutes"), col("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start"), col("key"), col("cnt"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // EXACT equality — the deterministic predicate keeps the same rows
+      // regardless of partition layout (the rand(seed) twin above can only
+      // assert statistical agreement)
+      assert(streaming.view.mapValues(_._1).toMap === batch)
+      streaming.foreach { case (_, (cnt, est)) =>
+        assert(est === cnt * (100.0 / 30))
+      }
+      assert(streaming.nonEmpty)
+    } finally query.stop()
+  }
+
   test("exact mode (ratio 1.0): streaming counts are exact, est equals cnt") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val out = StreamingSampled.windowedCounts(
