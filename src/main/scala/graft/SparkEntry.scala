@@ -368,6 +368,12 @@ object SparkEntry {
     "docs_derepeated" -> ((s, dir) =>
       graft.text.Derepeat.derepeated(
         graft.text.Derepeat.withParagraphs(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+    // cross-document paragraph dedup: global first-occurrence keep over the
+    // duplicate-injected corpus — the middle dedup granularity between
+    // Derepeat (within one doc) and the whole-document dedup family
+    "dedup_paragraphs" -> ((s, dir) =>
+      graft.text.CrossDocDedup.pipeline(Tables.documents(s, dir))
         .orderBy("doc_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -561,5 +567,6 @@ object SparkEntry {
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
-    "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql())
+    "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
+    "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql)
 }

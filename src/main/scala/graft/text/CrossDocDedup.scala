@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupCorpus
+
+/** Cross-document paragraph deduplication — the corpus-wide curation pass
+  * that keeps each distinct paragraph's GLOBAL first occurrence and drops
+  * every other occurrence, in any document (C4 removed repeated three-
+  * sentence spans corpus-wide, Penedo et al. 2023 §4.2 and Dolma's dedupe
+  * stage do it at paragraph granularity). Complements the two existing
+  * dedup granularities: [[Derepeat]] is WITHIN one document (no shuffle,
+  * sees only intra-doc repeats) and [[graft.dedup.DedupCorpus]] /
+  * [[graft.dedup.MinHashLSH]] drop WHOLE documents — this operator is the
+  * middle granularity, surgically removing shared boilerplate (headers,
+  * license blocks, templated intros) while keeping the surrounding novel
+  * text.
+  *
+  * First occurrence = lexicographically smallest (doc_id, position): a
+  * total, data-deterministic order, so results are reproducible and the
+  * DuckDB oracle replays them bit-exactly.
+  *
+  * Scale shape: two key-partitioned shuffles and nothing else —
+  *  1. a window over `md5(paragraph)` ranks occurrences (the shuffle key is
+  *     the 128-bit digest, so identical paragraphs meet regardless of which
+  *     of the 100 TB's input splits they came from; paragraph text rides
+  *     along only because reassembly needs it),
+  *  2. a `doc_id` hash aggregate reassembles surviving paragraphs in
+  *     original order (map-side partial aggregation applies; per-group
+  *     state is one document's paragraph list, never corpus-scale).
+  * No self-join, no all-pairs stage, no driver state. A paragraph repeated
+  * millions of times (classic boilerplate) lands in ONE window partition as
+  * millions of rows of one digest; rank-then-filter handles it in a single
+  * sort-run spill — the skew worst case degrades to disk, not to OOM.
+  *
+  * The fixture corpus is paragraphed by [[Derepeat.withParagraphs]] over the
+  * duplicate-injected corpus ([[DedupCorpus.augment]]): the injected exact
+  * copies (doc_id + 100000) share ALL paragraphs with their originals and
+  * the near copies (doc_id + 200000) share all but the trailing one, so the
+  * query's result exercises real cross-document hits, not vacuity.
+  */
+object CrossDocDedup {
+
+  import Derepeat.ParaSep
+
+  /** Keep each paragraph's global first occurrence; reassemble documents.
+    * Output: doc_id, n_paras (before), n_kept (after), text (surviving
+    * paragraphs in original order; empty string when nothing survives —
+    * every input document keeps its row).
+    */
+  def dedupedParagraphs(corpus: DataFrame): DataFrame = {
+    // rank occurrences of each distinct paragraph by (doc_id, idx); the
+    // digest is the partition key (fixed 32 chars on the wire vs unbounded
+    // paragraph text for the hash partitioner's input)
+    val firstW = Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("idx"))
+    val kept = col("__rn") === 1
+    corpus
+      .select(col("doc_id"), posexplode(split(col("text"), ParaSep)).as(Seq("idx", "para")))
+      .withColumn("__h", md5(col("para")))
+      .withColumn("__rn", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so only surviving (idx, para) structs
+        // enter the sort; array_sort orders by idx (struct field order)
+        array_join(
+          transform(
+            array_sort(collect_list(when(kept, struct(col("idx"), col("para"))))),
+            s => s("para")),
+          ParaSep).as("text"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text"))
+  }
+
+  /** The declared-query pipeline: paragraph synthesis over the duplicate-
+    * injected corpus, then global paragraph dedup.
+    */
+  def pipeline(documents: DataFrame): DataFrame =
+    dedupedParagraphs(Derepeat.withParagraphs(DedupCorpus.augment(documents)))
+
+  /** DuckDB oracle: augment + paragraph synthesis + global first-occurrence
+    * keep, end to end. The synthesis CTEs mirror [[Derepeat]]'s oracle; the
+    * explode unnests the paragraph ARRAY directly (identical to splitting
+    * the joined text: paragraphs are space-joined word chunks, never
+    * containing the blank-line separator, and ps is never empty).
+    */
+  def oracleSql: String = {
+    val pw = Derepeat.ParaWords
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |w AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w FROM corpus
+       |),
+       |paras0 AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[(i-1)*$pw+1:i*$pw], ' ')
+       |     for i in range(1, CAST(ceil(len(w)/$pw.0) AS BIGINT)+1)] AS ps
+       |  FROM w
+       |),
+       |paras AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 AND len(ps) >= 1
+       |         THEN list_append(ps, ps[1]) ELSE ps END AS ps
+       |  FROM paras0
+       |),
+       |ex AS (
+       |  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) - 1 AS idx FROM paras
+       |),
+       |ranked AS (
+       |  SELECT doc_id, para, idx,
+       |         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+       |  FROM ex
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_paras,
+       |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(para, chr(10)||chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '') AS text
+       |FROM ranked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+}
