@@ -374,7 +374,13 @@ object SparkEntry {
     // Derepeat (within one doc) and the whole-document dedup family
     "dedup_paragraphs" -> ((s, dir) =>
       graft.text.CrossDocDedup.pipeline(Tables.documents(s, dir))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    // domain-mixture resampling: materialize a training mixture from
+    // per-source weights (×2.5 / ×0.3 / drop / pass-through) — whole copies
+    // + a hash-range fractional copy, deterministic → fully oracle-gated
+    "docs_mixture_u" -> ((s, dir) =>
+      graft.sampling.MixtureResample.resample(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -568,5 +574,6 @@ object SparkEntry {
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
-    "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql)
+    "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
+    "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql())
 }
