@@ -380,7 +380,13 @@ object SparkEntry {
     // + a hash-range fractional copy, deterministic → fully oracle-gated
     "docs_mixture_u" -> ((s, dir) =>
       graft.sampling.MixtureResample.resample(Tables.documents(s, dir))
-        .orderBy("doc_id", "copy")))
+        .orderBy("doc_id", "copy")),
+    // SemDeDup-style semantic dedup: sign-LSH cluster buckets, keep the
+    // representative (min vec_id) and everything below the cosine threshold
+    // to it — deterministic clustering → fully oracle-gated, unlike k-means
+    "dedup_semantic" -> ((s, dir) =>
+      graft.similarity.SemanticDedup.decisions(Tables.embeddings(s, dir))
+        .orderBy("vec_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -575,5 +581,6 @@ object SparkEntry {
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
-    "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql())
+    "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),
+    "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql())
 }

@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication — drop documents whose EMBEDDING is close to a
+  * cluster representative's, even when no token overlaps (translated
+  * boilerplate, paraphrased spam, re-rendered templates); the pass SemDeDup
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication") runs after lexical dedup. Their recipe
+  * clusters with k-means and drops within-cluster points above a cosine
+  * threshold; this variant keeps the decision DETERMINISTIC by clustering
+  * with the existing sign-LSH bucketing ([[SimilaritySearch]]'s md5-parity
+  * Rademacher planes) and comparing each vector to its bucket's
+  * representative (smallest vec_id) — a pure function of the data, so the
+  * DuckDB oracle replays every keep/drop decision bit-exactly, where a
+  * k-means fit ([[IvfIndex]]) is engine-specific and can only be
+  * rows-only checked.
+  *
+  * Decision rule: keep a vector iff it IS its bucket's representative or
+  * its quantized cosine to the representative is below [[MinSim]].
+  *
+  * Scale shape: one scan of the corpus computes (qv, nrm, bucket); the
+  * representative table is ONE ROW PER BUCKET (2^planes rows — plan-time
+  * constant, grown via the `numPlanes` knob as the corpus grows), so both
+  * joins below are broadcasts and the only exchange is the tiny
+  * partial-aggregated min-per-bucket. No all-pairs stage, no window over
+  * the corpus, no k-means iterations: at 100 TB this is a scan plus
+  * broadcast probes. (Against SemDeDup's k-means: LSH buckets are coarser
+  * cluster proxies — the standard recall/determinism trade the rest of the
+  * dedup layer already makes, cf. [[SimHash]].)
+  */
+object SemanticDedup {
+
+  /** Planes for the cluster bucketing: 8 → 256 buckets. */
+  val NumPlanes = 8
+
+  /** Drop threshold: quantized cosine to the bucket representative. */
+  val MinSim = 0.15
+
+  private def bucketCol(qv: Column, numPlanes: Int): Column = {
+    val signs = SimilaritySearch.signsFor(numPlanes)
+    (0 until numPlanes)
+      .map(p => when(SimilaritySearch.planeDotSigns(qv, signs(p)) > 0, lit(1L << p))
+        .otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+  }
+
+  /** Per-vector keep/drop decisions: vec_id, bucket, rep_id, sim (to the
+    * representative), keep.
+    */
+  def decisions(
+      embeddings: DataFrame,
+      minSim: Double = MinSim,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val qv = SimilaritySearch.quantize(col("embedding"))
+    val prep = graft.queries.Tables.parallelismFloor(embeddings)
+      .select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
+      .withColumn("bucket", bucketCol(col("qv"), numPlanes))
+    // reps keeps ONLY rep_id: the representative row's own bucket column
+    // (from prep) identifies the bucket after the join, and carrying the
+    // groupBy key would make `bucket` ambiguous in the self-join lineage
+    val reps = prep.groupBy(col("bucket")).agg(min(col("vec_id")).as("rep_id"))
+      .select(col("rep_id"))
+    val repVecs = prep
+      .join(broadcast(reps), col("vec_id") === col("rep_id"))
+      .select(col("rep_id"), col("bucket").as("rep_bucket"),
+        col("qv").as("rep_qv"), col("nrm").as("rep_nrm"))
+    val sim = SimilaritySearch.dotQ(col("qv"), col("rep_qv")).cast("double") /
+      (col("nrm") * col("rep_nrm"))
+    prep
+      .join(broadcast(repVecs), col("bucket") === col("rep_bucket"))
+      .select(col("vec_id"), col("bucket"), col("rep_id"), sim.as("sim"),
+        (col("vec_id") === col("rep_id") || sim < minSim).as("keep"))
+  }
+
+  /** DuckDB oracle for [[decisions]]. */
+  def decisionsOracleSql(
+      minSim: Double = MinSim,
+      numPlanes: Int = NumPlanes): String = {
+    val dims = SimilaritySearch.Dims
+    val signs = SimilaritySearch.signsFor(numPlanes)
+    def dotSql(a: String, b: String): String =
+      s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${dims + 1})]) AS BIGINT)"
+    def planeSql(p: Int): String =
+      (0 until dims).map(d => s"qv[${d + 1}]*(${signs(p)(d)})").mkString(" + ")
+    val bucketExpr = (0 until numPlanes)
+      .map(p => s"CASE WHEN (${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, [CAST(round(x * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
+       |       FROM embeddings),
+       |prep0 AS (
+       |  SELECT vec_id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm,
+       |         CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM q
+       |),
+       |prep AS (SELECT * FROM prep0 WHERE nrm > 0),
+       |reps AS (SELECT bucket, min(vec_id) AS rep_id FROM prep GROUP BY bucket),
+       |repv AS (
+       |  SELECT r.bucket, r.rep_id, p.qv AS rep_qv, p.nrm AS rep_nrm
+       |  FROM reps r JOIN prep p ON p.vec_id = r.rep_id
+       |)
+       |SELECT p.vec_id, p.bucket, v.rep_id,
+       |       ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) AS sim,
+       |       (p.vec_id = v.rep_id
+       |        OR ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) < $minSim) AS keep
+       |FROM prep p JOIN repv v ON p.bucket = v.bucket
+       |ORDER BY p.vec_id""".stripMargin
+  }
+}

@@ -65,7 +65,7 @@ object SimilaritySearch {
   def dotQ(a: Column, b: Column): Column = graft.functions.DotProductQ.dotq(a, b)
 
   /** Signed sum for one plane's sign row (exact integer). */
-  private def planeDotSigns(qv: Column, signs: IndexedSeq[Int]): Column =
+  private[similarity] def planeDotSigns(qv: Column, signs: IndexedSeq[Int]): Column =
     dotQ(qv, array(signs.map(s => lit(s.toLong)): _*))
 
   /** Signed sum for plane p (exact integer). */
