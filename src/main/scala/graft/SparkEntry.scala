@@ -386,7 +386,15 @@ object SparkEntry {
     // to it — deterministic clustering → fully oracle-gated, unlike k-means
     "dedup_semantic" -> ((s, dir) =>
       graft.similarity.SemanticDedup.decisions(Tables.embeddings(s, dir))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+    // the composed curation filter chain with first-failing-rule verdicts
+    // and the per-rule loss funnel (Gopher/RefinedWeb reporting shape)
+    "docs_curated" -> ((s, dir) =>
+      graft.text.CurationPipeline.verdicts(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_curated_funnel" -> ((s, dir) =>
+      graft.text.CurationPipeline.funnel(Tables.documents(s, dir))
+        .orderBy("verdict")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -582,5 +590,7 @@ object SparkEntry {
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
     "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),
-    "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql())
+    "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql(),
+    "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql,
+    "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql)
 }

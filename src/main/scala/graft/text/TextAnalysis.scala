@@ -34,13 +34,16 @@ object TextAnalysis {
     // would re-split the document once per language (VERDICT r5 §wrong 2).
     val scored = graft.queries.Tables.parallelismFloor(docs)
       .select(col("doc_id"), Hashing.words(col("text")).as("__w"))
-      .select(
-        col("doc_id") +: Markers.map { case (lang, ms) =>
-          size(filter(col("__w"), t => ms.map(m => t === m).reduce[Column](_ || _)))
-            .cast("long").as(s"s_$lang")
-        }: _*)
-    // argmax with earlier-language tie-break: en wins ties vs de, etc.
-    val pred = Markers.zipWithIndex.foldRight(lit(Markers.last._1)) {
+      .select(col("doc_id") +: langScoreCols(col("__w")): _*)
+    scored.withColumn("pred_lang", langPredExpr)
+  }
+
+  /** Argmax over the s_<lang> score columns with earlier-language tie-break
+    * (en wins ties vs de, etc.) — references only the score attributes, so
+    * any frame carrying them can reuse it ([[CurationPipeline]] does).
+    */
+  private[text] def langPredExpr: Column =
+    Markers.zipWithIndex.foldRight(lit(Markers.last._1)) {
       case (((lang, _), i), acc) =>
         val beatsLater = Markers.drop(i + 1)
           .map { case (other, _) => col(s"s_$lang") >= col(s"s_$other") }
@@ -50,8 +53,13 @@ object TextAnalysis {
           .foldLeft(lit(true))(_ && _)
         when(beatsLater && beatsEarlier, lit(lang)).otherwise(acc)
     }
-    scored.withColumn("pred_lang", pred)
-  }
+
+  /** Score columns s_<lang> from a materialized words-array column. */
+  private[text] def langScoreCols(w: Column): Seq[Column] =
+    Markers.map { case (lang, ms) =>
+      size(filter(w, t => ms.map(m => t === m).reduce[Column](_ || _)))
+        .cast("long").as(s"s_$lang")
+    }
 
   /** Quality signals: char/word counts, mean word length, non-alphanumeric
     * ratio, stopword ratio, and a weighted composite in [0, 1]. The exact
@@ -358,20 +366,26 @@ object TextAnalysis {
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
-  def languageIdOracleSql: String = {
-    val scores = Markers.map { case (lang, ms) =>
+  /** SQL twins of [[langScoreCols]] / [[langPredExpr]]. */
+  private[text] def langScoresSql: String =
+    Markers.map { case (lang, ms) =>
       s"CAST(len(list_filter(w, t -> list_contains(${markerListSql(ms)}, t))) AS BIGINT) AS s_$lang"
     }.mkString(",\n       ")
-    val pred = {
-      val cases = Markers.zipWithIndex.map { case ((lang, _), i) =>
-        val conds =
-          Markers.drop(i + 1).map { case (o, _) => s"s_$lang >= s_$o" } ++
-            Markers.take(i).map { case (o, _) => s"s_$lang > s_$o" }
-        val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
-        s"WHEN $cond THEN '$lang'"
-      }
-      s"CASE ${cases.mkString(" ")} ELSE '${Markers.last._1}' END"
+
+  private[text] def langPredSql: String = {
+    val cases = Markers.zipWithIndex.map { case ((lang, _), i) =>
+      val conds =
+        Markers.drop(i + 1).map { case (o, _) => s"s_$lang >= s_$o" } ++
+          Markers.take(i).map { case (o, _) => s"s_$lang > s_$o" }
+      val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
     }
+    s"CASE ${cases.mkString(" ")} ELSE '${Markers.last._1}' END"
+  }
+
+  def languageIdOracleSql: String = {
+    val scores = langScoresSql
+    val pred = langPredSql
     s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
        |           FROM documents),
        |s AS (SELECT doc_id,
