@@ -54,11 +54,17 @@ object SemanticDedup {
       minSim: Double = MinSim,
       numPlanes: Int = NumPlanes): DataFrame = {
     val qv = SimilaritySearch.quantize(col("embedding"))
+    // prep feeds THREE plan branches (rep-id agg, rep-vector lookup, final
+    // probe); without materialization each branch rescans the corpus and
+    // re-runs the numPlanes 64-dim plane dots per row — the same
+    // triple-compute [[SimilaritySearch.nearDupPairs]] eliminates with a
+    // lazy localCheckpoint, applied identically here
     val prep = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0)
       .withColumn("bucket", bucketCol(col("qv"), numPlanes))
+      .localCheckpoint(false)
     // reps keeps ONLY rep_id: the representative row's own bucket column
     // (from prep) identifies the bucket after the join, and carrying the
     // groupBy key would make `bucket` ambiguous in the self-join lineage
