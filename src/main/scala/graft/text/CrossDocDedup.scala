@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.DedupCorpus
@@ -22,18 +21,26 @@ import graft.dedup.DedupCorpus
   * total, data-deterministic order, so results are reproducible and the
   * DuckDB oracle replays them bit-exactly.
   *
-  * Scale shape: two key-partitioned shuffles and nothing else —
-  *  1. a window over `md5(paragraph)` ranks occurrences (the shuffle key is
-  *     the 128-bit digest, so identical paragraphs meet regardless of which
-  *     of the 100 TB's input splits they came from; paragraph text rides
-  *     along only because reassembly needs it),
-  *  2. a `doc_id` hash aggregate reassembles surviving paragraphs in
+  * Scale shape (VERDICT r9 §wrong-1 — partial aggregate, not a window):
+  *  1. a `groupBy(md5(paragraph)).agg(min(struct(doc_id, idx)))` finds each
+  *     distinct paragraph's first occurrence. Crucially this is a PARTIAL +
+  *     final aggregate: a paragraph repeated millions of times (classic
+  *     boilerplate) collapses to ONE row per map task BEFORE the shuffle,
+  *     so the winners table shuffles ~#distinct-digests rows, never the
+  *     occurrence count. The previous `row_number() over (partition by
+  *     md5(para))` spelling had to move and SORT every occurrence of the
+  *     mega-key in a single task — the skew worst case was a one-task
+  *     sort-run spill; here it never leaves the mappers.
+  *  2. a shuffle-HASH join (hinted — a sort-merge join would reintroduce
+  *     the per-digest probe-side sort) marks each occurrence kept/dropped
+  *     against the winners table; the build side is one row per distinct
+  *     digest in the partition.
+  *  3. a `doc_id` hash aggregate reassembles surviving paragraphs in
   *     original order (map-side partial aggregation applies; per-group
   *     state is one document's paragraph list, never corpus-scale).
-  * No self-join, no all-pairs stage, no driver state. A paragraph repeated
-  * millions of times (classic boilerplate) lands in ONE window partition as
-  * millions of rows of one digest; rank-then-filter handles it in a single
-  * sort-run spill — the skew worst case degrades to disk, not to OOM.
+  * No self-join, no all-pairs stage, no driver state, no single-task sort
+  * anywhere: the boilerplate mega-cluster is streamed by the hash-join
+  * probe, not sorted.
   *
   * The fixture corpus is paragraphed by [[Derepeat.withParagraphs]] over the
   * duplicate-injected corpus ([[DedupCorpus.augment]]): the injected exact
@@ -51,15 +58,25 @@ object CrossDocDedup {
     * every input document keeps its row).
     */
   def dedupedParagraphs(corpus: DataFrame): DataFrame = {
-    // rank occurrences of each distinct paragraph by (doc_id, idx); the
-    // digest is the partition key (fixed 32 chars on the wire vs unbounded
-    // paragraph text for the hash partitioner's input)
-    val firstW = Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("idx"))
-    val kept = col("__rn") === 1
-    corpus
+    // the digest is the join/aggregate key (fixed 32 chars on the wire vs
+    // unbounded paragraph text for the hash partitioner's input)
+    val occ = corpus
       .select(col("doc_id"), posexplode(split(col("text"), ParaSep)).as(Seq("idx", "para")))
       .withColumn("__h", md5(col("para")))
-      .withColumn("__rn", row_number().over(firstW))
+    // each distinct paragraph's global first occurrence: min over the
+    // (doc_id, idx) struct is the same lexicographic order the old
+    // row_number ranked by, but collapses map-side (partial aggregation)
+    // instead of sorting whole occurrence clusters in one task
+    val first = occ
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+    val kept =
+      col("doc_id") === col("__first.doc_id") && col("idx") === col("__first.idx")
+    occ
+      // shuffle-hash, not sort-merge: the probe side (all occurrences, with
+      // the boilerplate mega-digest concentrated in one partition) must
+      // stream, never sort; the build side is one row per distinct digest
+      .join(first.hint("shuffle_hash"), Seq("__h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_paras"),

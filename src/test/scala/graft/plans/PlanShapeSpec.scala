@@ -103,6 +103,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan.take(3000))
   }
 
+  test("cross-doc paragraph dedup: first-occurrence is a partial+final aggregate " +
+    "and the occurrence join is a hash join, never a probe-side sort") {
+    val corpus = graft.text.Derepeat.withParagraphs(
+      graft.dedup.DedupCorpus.augment(Tables.documents(spark, sf001)))
+    val plan = executed(graft.text.CrossDocDedup.dedupedParagraphs(corpus))
+    // the min(struct(doc_id, idx)) winner runs map-side partial → merge, so
+    // a boilerplate mega-digest collapses to one row per map task before
+    // the shuffle (VERDICT r9 §wrong-1: the old window spelling sorted the
+    // whole occurrence cluster in a single task)
+    assert(plan.contains("partial_min"), plan.take(3000))
+    assert(plan.contains("merge_min") || plan.contains("min("), plan.take(3000))
+    // the occurrence⋈winners join must be a hash join (probe side streams);
+    // a sort-merge join would reintroduce the per-digest single-task sort
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("exact-mode Sampled adds zero plan nodes") {
     val base = Tables.documents(spark, sf001)
     val exact = graft.sampling.Sampled(base, graft.sampling.SamplingConfig.Exact)
