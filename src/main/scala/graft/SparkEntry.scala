@@ -206,6 +206,12 @@ object SparkEntry {
     // a trained model swaps in a broadcast weight array, same plan)
     "text_quality_model" -> ((s, dir) =>
       TextAnalysis.qualityModel(Tables.documents(s, dir)).orderBy("doc_id")),
+    // the production shape: score against a SAVED weight artifact (parquet
+    // → broadcast array literal → element_at inside the same codegen'd
+    // explode+agg) — and still oracle-gated, because the persisted table is
+    // itself a deterministic function of the bucket index
+    "text_quality_model_saved" -> ((s, dir) =>
+      TextAnalysis.qualityModelSaved(s, Tables.documents(s, dir)).orderBy("doc_id")),
     // --- LLM-data-pipeline: multimodal binary columns — manifest-metadata
     // --- plumbing (mm_meta/mm_features) + REAL JDK-native codecs for all
     // --- three media families (GIF video / WAV audio / PNG stills) ---
@@ -287,6 +293,11 @@ object SparkEntry {
     "tpch_q1_sampled_r10" -> ((s, dir) =>
       graft.queries.TpchQueries.q1Sampled(Tables.lineitem(s, dir), SamplingConfig(ratio = 0.1))
         .orderBy("l_returnflag", "l_linestatus")),
+    // order-atomic universe sample (unit = l_orderkey) → every HT estimate
+    // oracle-gated; the last seeded-only sampled family's deterministic twin
+    "tpch_q1_sampled_u10" -> ((s, dir) =>
+      graft.queries.TpchQueries.q1SampledUniverse(Tables.lineitem(s, dir))
+        .orderBy("l_returnflag", "l_linestatus")),
     "tpch_q6" -> ((s, dir) => graft.queries.TpchQueries.q6(Tables.lineitem(s, dir))),
     // seeded Bernoulli sample + HT scale-up; no external oracle by design
     // (rows-only driver check, statistical spec in TpchSpec)
@@ -362,6 +373,12 @@ object SparkEntry {
     "docs_packed" -> ((s, dir) =>
       graft.text.SequencePacking.packs(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // mixture-aware packing: the resample manifest's (doc_id, copy) is the
+    // position-hash unit, so replicas of an up-weighted doc pack into
+    // distinct sequences — the manifest's copy index finally consumed
+    "docs_packed_mixture" -> ((s, dir) =>
+      graft.text.SequencePacking.packsMixture(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy")),
     // intra-document repetition removal: per-row paragraph dedup keeping
     // first occurrences (deterministic paragraph synthesis per the
     // DedupCorpus.augment protocol — fixture docs have no blank lines)
@@ -520,6 +537,7 @@ object SparkEntry {
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "text_quality_model" -> TextAnalysis.qualityModelOracleSql,
+    "text_quality_model_saved" -> TextAnalysis.qualityModelSavedOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
     "mm_frames" -> Multimodal.videoFramesOracleSql(),
     "mm_features" -> Multimodal.featuresOracleSql(),
@@ -543,6 +561,7 @@ object SparkEntry {
     "wireless_sampled_u10" -> wirelessSampledUSql(10),
     "text_quality_sampled_u10" -> TextAnalysis.qualityDistributionSampledUOracleSql(10),
     "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),
+    "tpch_q1_sampled_u10" -> graft.queries.TpchQueries.q1SampledUniverseOracleSql(),
     "tpch_q6_sampled_u10" -> graft.queries.TpchQueries.q6SampledUniverseOracleSql(),
     "events_stratified_sum_u" -> stratifiedSumUSql,
     "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
@@ -587,6 +606,7 @@ object SparkEntry {
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
+    "docs_packed_mixture" -> graft.text.SequencePacking.packsMixtureOracleSql(),
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
     "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),

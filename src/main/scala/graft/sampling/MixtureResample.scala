@@ -75,37 +75,50 @@ object MixtureResample {
   }
 
   /** The resampled-mixture manifest: (doc_id, source, copy) with copy in
-    * [0, copies). Documents whose copy count is 0 are dropped.
+    * [0, copies). Documents whose copy count is 0 are dropped. `extraCols`
+    * ride along per replica (e.g. `text` for
+    * [[graft.text.SequencePacking.packsMixture]] — still scan-fused, the
+    * explode duplicates the row in the same stage).
     */
   def resample(
       docs: DataFrame,
       weightsBp: Map[String, Long] = DefaultWeightsBp,
-      defaultBp: Long = DefaultBp): DataFrame = {
+      defaultBp: Long = DefaultBp,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val n = copyCount(col("source"), col("doc_id"), weightsBp, defaultBp)
+    val carried = Seq(col("doc_id"), col("source")) ++ extraCols.map(col)
     graft.queries.Tables.parallelismFloor(docs)
-      .select(col("doc_id"), col("source"), n.as("__n"))
+      .select(carried :+ n.as("__n"): _*)
       .filter(col("__n") > 0)
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0L), col("__n") - 1)).as("copy"))
+      .select(carried :+ explode(sequence(lit(0L), col("__n") - 1)).as("copy"): _*)
   }
 
-  /** DuckDB oracle for [[resample]] over the `documents` table. */
-  def resampleOracleSql(
+  /** The manifest SELECT (no ORDER BY) — composable as a CTE body by
+    * downstream oracles ([[resampleOracleSql]] and
+    * [[graft.text.SequencePacking.packsMixtureOracleSql]]).
+    */
+  def manifestSql(
       weightsBp: Map[String, Long] = DefaultWeightsBp,
-      defaultBp: Long = DefaultBp): String = {
+      defaultBp: Long = DefaultBp,
+      extraCols: Seq[String] = Nil): String = {
     def caseSql(f: Long => Long, default: Long): String =
       weightsBp.map { case (k, v) => s"WHEN '$k' THEN ${f(v)}" }
         .mkString("CASE source ", " ", s" ELSE $default END")
     val whole = caseSql(_ / Mod, defaultBp / Mod)
     val frac = caseSql(_ % Mod, defaultBp % Mod)
     val hash = Hashing.hash60Sql(s"'$Salt' || CAST(doc_id AS VARCHAR)")
-    s"""WITH n AS (
-       |  SELECT doc_id, source,
+    val extras = extraCols.map(c => s", $c").mkString
+    s"""SELECT doc_id, source$extras, unnest(range(n)) AS copy
+       |FROM (
+       |  SELECT doc_id, source$extras,
        |         $whole + CASE WHEN $hash % $Mod < $frac THEN 1 ELSE 0 END AS n
        |  FROM documents
-       |)
-       |SELECT doc_id, source, unnest(range(n)) AS copy
-       |FROM n WHERE n > 0
-       |ORDER BY doc_id, copy""".stripMargin
+       |) WHERE n > 0""".stripMargin
   }
+
+  /** DuckDB oracle for [[resample]] over the `documents` table. */
+  def resampleOracleSql(
+      weightsBp: Map[String, Long] = DefaultWeightsBp,
+      defaultBp: Long = DefaultBp): String =
+    manifestSql(weightsBp, defaultBp) + "\nORDER BY doc_id, copy"
 }

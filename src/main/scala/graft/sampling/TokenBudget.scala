@@ -42,7 +42,21 @@ object TokenBudget {
     * total in bucket-major hash order). [[select]] filters it against a
     * budget; [[graft.text.SequencePacking]] chunks it into packs.
     */
-  private[graft] def withCum(docs: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
+  private[graft] def withCum(docs: DataFrame, buckets: Int): (DataFrame, DataFrame) =
+    withCumKeyed(docs, buckets, Seq("doc_id"), col("doc_id").cast("string"))
+
+  /** [[withCum]] generalized to a composite row identity: `keyCols` are
+    * carried through to the cumulative frame and break hash ties in the
+    * within-bucket order; `unit` (a string expression of those keys) feeds
+    * the salted position hash. [[graft.text.SequencePacking.packsMixture]]
+    * uses (doc_id, copy) so each mixture REPLICA gets its own independent
+    * position in the layout.
+    */
+  private[graft] def withCumKeyed(
+      docs: DataFrame,
+      buckets: Int,
+      keyCols: Seq[String],
+      unit: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     // Multiple consumers (bucket totals, corpus total, the cumsum join)
     // would otherwise each rescan the parquet and re-tokenize every
     // document (verified: 3 FileScans in the executed plan). Materialize
@@ -51,9 +65,9 @@ object TokenBudget {
     // residue.
     val tb = docs
       .select(
-        col("doc_id"),
-        Hashing.hash60(concat(lit("tb:"), col("doc_id").cast("string"))).as("h"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+        keyCols.map(col) ++ Seq(
+          Hashing.hash60(concat(lit("tb:"), unit)).as("h"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok")): _*)
       .withColumn("b", (col("h") % buckets).cast("int"))
       .localCheckpoint(false)
     // buckets-row aggregate → per-bucket exclusive-prefix offsets. The
@@ -67,7 +81,7 @@ object TokenBudget {
           lit(0L)))
       .select("b", "off")
     val inBucket = Window.partitionBy("b")
-      .orderBy(col("h"), col("doc_id"))
+      .orderBy(col("h") +: keyCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = tb.withColumn("cum_b", sum(col("tok")).over(inBucket))
       .join(broadcast(offsets), "b")
@@ -78,12 +92,18 @@ object TokenBudget {
   /** Shared SQL prefix for the cumulative frame `c(doc_id, tok, cum)` —
     * composed into both oracle queries (`WITH $CumCteSql SELECT …`).
     */
-  private[graft] def cumCteSql(buckets: Int, from: String = "documents"): String =
+  private[graft] def cumCteSql(
+      buckets: Int,
+      from: String = "documents",
+      keyCols: Seq[String] = Seq("doc_id"),
+      unitSql: String = "CAST(doc_id AS VARCHAR)"): String = {
+    val keys = keyCols.mkString(", ")
+    val tbKeys = keyCols.map(k => s"tb.$k").mkString(", ")
     s"""tb AS (
-       |  SELECT doc_id,
-       |         ${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |  SELECT $keys,
+       |         ${Hashing.hash60Sql(s"'tb:' || $unitSql")} AS h,
        |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
-       |         CAST(${Hashing.hash60Sql("'tb:' || CAST(doc_id AS VARCHAR)")} % $buckets AS INT) AS b
+       |         CAST(${Hashing.hash60Sql(s"'tb:' || $unitSql")} % $buckets AS INT) AS b
        |  FROM $from
        |),
        |offs AS (
@@ -93,12 +113,13 @@ object TokenBudget {
        |  FROM (SELECT b, sum(tok) AS btot FROM tb GROUP BY b)
        |),
        |c AS (
-       |  SELECT tb.doc_id, tb.tok,
+       |  SELECT $tbKeys, tb.tok,
        |         offs.off + CAST(sum(tb.tok) OVER (
-       |           PARTITION BY tb.b ORDER BY tb.h, tb.doc_id
+       |           PARTITION BY tb.b ORDER BY tb.h, $tbKeys
        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM tb JOIN offs USING (b)
        |)""".stripMargin
+  }
 
   /** Documents selected under a `num/den`-of-total token budget.
     * Output: doc_id, tok (whitespace tokens), cum (global running total in

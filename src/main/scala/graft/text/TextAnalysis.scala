@@ -233,7 +233,16 @@ object TextAnalysis {
     * lambdas are interpreted per element (the HOF trap), while explode +
     * agg is whole-stage codegen with partial aggregation.
     */
-  def qualityModel(docs: DataFrame): DataFrame = {
+  def qualityModel(docs: DataFrame): DataFrame =
+    scoreDocs(docs, h => h % WeightMod - (WeightMod - 1) / 2)
+
+  /** The shared scorer pipeline: `weightOf` maps the 60-bit feature hash to
+    * its integer weight — a pure scalar expression, so every variant keeps
+    * the identical explode → partial+final agg → spine-join plan.
+    */
+  private[text] def scoreDocs(
+      docs: DataFrame,
+      weightOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val base = graft.queries.Tables.parallelismFloor(docs)
     val uni = base
       .select(col("doc_id"), explode(Hashing.words(col("text"))).as("f"))
@@ -242,7 +251,7 @@ object TextAnalysis {
     val scored = uni.unionAll(bi)
       .select(
         col("doc_id"),
-        (Hashing.hash60(concat(lit("q:"), col("f"))) % WeightMod - (WeightMod - 1) / 2).as("w"))
+        weightOf(Hashing.hash60(concat(lit("q:"), col("f")))).as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_raw"))
     base.select(col("doc_id"))
@@ -257,12 +266,64 @@ object TextAnalysis {
       .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
   }
 
-  /** DuckDB oracle for [[qualityModel]] (bigram construction follows the
-    * [[repetitionSignalsOracleSql]] pattern — raw split array, so empty
-    * boundary tokens participate exactly as in [[Hashing.explodeShingles]]).
+  /** Hash-bucket count for the SAVED weight-table variant — the hashing
+    * trick's table size (kept small so the broadcast literal is ~32 KB;
+    * a production model would use 2^20+ with the same plumbing).
     */
-  def qualityModelOracleSql: String = {
+  val WeightBuckets = 4096
+
+  /** The "trained"-model stand-in: one integer weight in [−500, 500] per
+    * hash bucket, derived from a salted hash of the bucket index — fully
+    * deterministic, so the saved-artifact path is STILL oracle-gated
+    * (DuckDB re-derives the table; nothing about persistence is trusted).
+    */
+  def weightTable(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(WeightBuckets).select(
+      col("id").cast("int").as("bucket"),
+      (Hashing.hash60(concat(lit("qw:"), col("id").cast("string"))) % WeightMod
+        - (WeightMod - 1) / 2).as("w"))
+
+  /** Persist the weight table once (tmpdir, keyed by bucket count), the
+    * [[graft.similarity.IvfIndex.ensureSaved]] artifact convention.
+    */
+  def ensureSavedWeights(spark: org.apache.spark.sql.SparkSession): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_qweights_$WeightBuckets"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      weightTable(spark).coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** [[qualityModel]] scoring against a SAVED weight artifact — the proof
+    * of the scaladoc claim that "a trained model swaps in a broadcast
+    * weight array with the identical plan shape" (VERDICT r9 next-5, the
+    * `simsearch_ivf_saved` pattern). The parquet table (WeightBuckets rows,
+    * model metadata — the one legitimate driver collect) becomes an array
+    * LITERAL; scoring indexes it with `element_at` on the bucketed feature
+    * hash, a pure scalar expression inside the same whole-stage-codegen'd
+    * explode + partial agg as [[qualityModel]] — no extra join, no UDF.
+    */
+  def qualityModelSaved(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    val ws = new Array[Long](WeightBuckets)
+    spark.read.parquet(ensureSavedWeights(spark))
+      .collect()
+      .foreach(r => ws(r.getInt(0)) = r.getLong(1))
+    val arr = typedLit(ws.toSeq)
+    scoreDocs(docs, h => element_at(arr, (h % WeightBuckets).cast("int") + 1))
+  }
+
+  /** DuckDB oracle for [[qualityModelSaved]]: the weight lookup re-derived
+    * from the bucket index (what [[weightTable]] persisted), composed into
+    * the same feature CTE chain as [[qualityModelOracleSql]].
+    */
+  def qualityModelSavedOracleSql: String = {
     val half = (WeightMod - 1) / 2
+    val bucket = s"${Hashing.hash60Sql("'q:' || f")} % $WeightBuckets"
+    val w = s"${Hashing.hash60Sql(s"'qw:' || CAST($bucket AS VARCHAR)")} % $WeightMod - $half"
+    qualityModelSqlWith(w)
+  }
+
+  private def qualityModelSqlWith(weightSql: String): String =
     s"""WITH uni AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS f
        |  FROM documents
@@ -277,7 +338,7 @@ object TextAnalysis {
        |feats AS (SELECT doc_id, f FROM uni WHERE f <> '' UNION ALL SELECT doc_id, f FROM bi),
        |scored AS (
        |  SELECT doc_id, count(*) AS n_feats,
-       |         sum(${Hashing.hash60Sql("'q:' || f")} % $WeightMod - $half) AS score_raw
+       |         sum($weightSql) AS score_raw
        |  FROM feats GROUP BY doc_id
        |)
        |SELECT d.doc_id,
@@ -290,6 +351,14 @@ object TextAnalysis {
        |            THEN 'keep' ELSE 'drop' END AS label
        |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[qualityModel]] (bigram construction follows the
+    * [[repetitionSignalsOracleSql]] pattern — raw split array, so empty
+    * boundary tokens participate exactly as in [[Hashing.explodeShingles]]).
+    */
+  def qualityModelOracleSql: String = {
+    val half = (WeightMod - 1) / 2
+    qualityModelSqlWith(s"${Hashing.hash60Sql("'q:' || f")} % $WeightMod - $half")
   }
 
   val GramLen = 8

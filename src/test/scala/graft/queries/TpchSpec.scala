@@ -29,6 +29,29 @@ class TpchSpec extends SparkSpec {
     }
   }
 
+  test("universe-sampled q1: order-atomic keep-set, HT estimates track exact") {
+    val li = Tables.lineitem(spark, sf01)
+    // unit atomicity: the keep-predicate is a function of l_orderkey alone,
+    // so every order is wholly in or wholly out of the sample
+    val sampled = graft.sampling.UniverseSampled.sample(li, col("l_orderkey"), 10)
+    val perOrder = sampled.groupBy("l_orderkey").count()
+      .join(li.groupBy("l_orderkey").count().withColumnRenamed("count", "full"),
+        "l_orderkey")
+    assert(perOrder.filter(col("count") =!= col("full")).count() === 0,
+      "a sampled order is missing some of its lineitems")
+    val exact = TpchQueries.q1(li)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(6).toDouble).toMap
+    val est = TpchQueries.q1SampledUniverse(li)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6))
+    assert(est.length === 6)
+    est.foreach { case (k, e) =>
+      val x = exact(k)
+      // order-level sampling clusters ~4 lineitems/order: design effect ≈ 4
+      // over the row-level rel-stddev (~0.043 per group at sf0.1) → wide 4σ
+      assert(math.abs(e - x) / x < 0.35, s"group $k: est $e vs exact $x")
+    }
+  }
+
   test("sampled q6: HT estimate tracks exact revenue within sampling noise") {
     val exact = TpchQueries.q6(Tables.lineitem(spark, sf01))
       .collect().head.getLong(0).toDouble

@@ -45,6 +45,64 @@ class QualityModelSpec extends SparkSpec {
     assert(out(2).getString(4) === "keep")
   }
 
+  /** [[weight]]'s twin for the saved-table variant: bucket the feature
+    * hash, then derive the bucket's weight the way [[TextAnalysis.weightTable]]
+    * does ("qw:" salt over the bucket index).
+    */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+  private def savedWeight(feature: String): Long = {
+    val bucket = hash60("q:" + feature) % TextAnalysis.WeightBuckets
+    hash60("qw:" + bucket) % TextAnalysis.WeightMod - (TextAnalysis.WeightMod - 1) / 2
+  }
+
+  test("saved weights round-trip: the persisted parquet equals weightTable") {
+    val path = TextAnalysis.ensureSavedWeights(spark)
+    val reloaded = spark.read.parquet(path)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val direct = TextAnalysis.weightTable(spark)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(reloaded.length === TextAnalysis.WeightBuckets)
+    assert(reloaded.toSeq === direct.toSeq)
+    // and the table really is the deterministic derivation the oracle replays
+    reloaded.take(64).foreach { case (b, w) =>
+      assert(w === hash60("qw:" + b) % TextAnalysis.WeightMod
+        - (TextAnalysis.WeightMod - 1) / 2)
+    }
+  }
+
+  test("qualityModelSaved scores through the artifact exactly as the " +
+    "independent bucket-weight reimplementation") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat"), (2L, "sat on the mat"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityModelSaved(spark, docs).orderBy("doc_id").collect()
+    val expRaw1 = savedWeight("the") + savedWeight("cat") + savedWeight("the cat")
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === expRaw1)
+    assert(out(2).getLong(1) === 0L) // feature-less doc keeps its spine row
+  }
+
+  test("saved variant keeps the identical plan shape (no extra join, same " +
+    "explode + partial agg pipeline)") {
+    import graft.queries.Tables
+    def ops(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(c => !c.isLetter && c != '*'))
+        .map(_.replaceAll("^\\*?\\(\\d+\\) ", "").takeWhile(_.isLetter))
+        .filter(_.nonEmpty)
+        .toSeq
+    }
+    val docs = Tables.documents(spark, sf001)
+    val baseOps = ops(TextAnalysis.qualityModel(docs))
+    val savedOps = ops(TextAnalysis.qualityModelSaved(spark, docs))
+    // operator-for-operator identical: the weight lookup is a scalar
+    // expression swap, invisible at plan-node granularity
+    assert(savedOps === baseOps, s"base:\n$baseOps\nsaved:\n$savedOps")
+  }
+
   test("both labels are reachable with single-token docs") {
     import spark.implicits._
     // scan a small candidate vocabulary for one positive- and one

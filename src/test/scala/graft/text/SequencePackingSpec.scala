@@ -42,4 +42,49 @@ class SequencePackingSpec extends SparkSpec {
       assert(total >= L - maxDoc, s"pack $p underfills: $total")
     }
   }
+
+  test("mixture packing equals brute force over the manifest; replicas land in " +
+    "independent positions; pack sizes hug the budget") {
+    import graft.sampling.MixtureResample
+    val docs = Tables.documents(spark, sf001)
+    // brute-force: replay the manifest (copies per doc), then the
+    // (doc_id, copy)-keyed hash order and prefix sum on the driver
+    val manifest = MixtureResample.resample(docs, extraCols = Seq("text"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("copy"), r.getAs[String]("text")))
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val base = manifest.map { case (id, copy, text) =>
+      val h = h60(s"tb:$id:$copy")
+      (id, copy, h, text.trim.split("\\s+").length.toLong)
+    }
+    val ordered = base.sortBy(t => (t._3 % TokenBudget.Buckets, t._3, t._1, t._2))
+    val cums = ordered.scanLeft(0L)(_ + _._4).tail
+    val L = SequencePacking.PackTokens
+    val expected = ordered.zip(cums)
+      .map { case ((id, copy, _, tok), cum) => (id, copy, tok, cum, (cum - tok) / L) }
+      .sortBy(t => (t._1, t._2))
+    val got = SequencePacking.packsMixture(docs)
+      .orderBy("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected.toSeq)
+    // the mixture must actually replicate (src0 is ×2.5 → copies exist) and
+    // replicas must NOT be systematically co-packed: each copy gets its own
+    // hash position, so same-doc same-pack collisions are rare accidents
+    val multi = expected.groupBy(_._1).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no replicated docs — mixture weights not applied")
+    val coPacked = multi.values.count(rs => rs.map(_._5).distinct.length < rs.length)
+    assert(coPacked.toDouble / multi.size < 0.5,
+      s"$coPacked of ${multi.size} replicated docs share a pack — replicas are not independent")
+    // budget discipline carries over to the mixture layout
+    val byPack = expected.groupBy(_._5).toSeq.sortBy(_._1)
+    assert(byPack.size > 1)
+    val maxDoc = base.map(_._4).max
+    byPack.init.foreach { case (p, ds) =>
+      val total = ds.map(_._3).sum
+      assert(total <= L + maxDoc, s"pack $p overflows: $total")
+      assert(total >= L - maxDoc, s"pack $p underfills: $total")
+    }
+  }
 }
