@@ -60,6 +60,22 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
     }.reduce(_ unionAll _)
 
+  /** ×k embeddings: shifted vec_ids; copy i circularly rotates the vector
+    * by i dims (norm-preserving, but a different sign pattern against the
+    * LSH hyperplanes) so copies spread across buckets instead of piling
+    * onto copy 0's positions — probe factors stay below the 64 dims, so
+    * every copy gets a distinct rotation.
+    */
+  def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), i + 1, 1 << 20),
+           slice(col("embedding"), 1, i))).as("embedding"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val factors = args.headOption
       .map(_.split(",").map(_.toInt).toSeq)
@@ -110,7 +126,21 @@ object ScaleProbe {
       "mm_dedup_pairs" -> (k =>
         graft.multimodal.ImageDedup.nearDupPairs(
           graft.multimodal.ImageDedup.hashes(
-            spark, graft.multimodal.ImageDedup.synthesizeVariants(spark, nGroups = 100 * k)))))
+            spark, graft.multimodal.ImageDedup.synthesizeVariants(spark, nGroups = 100 * k))),
+      ),
+      // the r9 heavy additions (VERDICT r9 next-4): the partial-agg +
+      // hash-join paragraph dedup (boilerplate skew is exactly its risk
+      // shape), the sign-LSH bucket semantic dedup, and the fused curation
+      // projection chain
+      "dedup_paragraphs" -> (k =>
+        graft.text.CrossDocDedup.dedupedParagraphs(
+          graft.text.Derepeat.withParagraphs(
+            DedupCorpus.augment(explodeDocs(docs0, k))))),
+      "dedup_semantic" -> (k =>
+        graft.similarity.SemanticDedup.decisions(
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))),
+      "docs_curated" -> (k =>
+        graft.text.CurationPipeline.verdicts(explodeDocs(docs0, k))))
 
     def runOnce(df: DataFrame): Double = {
       val t0 = System.nanoTime()
