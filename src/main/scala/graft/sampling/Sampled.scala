@@ -81,6 +81,18 @@ object SamplingReport {
   *  - `rand(seed)` is deterministic per (seed, partition index, row position),
   *    so the sampled row-set is reproducible run-to-run — an intentional fix
   *    of the reference's unseeded Random.
+  *
+  * Choosing between this and [[UniverseSampled]]: this seeded Bernoulli
+  * filter is the CHEAPEST per row (one RNG draw, no hashing) — prefer it
+  * for scan-bound single-aggregate shapes (TPC-H Q6 measured 0.21 s seeded
+  * vs 0.76 s universe vs 0.23 s exact at sf0.1), where the universe
+  * sampler's per-row md5 costs more than the sample saves. Prefer
+  * [[UniverseSampled]] when per-row downstream work dominates, or when you
+  * need its extras: external replayability (oracle-provable keep-set),
+  * unit atomicity (whole clusters/orders kept together), and stability
+  * under input re-splits (rand's row-position determinism is per
+  * PARTITIONING, not per data). Full decision rule in
+  * [[UniverseSampled]]'s scaladoc.
   */
 final class Sampled private (
     val source: DataFrame,

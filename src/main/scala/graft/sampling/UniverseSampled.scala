@@ -36,6 +36,20 @@ import graft.dedup.Hashing
   * The unit hash is salted (`"u:"`) so this sampling decision is
   * independent of every other hash60 use of the same column (MinHash
   * seeds, token-budget ordering, DedupRate's content ranges).
+  *
+  * ==Which sampler should I use?==
+  * Decision rule (measured, BASELINE.md r9 ledger): when per-row
+  * DOWNSTREAM work dominates — tokenize/explode/regex/join after the
+  * sample — the universe (`_u10`) family wins AND is oracle-proven
+  * (wordcount 0.67 vs 0.77 s exact, text_quality 0.35 vs 0.97,
+  * text_tokens 0.23 vs 0.72 at sf0.1). When the query is SCAN-BOUND with
+  * a single pushed-down aggregate (TPC-H Q6 shape), the md5 keep-predicate
+  * cannot skip I/O and adds one hash per row, so it costs more than it
+  * saves (q6 `_u10` 0.76 s vs 0.23 s exact): use the seeded Bernoulli
+  * [[Sampled]] `_r10` twin there (0.21 s) — its `rand(seed)` filter is
+  * nearly free per row. Universe sampling's extra properties (exact
+  * replayability, unit atomicity, retry/re-split determinism) are what
+  * you pay that hash for; pick by whether the shape amortizes it.
   */
 object UniverseSampled {
 
