@@ -59,10 +59,15 @@ object CrossDocDedup {
     */
   def dedupedParagraphs(corpus: DataFrame): DataFrame = {
     // the digest is the join/aggregate key (fixed 32 chars on the wire vs
-    // unbounded paragraph text for the hash partitioner's input)
+    // unbounded paragraph text for the hash partitioner's input).
+    // Materialized ONCE (lazy localCheckpoint, the TokenBudget/MinHashLSH
+    // pattern): both the winners aggregate and the join probe consume this
+    // frame, and without the checkpoint each re-runs the full scan →
+    // explode → md5 pipeline (measured 2× CPU at sf0.1)
     val occ = corpus
       .select(col("doc_id"), posexplode(split(col("text"), ParaSep)).as(Seq("idx", "para")))
       .withColumn("__h", md5(col("para")))
+      .localCheckpoint(false)
     // each distinct paragraph's global first occurrence: min over the
     // (doc_id, idx) struct is the same lexicographic order the old
     // row_number ranked by, but collapses map-side (partial aggregation)
