@@ -201,6 +201,11 @@ object SparkEntry {
     // dup-bigram fractions) — the standard degenerate-text filters
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
+    // corpus df stats + per-doc top terms by integer df-normalized
+    // prominence (the tf-idf feature layer curation heuristics build on);
+    // WindowGroupLimit keeps k rows per partition before the shuffle
+    "text_tfidf_topk" -> ((s, dir) =>
+      graft.text.TfIdf.topTerms(Tables.documents(s, dir)).orderBy("doc_id", "rn")),
     // fastText-style linear quality classifier over hashed uni+bigram
     // features with a deterministic integer weight table (oracle-gated;
     // a trained model swaps in a broadcast weight array, same plan)
@@ -411,7 +416,12 @@ object SparkEntry {
         .orderBy("doc_id")),
     "docs_curated_funnel" -> ((s, dir) =>
       graft.text.CurationPipeline.funnel(Tables.documents(s, dir))
-        .orderBy("verdict")))
+        .orderBy("verdict")),
+    // the funnel per corpus component — the Gopher/RefinedWeb published
+    // reporting shape; source rides the fused projection for free
+    "docs_curated_funnel_by_source" -> ((s, dir) =>
+      graft.text.CurationPipeline.funnelBySource(Tables.documents(s, dir))
+        .orderBy("source", "verdict")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -536,6 +546,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
+    "text_tfidf_topk" -> graft.text.TfIdf.topTermsOracleSql(),
     "text_quality_model" -> TextAnalysis.qualityModelOracleSql,
     "text_quality_model_saved" -> TextAnalysis.qualityModelSavedOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
@@ -612,5 +623,6 @@ object SparkEntry {
     "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),
     "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql(),
     "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql,
-    "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql)
+    "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql,
+    "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql)
 }

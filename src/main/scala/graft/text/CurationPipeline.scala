@@ -48,7 +48,14 @@ object CurationPipeline {
     * stop_ratio, special_ratio, dup_words_frac, top_words_frac, verdict,
     * keep.
     */
-  def verdicts(docs: DataFrame): DataFrame = {
+  def verdicts(docs: DataFrame): DataFrame = verdictsWith(docs, Nil)
+
+  /** [[verdicts]] with pass-through grouping columns (e.g. `source` for the
+    * per-source funnel) riding the fused projection — zero extra cost, the
+    * columns never leave the scan-side row.
+    */
+  private def verdictsWith(docs: DataFrame, extraCols: Seq[String]): DataFrame = {
+    val extras = extraCols.map(col)
     val w = col("__w")
     val nChars = length(col("text")).cast("long")
     val nWords = size(filter(w, t => t =!= "")).cast("long")
@@ -56,10 +63,12 @@ object CurationPipeline {
     val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
     val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
     val sig = graft.queries.Tables.parallelismFloor(docs)
-      .select(col("doc_id"), col("text"), Hashing.words(col("text")).as("__w"))
+      .select(Seq(col("doc_id")) ++ extras ++
+        Seq(col("text"), Hashing.words(col("text")).as("__w")): _*)
       .select(
-        Seq(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-          nStop.as("n_stop"), nSpecial.as("n_special")) ++
+        Seq(col("doc_id")) ++ extras ++
+          Seq(nChars.as("n_chars"), nWords.as("n_words"),
+            nStop.as("n_stop"), nSpecial.as("n_special")) ++
           TextAnalysis.langScoreCols(w): _*)
       .withColumn("pred_lang", TextAnalysis.langPredExpr)
       .withColumn("mean_word_len",
@@ -87,10 +96,11 @@ object CurationPipeline {
         .otherwise("keep")
     sig
       .join(rep, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("pred_lang"), col("n_words"), col("mean_word_len"),
-        col("stop_ratio"), col("special_ratio"),
-        col("dup_words_frac"), col("top_words_frac"),
-        verdict.as("verdict"), (verdict === "keep").as("keep"))
+      .select(Seq(col("doc_id")) ++ extras ++
+        Seq(col("pred_lang"), col("n_words"), col("mean_word_len"),
+          col("stop_ratio"), col("special_ratio"),
+          col("dup_words_frac"), col("top_words_frac"),
+          verdict.as("verdict"), (verdict === "keep").as("keep")): _*)
   }
 
   /** Per-rule loss attribution: documents and token estimate removed by
@@ -102,14 +112,29 @@ object CurationPipeline {
       .groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
 
+  /** The funnel broken out per SOURCE — the shape curation reports actually
+    * publish (Gopher Table A1 / RefinedWeb Fig. 2 attribute removal rates
+    * per corpus component): which rule costs which source how many
+    * documents and words. The source column rides the fused projection, so
+    * this costs the same as [[funnel]] plus one more grouping key.
+    */
+  def funnelBySource(docs: DataFrame): DataFrame =
+    verdictsWith(docs, Seq("source"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
+
   /** DuckDB oracle for [[verdicts]]. */
-  def verdictsOracleSql: String = {
+  def verdictsOracleSql: String = verdictsSqlWith(Nil)
+
+  private def verdictsSqlWith(extraCols: Seq[String]): String = {
+    val exSrc = extraCols.map(c => s", $c").mkString
+    val exSig = extraCols.map(c => s", sig.$c").mkString
     val en = TextAnalysis.Markers.head._1
     val stop = TextAnalysis.Markers.head._2.map(m => s"'$m'").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+    s"""WITH w AS (SELECT doc_id$exSrc, text, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
        |           FROM documents),
        |sig0 AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$exSrc,
        |       CAST(length(text) AS BIGINT) AS n_chars,
        |       CAST(len(list_filter(w, t -> t <> '')) AS BIGINT) AS n_words,
        |       CAST(len(list_filter(w, t -> list_contains($stop, t))) AS BIGINT) AS n_stop,
@@ -142,7 +167,7 @@ object CurationPipeline {
        |  FROM tc GROUP BY doc_id
        |),
        |v AS (
-       |  SELECT sig.doc_id, pred_lang, n_words, mean_word_len, stop_ratio, special_ratio,
+       |  SELECT sig.doc_id$exSig, pred_lang, n_words, mean_word_len, stop_ratio, special_ratio,
        |         dup_words_frac, top_words_frac,
        |         CASE WHEN pred_lang <> '$en' THEN 'lang'
        |              WHEN n_words < $MinWords THEN 'short'
@@ -165,4 +190,11 @@ object CurationPipeline {
        |SELECT verdict, count(*) AS n_docs,
        |       CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
+  /** DuckDB oracle for [[funnelBySource]]. */
+  def funnelBySourceOracleSql: String =
+    s"""WITH v AS (${verdictsSqlWith(Seq("source")).replace(" ORDER BY doc_id", "")})
+       |SELECT source, verdict, count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words_total
+       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

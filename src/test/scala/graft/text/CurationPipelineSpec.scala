@@ -62,4 +62,22 @@ class CurationPipelineSpec extends SparkSpec {
       assert(funnel.agg(sum("n_docs")).as[Long].head === docs.count())
     } finally v.unpersist()
   }
+
+  test("per-source funnel: rolls up exactly to the global funnel and covers every source") {
+    val bySource = CurationPipeline.funnelBySource(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val global = CurationPipeline.funnel(docs)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // summing the source breakdown per verdict must reproduce the global
+    // funnel bit-for-bit
+    val rolled = bySource.groupBy(_._2).map { case (verdict, rs) =>
+      verdict -> (rs.map(_._3).sum, rs.map(_._4).sum)
+    }
+    assert(rolled === global)
+    // every corpus source appears (no source silently dropped)
+    val sources = docs.select("source").distinct().as[String].collect().toSet
+    assert(bySource.map(_._1).toSet === sources)
+  }
 }
