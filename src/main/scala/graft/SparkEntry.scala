@@ -421,7 +421,13 @@ object SparkEntry {
     // reporting shape; source rides the fused projection for free
     "docs_curated_funnel_by_source" -> ((s, dir) =>
       graft.text.CurationPipeline.funnelBySource(Tables.documents(s, dir))
-        .orderBy("source", "verdict")))
+        .orderBy("source", "verdict")),
+    // the whole curation story composed: curate → exact-dedup → mixture →
+    // pack, raw corpus to training-sequence manifest in ONE plan — each
+    // stage individually oracle-gated, and the composition stays gated
+    "docs_training_shard" -> ((s, dir) =>
+      graft.text.TrainingShard.manifest(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -624,5 +630,6 @@ object SparkEntry {
     "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql(),
     "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql,
     "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql,
-    "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql)
+    "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql,
+    "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql())
 }

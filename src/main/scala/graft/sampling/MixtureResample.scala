@@ -100,7 +100,8 @@ object MixtureResample {
   def manifestSql(
       weightsBp: Map[String, Long] = DefaultWeightsBp,
       defaultBp: Long = DefaultBp,
-      extraCols: Seq[String] = Nil): String = {
+      extraCols: Seq[String] = Nil,
+      from: String = "documents"): String = {
     def caseSql(f: Long => Long, default: Long): String =
       weightsBp.map { case (k, v) => s"WHEN '$k' THEN ${f(v)}" }
         .mkString("CASE source ", " ", s" ELSE $default END")
@@ -112,7 +113,7 @@ object MixtureResample {
        |FROM (
        |  SELECT doc_id, source$extras,
        |         $whole + CASE WHEN $hash % $Mod < $frac THEN 1 ELSE 0 END AS n
-       |  FROM documents
+       |  FROM $from
        |) WHERE n > 0""".stripMargin
   }
 

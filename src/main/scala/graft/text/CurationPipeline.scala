@@ -126,6 +126,14 @@ object CurationPipeline {
   /** DuckDB oracle for [[verdicts]]. */
   def verdictsOracleSql: String = verdictsSqlWith(Nil)
 
+  /** The kept-document id set as a composable subquery (consumed by
+    * [[TrainingShard]]'s oracle).
+    */
+  def keptIdsSql: String =
+    s"""SELECT doc_id FROM (
+       |${verdictsOracleSql.replace(" ORDER BY doc_id", "")}
+       |) WHERE verdict = 'keep'""".stripMargin
+
   private def verdictsSqlWith(extraCols: Seq[String]): String = {
     val exSrc = extraCols.map(c => s", $c").mkString
     val exSig = extraCols.map(c => s", sig.$c").mkString
