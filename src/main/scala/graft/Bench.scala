@@ -130,9 +130,17 @@ object Bench {
     val perTrialCpuJson = trialCpu
       .map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_cpu":$cpuJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_cpu":$cpuJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"errors":$errJson,"sf":"$sfDir"}""")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson)
+    // Self-contained archive of THIS bench invocation at the repo root
+    // (VERDICT r10 §missing-3): the driver's BENCH_r{N}.json captures a
+    // bounded stdout tail, which the 95-query stdout line outgrew twice
+    // (r3, r10) — the committed artifact must never depend on a capture
+    // window. Same full-precision payload as BENCH_LOCAL.json.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), fullJson)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

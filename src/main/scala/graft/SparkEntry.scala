@@ -206,6 +206,12 @@ object SparkEntry {
     // WindowGroupLimit keeps k rows per partition before the shuffle
     "text_tfidf_topk" -> ((s, dir) =>
       graft.text.TfIdf.topTerms(Tables.documents(s, dir)).orderBy("doc_id", "rn")),
+    // boilerplate/stopword discovery: terms in ≥50 % of documents — the df
+    // table's curation-rule-authoring use case (VERDICT r10 next-5);
+    // result bounded by the high-df vocabulary, tiny by Zipf
+    "text_boilerplate_terms" -> ((s, dir) =>
+      graft.text.TfIdf.boilerplateTerms(Tables.documents(s, dir))
+        .orderBy(col("df").desc, col("word"))),
     // fastText-style linear quality classifier over hashed uni+bigram
     // features with a deterministic integer weight table (oracle-gated;
     // a trained model swaps in a broadcast weight array, same plan)
@@ -378,6 +384,12 @@ object SparkEntry {
     "docs_packed" -> ((s, dir) =>
       graft.text.SequencePacking.packs(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // per-pack fill histogram — the shard-utilization report a training-
+    // data engineer reads before shipping; two aggregates over the packs
+    // frame, output bounded by the fill_pct range
+    "docs_pack_fill" -> ((s, dir) =>
+      graft.text.SequencePacking.packFillHistogram(Tables.documents(s, dir))
+        .orderBy("fill_pct")),
     // mixture-aware packing: the resample manifest's (doc_id, copy) is the
     // position-hash unit, so replicas of an up-weighted doc pack into
     // distinct sequences — the manifest's copy index finally consumed
@@ -427,7 +439,13 @@ object SparkEntry {
     // stage individually oracle-gated, and the composition stays gated
     "docs_training_shard" -> ((s, dir) =>
       graft.text.TrainingShard.manifest(Tables.documents(s, dir))
-        .orderBy("doc_id", "copy")))
+        .orderBy("doc_id", "copy")),
+    // the AQP twin of the composed pipeline: the same 4-stage chain over a
+    // 10 % doc-atomic universe sample, HT-scaled to the one-row summary a
+    // planner reads ("how many kept docs / tokens / packs would the full
+    // corpus produce") — a 100 TB estimate priced at a 10 % scan
+    "docs_training_shard_sampled_u10" -> ((s, dir) =>
+      graft.text.TrainingShard.manifestSampled(Tables.documents(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -553,6 +571,7 @@ object SparkEntry {
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "text_tfidf_topk" -> graft.text.TfIdf.topTermsOracleSql(),
+    "text_boilerplate_terms" -> graft.text.TfIdf.boilerplateTermsOracleSql(),
     "text_quality_model" -> TextAnalysis.qualityModelOracleSql,
     "text_quality_model_saved" -> TextAnalysis.qualityModelSavedOracleSql,
     "mm_meta" -> Multimodal.metaOracleSql,
@@ -623,13 +642,16 @@ object SparkEntry {
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
+    "docs_pack_fill" -> graft.text.SequencePacking.packFillHistogramOracleSql(),
     "docs_packed_mixture" -> graft.text.SequencePacking.packsMixtureOracleSql(),
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
     "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),
     "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql(),
-    "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql,
+    "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql(),
     "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql,
     "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql,
-    "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql())
+    "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql(),
+    "docs_training_shard_sampled_u10" ->
+      graft.text.TrainingShard.manifestSampledOracleSql())
 }

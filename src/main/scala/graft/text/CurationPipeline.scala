@@ -123,24 +123,28 @@ object CurationPipeline {
       .groupBy(col("source"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
 
-  /** DuckDB oracle for [[verdicts]]. */
-  def verdictsOracleSql: String = verdictsSqlWith(Nil)
+  /** DuckDB oracle for [[verdicts]]. `from` swaps the source relation
+    * (e.g. the sampled slice in [[TrainingShard]]'s `_sampled` twin).
+    */
+  def verdictsOracleSql(from: String = "documents"): String =
+    verdictsSqlWith(Nil, from)
 
   /** The kept-document id set as a composable subquery (consumed by
     * [[TrainingShard]]'s oracle).
     */
-  def keptIdsSql: String =
+  def keptIdsSql(from: String = "documents"): String =
     s"""SELECT doc_id FROM (
-       |${verdictsOracleSql.replace(" ORDER BY doc_id", "")}
+       |${verdictsOracleSql(from).replace(" ORDER BY doc_id", "")}
        |) WHERE verdict = 'keep'""".stripMargin
 
-  private def verdictsSqlWith(extraCols: Seq[String]): String = {
+  private def verdictsSqlWith(
+      extraCols: Seq[String], from: String = "documents"): String = {
     val exSrc = extraCols.map(c => s", $c").mkString
     val exSig = extraCols.map(c => s", sig.$c").mkString
     val en = TextAnalysis.Markers.head._1
     val stop = TextAnalysis.Markers.head._2.map(m => s"'$m'").mkString("[", ", ", "]")
     s"""WITH w AS (SELECT doc_id$exSrc, text, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
-       |           FROM documents),
+       |           FROM $from),
        |sig0 AS (
        |  SELECT doc_id$exSrc,
        |       CAST(length(text) AS BIGINT) AS n_chars,
@@ -165,7 +169,7 @@ object CurationPipeline {
        |),
        |tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
-       |  FROM documents
+       |  FROM $from
        |),
        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
        |rep AS (
@@ -194,7 +198,7 @@ object CurationPipeline {
 
   /** DuckDB oracle for [[funnel]]. */
   def funnelOracleSql: String =
-    s"""WITH v AS (${verdictsOracleSql.replace(" ORDER BY doc_id", "")})
+    s"""WITH v AS (${verdictsOracleSql().replace(" ORDER BY doc_id", "")})
        |SELECT verdict, count(*) AS n_docs,
        |       CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin

@@ -52,6 +52,50 @@ object SequencePacking {
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Pack-utilization report: the distribution of per-pack fill — the one
+    * number a training-data engineer checks before shipping shards (a doc
+    * is never split across packs here, so fills hover around 100 % ±
+    * one document; a fat tail of under/over-full packs means the doc-size
+    * distribution is fighting the budget and `packTokens` needs tuning).
+    *
+    * Rides the existing cumulative frame: the [[packs]] plan plus two
+    * aggregates (per-pack roll-up, then the fill histogram). `fill_pct` is
+    * integer percent of `packTokens`, so rows are bounded by the fill
+    * range (~a few dozen) regardless of corpus size — driver-safe at
+    * 100 TB.
+    *
+    * Output: fill_pct, n_packs, n_docs, tokens — ordered by fill_pct.
+    */
+  def packFillHistogram(
+      docs: DataFrame,
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame =
+    packs(docs, packTokens, buckets)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("tok")).as("pt"))
+      .withColumn("fill_pct", expr(s"pt * 100 DIV $packTokens"))
+      .groupBy(col("fill_pct"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("nd")).as("n_docs"), sum(col("pt")).as("tokens"))
+
+  /** DuckDB oracle for [[packFillHistogram]] — the shared prefix-sum CTE,
+    * rolled up twice with the same integer arithmetic.
+    */
+  def packFillHistogramOracleSql(
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): String =
+    s"""WITH ${graft.sampling.TokenBudget.cumCteSql(buckets)},
+       |p AS (
+       |  SELECT CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id,
+       |         count(*) AS nd, sum(tok) AS pt
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT CAST(pt * 100 // $packTokens AS BIGINT) AS fill_pct,
+       |       CAST(count(*) AS BIGINT) AS n_packs,
+       |       CAST(sum(nd) AS BIGINT) AS n_docs,
+       |       CAST(sum(pt) AS BIGINT) AS tokens
+       |FROM p GROUP BY 1 ORDER BY fill_pct""".stripMargin
+
   /** Mixture-aware packing: lay out the
     * [[graft.sampling.MixtureResample]] manifest instead of the raw corpus,
     * with (doc_id, copy) as the position-hash unit — so each REPLICA of an

@@ -78,16 +78,22 @@ object TfIdf {
         col("score_e6"), col("rn"))
   }
 
-  /** DuckDB oracle for [[topTerms]]. */
-  def topTermsOracleSql(k: Int = TopK): String =
-    s"""WITH tf AS (
+  /** The (doc, term) tf CTE — shared by [[topTermsOracleSql]] and
+    * [[boilerplateTermsOracleSql]].
+    */
+  private val TfCteSql: String =
+    s"""tf AS (
        |  SELECT doc_id, word, count(*) AS tf
        |  FROM (SELECT doc_id,
        |               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
        |        FROM documents)
        |  WHERE len(word) >= $MinLen
        |  GROUP BY 1, 2
-       |),
+       |)""".stripMargin
+
+  /** DuckDB oracle for [[topTerms]]. */
+  def topTermsOracleSql(k: Int = TopK): String =
+    s"""WITH $TfCteSql,
        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
        |scored AS (
        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
@@ -103,4 +109,43 @@ object TfIdf {
        |       CAST(score_e6 AS BIGINT) AS score_e6, CAST(rn AS BIGINT) AS rn
        |FROM ranked WHERE rn <= $k
        |ORDER BY doc_id, rn""".stripMargin
+
+  /** Document-frequency floor (percent of corpus documents) above which a
+    * term counts as boilerplate/stopword material.
+    */
+  val BoilerplateDfPct = 50
+
+  /** Boilerplate/stopword discovery: terms appearing in ≥ `pct` % of
+    * corpus documents — the df-table use case the scaladoc names (df
+    * tables drive stopword discovery and boilerplate detection); its
+    * output is what a curation-rule author pastes into a filter list.
+    *
+    * Integer arithmetic throughout (`df·100 ≥ n_docs·pct`; `df_bp` =
+    * basis-point document frequency). Plan shape: the [[termFreq]]
+    * aggregate → the term-keyed [[docFreq]] aggregate → a broadcast
+    * cross-join with the ONE-ROW corpus count → filter. Output rows are
+    * bounded by the high-df vocabulary (tiny by Zipf), so the result is
+    * driver-safe at any corpus size.
+    *
+    * Output: word, df, n_docs, df_bp — ordered most-frequent first.
+    */
+  def boilerplateTerms(docs: DataFrame, pct: Int = BoilerplateDfPct): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docFreq(termFreq(docs))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= col("n_docs") * pct)
+      .select(col("word"), col("df"), col("n_docs"),
+        expr("df * 10000 DIV n_docs").as("df_bp"))
+  }
+
+  /** DuckDB oracle for [[boilerplateTerms]]. */
+  def boilerplateTermsOracleSql(pct: Int = BoilerplateDfPct): String =
+    s"""WITH $TfCteSql,
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT word, CAST(df AS BIGINT) AS df, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(df * 10000 // n_docs AS BIGINT) AS df_bp
+       |FROM df, n
+       |WHERE df * 100 >= n_docs * $pct
+       |ORDER BY df DESC, word""".stripMargin
 }

@@ -73,14 +73,17 @@ object TrainingShard {
         col("tok"), col("cum"), col("pack_id"))
   }
 
-  /** DuckDB oracle for [[manifest]] — the stage CTEs chained. */
-  def manifestOracleSql(
-      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
-      packTokens: Long = SequencePacking.PackTokens,
-      buckets: Int = TokenBudget.Buckets): String =
-    s"""WITH curated AS (
-       |  SELECT * FROM documents WHERE doc_id IN (
-       |${CurationPipeline.keptIdsSql}
+  /** The stage CTEs (curate → dedup → mix → prefix-sum frame `c`) over an
+    * arbitrary source relation — shared by [[manifestOracleSql]] and the
+    * sampled twin's oracle.
+    */
+  private def chainCtesSql(
+      weightsBp: Map[String, Long],
+      buckets: Int,
+      from: String): String =
+    s"""curated AS (
+       |  SELECT * FROM $from WHERE doc_id IN (
+       |${CurationPipeline.keptIdsSql(from)}
        |  )
        |),
        |uniq AS (
@@ -94,8 +97,85 @@ object TrainingShard {
        |${TokenBudget.cumCteSql(
            buckets, from = "m", keyCols = Seq("doc_id", "copy", "source"),
            unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)",
-           tokSql = "tok")}
+           tokSql = "tok")}""".stripMargin
+
+  /** DuckDB oracle for [[manifest]] — the stage CTEs chained. */
+  def manifestOracleSql(
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): String =
+    s"""WITH ${chainCtesSql(weightsBp, buckets, "documents")}
        |SELECT doc_id, source, copy, tok, cum,
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin
+
+  /** The universe-sampled twin of the composed pipeline — "estimate the
+    * training-shard manifest of 100 TB from a pct % scan": run the SAME
+    * curate → dedup → mix → pack chain over a doc-atomic
+    * [[graft.sampling.UniverseSampled]] slice and Horvitz–Thompson-scale
+    * the summary (each sampled doc stands in for 1/p docs; all-integer
+    * ×RangeMod/pct scaling, so the answer is a pure function of the data
+    * and fully oracle-gated like the other `_u10` twins).
+    *
+    * Doc atomicity is the right sampling unit here: every stage keys on
+    * the document (curation verdicts, first-occurrence dedup, per-doc
+    * copy counts, per-replica packing), so the sampled pipeline is exactly
+    * the full pipeline run on the sampled universe. The dedup stage's
+    * first-occurrence WINNERS can differ from the full run (the full
+    * corpus's min doc_id may not be sampled) — that shifts which
+    * representative survives, not how many, which is what the estimate
+    * aggregates.
+    *
+    * Output (one row): sample_docs, est_kept_docs, sample_replicas,
+    * est_replicas, sample_tokens, est_tokens, est_packs (ceiling-divided
+    * by packTokens — the shard count a full materialization would need).
+    */
+  def manifestSampled(
+      docs: DataFrame,
+      pct: Int = 10,
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): DataFrame = {
+    val scaleN: Long = graft.sampling.UniverseSampled.RangeMod / pct
+    val sample = graft.sampling.UniverseSampled.sample(docs, col("doc_id"), pct)
+    manifest(sample, weightsBp, packTokens, buckets)
+      .agg(
+        countDistinct(col("doc_id")).as("sample_docs"),
+        count(lit(1)).as("sample_replicas"),
+        sum(col("tok")).as("sample_tokens"))
+      .select(
+        col("sample_docs"),
+        (col("sample_docs") * scaleN).as("est_kept_docs"),
+        col("sample_replicas"),
+        (col("sample_replicas") * scaleN).as("est_replicas"),
+        col("sample_tokens"),
+        (col("sample_tokens") * scaleN).as("est_tokens"),
+        expr(s"(sample_tokens * $scaleN + ${packTokens - 1}) DIV $packTokens")
+          .as("est_packs"))
+  }
+
+  /** DuckDB oracle for [[manifestSampled]] — the same chain over the
+    * hash-range sampled slice, aggregated with the same integer scaling.
+    */
+  def manifestSampledOracleSql(
+      pct: Int = 10,
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): String = {
+    val scaleN = graft.sampling.UniverseSampled.RangeMod / pct
+    s"""WITH s AS (
+       |  SELECT * FROM documents
+       |  WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}
+       |),
+       |${chainCtesSql(weightsBp, buckets, "s")}
+       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS sample_docs,
+       |       CAST(count(DISTINCT doc_id) * $scaleN AS BIGINT) AS est_kept_docs,
+       |       CAST(count(*) AS BIGINT) AS sample_replicas,
+       |       CAST(count(*) * $scaleN AS BIGINT) AS est_replicas,
+       |       CAST(sum(tok) AS BIGINT) AS sample_tokens,
+       |       CAST(sum(tok) * $scaleN AS BIGINT) AS est_tokens,
+       |       CAST((sum(tok) * $scaleN + ${packTokens - 1}) // $packTokens AS BIGINT)
+       |         AS est_packs
+       |FROM c""".stripMargin
+  }
 }

@@ -41,15 +41,16 @@ object ScaleProbe {
     * step of `dedup_ngram_pairs` — a fixture artifact, not engine
     * behavior.)
     */
-  def explodeDocs(docs: DataFrame, k: Int): DataFrame =
+  def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
     (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        // (?i): uppercase token runs must get the per-copy suffix too —
-        // Hashing.words lowercases before tokenizing, so an unsuffixed
-        // "Word" would be shared vocabulary across all copies (ADVICE r8)
-        (if (i == 0) col("text")
-         else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"))
+        Seq((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id")) ++
+          carry.map(col) :+
+          // (?i): uppercase token runs must get the per-copy suffix too —
+          // Hashing.words lowercases before tokenizing, so an unsuffixed
+          // "Word" would be shared vocabulary across all copies (ADVICE r8)
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"): _*)
     }.reduce(_ unionAll _)
 
   /** ×k events: union of copies with shifted user/event ids. */
@@ -60,13 +61,23 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
     }.reduce(_ unionAll _)
 
+  /** Fixture embedding dimensionality. [[explodeEmbeddings]]' per-copy
+    * rotations are distinct only below this; the require makes the
+    * constraint enforced rather than assumed (ADVICE r10).
+    */
+  val EmbeddingDims = 64
+
   /** ×k embeddings: shifted vec_ids; copy i circularly rotates the vector
     * by i dims (norm-preserving, but a different sign pattern against the
     * LSH hyperplanes) so copies spread across buckets instead of piling
-    * onto copy 0's positions — probe factors stay below the 64 dims, so
-    * every copy gets a distinct rotation.
+    * onto copy 0's positions — probe factors must stay below the
+    * [[EmbeddingDims]] dims so every copy gets a distinct rotation (at
+    * k > dims the wrap silently re-collides copies, a fixture artifact).
     */
-  def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame =
+  def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    require(k <= EmbeddingDims,
+      s"explodeEmbeddings: k=$k exceeds the $EmbeddingDims-dim fixture — " +
+        "rotations would wrap and collide copies (fixture artifact, not engine behavior)")
     (0 until k).map { i =>
       emb.select(
         (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
@@ -75,6 +86,7 @@ object ScaleProbe {
            slice(col("embedding"), i + 1, 1 << 20),
            slice(col("embedding"), 1, i))).as("embedding"))
     }.reduce(_ unionAll _)
+  }
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption
@@ -94,6 +106,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docsS0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
     val events0 = Tables.events(spark, sfDir)
 
     // the heaviest bench families (BENCH_r07/r08 rankings), by engine
@@ -140,7 +154,22 @@ object ScaleProbe {
         graft.similarity.SemanticDedup.decisions(
           explodeEmbeddings(Tables.embeddings(spark, sfDir), k))),
       "docs_curated" -> (k =>
-        graft.text.CurationPipeline.verdicts(explodeDocs(docs0, k))))
+        graft.text.CurationPipeline.verdicts(explodeDocs(docs0, k))),
+      // the r10 heavy additions (VERDICT r10 missing-1): the composed
+      // 4-stage training-shard pipeline (chained intermediates are exactly
+      // where a super-linear surprise would hide), the mixture-aware
+      // packing (post the tokenize-once fix), and the tf→df→join TF-IDF
+      // top-k. The per-copy vocabulary suffix keeps copies' sources
+      // intact (mixture weights act per source at every k) while the df
+      // table and posting joins grow k× as a k×-larger real corpus would.
+      "docs_training_shard" -> (k =>
+        graft.text.TrainingShard.manifest(
+          explodeDocs(docsS0, k, carry = Seq("source")))),
+      "docs_packed_mixture" -> (k =>
+        graft.text.SequencePacking.packsMixture(
+          explodeDocs(docsS0, k, carry = Seq("source")))),
+      "text_tfidf_topk" -> (k =>
+        graft.text.TfIdf.topTerms(explodeDocs(docs0, k))))
 
     def runOnce(df: DataFrame): Double = {
       val t0 = System.nanoTime()

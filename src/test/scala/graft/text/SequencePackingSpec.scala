@@ -43,6 +43,35 @@ class SequencePackingSpec extends SparkSpec {
     }
   }
 
+  test("pack-fill histogram is the exact roll-up of the packs frame and " +
+    "accounts for every document and token") {
+    val docs = Tables.documents(spark, sf001)
+    val packs = SequencePacking.packs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // doc_id, tok, pack_id
+    val L = SequencePacking.PackTokens
+    val expect = packs.groupBy(_._3).values
+      .map { ds => (ds.map(_._2).sum * 100 / L, ds.size.toLong, ds.map(_._2).sum) }
+      .groupBy(_._1).toSeq
+      .map { case (fill, ps) =>
+        (fill, ps.size.toLong, ps.map(_._2).sum, ps.map(_._3).sum) }
+      .sortBy(_._1)
+    val got = SequencePacking.packFillHistogram(docs).orderBy("fill_pct")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+    // conservation: the histogram accounts for every doc and token once
+    assert(got.map(_._3).sum === packs.length.toLong)
+    assert(got.map(_._4).sum === packs.map(_._2).sum)
+    // all but (at most) the boundary fills cluster around 100 % — a pack
+    // is never split, so fill ∈ [100 − maxDoc/L·100, 100 + maxDoc/L·100]
+    val maxDoc = packs.map(_._2).max
+    val lastPack = packs.map(_._3).max
+    val nonFinal = packs.filter(_._3 != lastPack).groupBy(_._3).values
+    nonFinal.foreach { ds =>
+      val fill = ds.map(_._2).sum * 100 / L
+      assert(fill >= 100 - maxDoc * 100 / L && fill <= 100 + maxDoc * 100 / L)
+    }
+  }
+
   test("mixture packing equals brute force over the manifest; replicas land in " +
     "independent positions; pack sizes hug the budget") {
     import graft.sampling.MixtureResample

@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.queries.Tables
 
@@ -52,6 +54,40 @@ class TfIdfSpec extends SparkSpec {
       .orderBy("doc_id", "rn")
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got === expect)
+  }
+
+  test("boilerplate terms: exactly the words whose df clears the floor, " +
+    "integer df_bp, and the floor is inclusive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha epsilon zz"),
+      (4L, "alpha beta zz")
+    ).toDF("doc_id", "text")
+    // df: alpha 4/4, beta 3/4, zz 2/4, others 1/4 — at pct=50 the floor is
+    // inclusive: zz (exactly 50 %) is in, singletons are out
+    val out = TfIdf.boilerplateTerms(docs, pct = 50)
+      .orderBy(col("df").desc, col("word"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq("alpha", "beta", "zz"))
+    assert(out.map(_._4).toSeq === Seq(10000L, 7500L, 5000L))
+    assert(out.forall(_._3 === 4L))
+    // agrees with brute force on the fixture corpus at the default floor
+    val rows = Tables.documents(spark, sf001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val df = rows.flatMap { case (_, text) =>
+      text.toLowerCase.split("[^a-z0-9]+")
+        .filter(_.length >= TfIdf.MinLen).distinct
+    }.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val n = rows.length.toLong
+    val expect = df.filter { case (_, d) => d * 100 >= n * TfIdf.BoilerplateDfPct }
+      .map { case (w, d) => (w, d, n, d * 10000L / n) }
+      .toSeq.sortBy(t => (-t._2, t._1))
+    val got = TfIdf.boilerplateTerms(Tables.documents(spark, sf001))
+      .orderBy(col("df").desc, col("word"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture corpus has no boilerplate terms — floor too high")
   }
 
   test("plan: top-k runs under a WindowGroupLimit (k rows kept pre-shuffle)") {

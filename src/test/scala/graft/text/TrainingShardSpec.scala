@@ -42,6 +42,32 @@ class TrainingShardSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("sampled twin: summary equals the HT-scaled aggregate of the chain " +
+    "run on the sampled slice, and estimates land near the full-run truth") {
+    val pct = 10
+    val scaleN = graft.sampling.UniverseSampled.RangeMod / pct
+    val sample = graft.sampling.UniverseSampled.sample(docs, col("doc_id"), pct)
+    val full = TrainingShard.manifest(sample)
+      .select("doc_id", "tok").as[(Long, Long)].collect()
+    val row = TrainingShard.manifestSampled(docs, pct).collect().head
+    assert(row.getAs[Long]("sample_docs") === full.map(_._1).distinct.length.toLong)
+    assert(row.getAs[Long]("sample_replicas") === full.length.toLong)
+    assert(row.getAs[Long]("sample_tokens") === full.map(_._2).sum)
+    assert(row.getAs[Long]("est_kept_docs") === row.getAs[Long]("sample_docs") * scaleN)
+    assert(row.getAs[Long]("est_tokens") === row.getAs[Long]("sample_tokens") * scaleN)
+    assert(row.getAs[Long]("est_packs") ===
+      (row.getAs[Long]("est_tokens") + SequencePacking.PackTokens - 1) /
+        SequencePacking.PackTokens)
+    // the estimate is an estimate OF something: within 50 % of the full
+    // pipeline's true totals at sf0.001 (a loose bound — the sample holds
+    // ~10 % of docs; tighter bounds belong to RatioLadderSpec's T4 math)
+    val truth = TrainingShard.manifest(docs)
+      .agg(sum(col("tok"))).as[Long].collect().head
+    val est = row.getAs[Long]("est_tokens")
+    assert(est > truth / 2 && est < truth * 2,
+      s"est_tokens $est vs true total $truth")
+  }
+
   test("cum is a global prefix sum over the manifest and packs hug the budget") {
     val rows = TrainingShard.manifest(docs)
       .select("tok", "cum", "pack_id")
