@@ -272,6 +272,9 @@ object TextAnalysis {
     */
   val WeightBuckets = 4096
 
+  /** Weight-derivation salt — part of the saved-artifact cache key. */
+  val WeightSalt = "qw:"
+
   /** The "trained"-model stand-in: one integer weight in [−500, 500] per
     * hash bucket, derived from a salted hash of the bucket index — fully
     * deterministic, so the saved-artifact path is STILL oracle-gated
@@ -280,16 +283,28 @@ object TextAnalysis {
   def weightTable(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(WeightBuckets).select(
       col("id").cast("int").as("bucket"),
-      (Hashing.hash60(concat(lit("qw:"), col("id").cast("string"))) % WeightMod
+      (Hashing.hash60(concat(lit(WeightSalt), col("id").cast("string"))) % WeightMod
         - (WeightMod - 1) / 2).as("w"))
 
-  /** Persist the weight table once (tmpdir, keyed by bucket count), the
-    * [[graft.similarity.IvfIndex.ensureSaved]] artifact convention.
+  /** Persist the weight table once (tmpdir), the
+    * [[graft.similarity.IvfIndex.ensureSaved]] artifact convention. The
+    * path is keyed by EVERY derivation constant (salt, modulus, bucket
+    * count — ADVICE r10): a change to any of them misses the cache instead
+    * of silently reading a stale table. The write goes to a process-unique
+    * temp dir and is published with an atomic rename, so two JVMs racing
+    * (parallel test suites) both end up reading a complete artifact.
     */
   def ensureSavedWeights(spark: org.apache.spark.sql.SparkSession): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_qweights_$WeightBuckets"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      weightTable(spark).coalesce(1).write.mode("overwrite").parquet(path)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_qweights_${WeightSalt.filter(_.isLetterOrDigit)}_${WeightMod}_$WeightBuckets"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      weightTable(spark).coalesce(1).write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+        // a concurrent writer won the rename: keep its artifact (same
+        // derivation → same bytes), drop ours
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
     path
   }
 
@@ -319,7 +334,7 @@ object TextAnalysis {
   def qualityModelSavedOracleSql: String = {
     val half = (WeightMod - 1) / 2
     val bucket = s"${Hashing.hash60Sql("'q:' || f")} % $WeightBuckets"
-    val w = s"${Hashing.hash60Sql(s"'qw:' || CAST($bucket AS VARCHAR)")} % $WeightMod - $half"
+    val w = s"${Hashing.hash60Sql(s"'$WeightSalt' || CAST($bucket AS VARCHAR)")} % $WeightMod - $half"
     qualityModelSqlWith(w)
   }
 

@@ -113,7 +113,10 @@ class PlanShapeSpec extends SparkSpec {
     // the shuffle (VERDICT r9 §wrong-1: the old window spelling sorted the
     // whole occurrence cluster in a single task)
     assert(plan.contains("partial_min"), plan.take(3000))
-    assert(plan.contains("merge_min") || plan.contains("min("), plan.take(3000))
+    // the FINAL/merge aggregate specifically: a min( not spelled
+    // partial_min( (the bare contains("min(") would be implied by the
+    // partial assert above — ADVICE r10)
+    assert("(?<!partial_)min\\(".r.findFirstIn(plan).isDefined, plan.take(3000))
     // the occurrence⋈winners join must be a hash join (probe side streams);
     // a sort-merge join would reintroduce the per-digest single-task sort
     assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
