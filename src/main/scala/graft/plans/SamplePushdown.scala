@@ -54,11 +54,13 @@ object SamplePushdown extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
   * Installs the engine's optimizer rules AND its native SQL functions
-  * (`dot_product_q`), so plain-SQL users of the session get them too.
+  * (`dot_product_q`, `sorted_intersect_count`), so plain-SQL users of the
+  * session get them too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => SamplePushdown)
     extensions.injectFunction(graft.functions.DotProductQ.descriptor)
+    extensions.injectFunction(graft.functions.SortedIntersectCount.descriptor)
   }
 }

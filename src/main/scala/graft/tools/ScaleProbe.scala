@@ -8,7 +8,9 @@ import graft.queries.Tables
 
 /** Synthetic scale probe: explode the sf-dir fixtures ×k (union of
   * transformed copies) and time the heaviest engine operators at each
-  * factor, asserting wall time grows ≤ ~linearly — the cheapest local[32]
+  * factor, asserting process-CPU time grows ≤ ~linearly (wall recorded
+  * alongside; see the verdict comment in main for why CPU carries the
+  * verdict on this noisy shared host) — the cheapest local[32]
   * evidence that the 100 TB design claims (banded joins, bounded buckets,
   * one-shuffle windows) hold beyond the fixture scale.
   *
@@ -23,10 +25,14 @@ import graft.queries.Tables
   *  - events: user_id/event_id shifted per copy → k× users at the same
   *    per-user event density (what growth looks like in production).
   *
-  * Usage: `runMain graft.tools.ScaleProbe [factors]` (default 1,8,32);
-  * env SPARK_GRAFT_SF_DIR picks the base fixture (default sf0.1).
-  * Writes PROFILE_SCALE.json to the working dir; exits non-zero if any
-  * operator's large-factor scaling ratio exceeds linear × [[Slack]].
+  * Usage: `runMain graft.tools.ScaleProbe [factors] [family...]` (default
+  * 1,8,32 over every family; trailing names restrict the run — for
+  * re-probing one fixed family without the full ~15 min sweep); env
+  * SPARK_GRAFT_SF_DIR picks the base fixture (default sf0.1).
+  * Writes PROFILE_SCALE.json to the working dir (the restricted form
+  * prints but does NOT overwrite the committed full-sweep artifact); exits
+  * non-zero if any operator's large-factor scaling ratio exceeds linear ×
+  * [[Slack]].
   */
 object ScaleProbe {
 
@@ -92,6 +98,7 @@ object ScaleProbe {
     val factors = args.headOption
       .map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 8, 32))
+    val only = args.drop(1).toSet
     require(factors.size >= 2,
       s"need at least two scale factors to compute a scaling ratio, got: ${factors.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,43 +178,96 @@ object ScaleProbe {
       "text_tfidf_topk" -> (k =>
         graft.text.TfIdf.topTerms(explodeDocs(docs0, k))))
 
-    def runOnce(df: DataFrame): Double = {
+    // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
+    // this host is a shared microVM where invisible neighbors swing wall
+    // times 2-10× between same-code runs (BASELINE.md §variance; an r11
+    // probe watched stage-identical code drift 12 s → 31 s mid-run), which
+    // corrupts a wall-based scaling ratio in either direction. Process CPU
+    // measures the WORK the plan did — which is what the probe asserts is
+    // linear — and spill/sort pathologies still surface in it (the pre-fix
+    // ngram plan was super-linear on CPU too, not just on wall).
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+
+    def runOnce(df: DataFrame): (Double, Double) = {
+      val c0 = cpuNow()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
+      val c1 = cpuNow()
       spark.catalog.clearCache()
-      t
+      (t, if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
-    ops.foreach { case (name, build) =>
+    val unknown = only -- ops.map(_._1).toSet
+    require(unknown.isEmpty, s"unknown probe families: ${unknown.mkString(", ")}")
+    val selected = if (only.isEmpty) ops else ops.filter { case (n, _) => only(n) }
+
+    // The two verdict factors run ALTERNATED (kLo, kHi, kLo, kHi, …) and
+    // the ratio uses per-factor medians: neighbor-noise windows on this
+    // host last minutes, so sequential one-shot factor runs can land in
+    // different windows and read a 3-4× phantom ratio (an r11 probe
+    // measured the same code at cpu=40 s and cpu=142 s for ×8 half an hour
+    // apart). Interleaving puts each kLo trial seconds from a kHi trial,
+    // so a window inflates both sides of the ratio together.
+    val (kLo, kHi) = (factors(factors.size - 2), factors.last)
+    val VerdictTrials = 3
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, (Double, Double))]]()
+    selected.foreach { case (name, build) =>
       runOnce(build(1)) // warmup: absorb codegen + first-touch scan
-      val times = factors.map(k => k -> runOnce(build(k)))
+      val trials = scala.collection.mutable.LinkedHashMap[Int, Vector[(Double, Double)]]()
+      factors.filterNot(k => k == kLo || k == kHi).foreach { k =>
+        trials(k) = Vector(runOnce(build(k)))
+      }
+      (1 to VerdictTrials).foreach { _ =>
+        Seq(kLo, kHi).foreach { k =>
+          trials(k) = trials.getOrElse(k, Vector.empty) :+ runOnce(build(k))
+        }
+      }
+      def med(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+      val times = factors.map { k =>
+        val ts = trials(k)
+        k -> (med(ts.map(_._1)), if (ts.exists(_._2 < 0)) -1.0 else med(ts.map(_._2)))
+      }
       results(name) = times
       println(s"[probe] $name: " +
-        times.map { case (k, t) => f"x$k=$t%.2fs" }.mkString(" "))
+        times.map { case (k, (t, c)) => f"x$k=$t%.2fs/cpu=$c%.1fs" }.mkString(" ") +
+        s"  (x$kLo cpu trials ${trials(kLo).map(t => f"${t._2}%.1f").mkString("/")}, " +
+        s"x$kHi ${trials(kHi).map(t => f"${t._2}%.1f").mkString("/")})")
     }
 
-    // scaling verdict on the top factor pair (least noise): t(kHi)/t(kLo)
-    // must stay within (kHi/kLo) × Slack
-    val (kLo, kHi) = (factors(factors.size - 2), factors.last)
+    // scaling verdict on the top factor pair (least noise): cpu(kHi)/cpu(kLo)
+    // must stay within (kHi/kLo) × Slack; wall is the fallback where the
+    // JVM can't report process CPU
     var failed = false
     val verdicts = results.map { case (name, times) =>
       val m = times.toMap
-      val ratio = m(kHi) / m(kLo)
+      val (ratio, metric) =
+        if (m(kHi)._2 >= 0 && m(kLo)._2 > 0) (m(kHi)._2 / m(kLo)._2, "cpu")
+        else (m(kHi)._1 / m(kLo)._1, "wall")
       val bound = kHi.toDouble / kLo * Slack
       val ok = ratio <= bound
       if (!ok) failed = true
-      println(f"[probe] $name%-20s t(x$kHi)/t(x$kLo) = $ratio%.2f (linear=${kHi.toDouble / kLo}%.1f, bound=$bound%.1f) ${if (ok) "OK" else "SUPERLINEAR"}")
+      println(f"[probe] $name%-20s $metric(x$kHi)/$metric(x$kLo) = $ratio%.2f (linear=${kHi.toDouble / kLo}%.1f, bound=$bound%.1f) ${if (ok) "OK" else "SUPERLINEAR"}")
       name -> (ratio, ok)
     }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (name, times) =>
       val (ratio, ok) = verdicts(name)
-      s""""$name":{${times.map { case (k, t) => s""""x$k":${fmt(t)}""" }.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
-    }.mkString("{", ",", s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack}""")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("PROFILE_SCALE.json"), json)
+      val cells = times.flatMap { case (k, (t, c)) =>
+        Seq(s""""x$k":${fmt(t)}""") ++
+          (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil)
+      }
+      s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
+    }.mkString("{", ",", s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,"ratio_metric":"cpu"}""")
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("PROFILE_SCALE.json"), json)
     println(json)
     spark.stop()
     if (failed) sys.exit(1)
