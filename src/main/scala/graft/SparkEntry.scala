@@ -445,7 +445,13 @@ object SparkEntry {
     // planner reads ("how many kept docs / tokens / packs would the full
     // corpus produce") — a 100 TB estimate priced at a 10 % scan
     "docs_training_shard_sampled_u10" -> ((s, dir) =>
-      graft.text.TrainingShard.manifestSampled(Tables.documents(s, dir))))
+      graft.text.TrainingShard.manifestSampled(Tables.documents(s, dir))),
+    // shard-level roll-up of the composed layout — the config a data
+    // loader streams shards from, and the summary ShardSink returns after
+    // shipping the bytes (sink write itself is spec-pinned: ShardSinkSpec)
+    "docs_shard_summary" -> ((s, dir) =>
+      graft.text.TrainingShard.shardSummary(Tables.documents(s, dir))
+        .orderBy("shard_id")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -653,5 +659,6 @@ object SparkEntry {
     "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql,
     "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql(),
     "docs_training_shard_sampled_u10" ->
-      graft.text.TrainingShard.manifestSampledOracleSql())
+      graft.text.TrainingShard.manifestSampledOracleSql(),
+    "docs_shard_summary" -> graft.text.TrainingShard.shardSummaryOracleSql())
 }

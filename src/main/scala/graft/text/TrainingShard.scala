@@ -109,6 +109,57 @@ object TrainingShard {
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin
 
+  /** Packs per physical shard file-set. The fixture default is tiny —
+    * 4 packs × the 2 048-token budget ≈ 8 k tokens — because the sf
+    * corpora are ~13 packs total and the contract (several shards, pack
+    * slices contiguous) should be exercised, not vacuously one-sharded. A
+    * production corpus sizes this so one shard is a few hundred MB of
+    * tokenized bytes: the unit a data loader streams and a resume
+    * checkpoint names.
+    */
+  val PacksPerShard = 4L
+
+  /** Shard-level roll-up of [[manifest]] — the report a training run's
+    * data loader is configured from: each `shard_id` names a contiguous
+    * `PacksPerShard`-pack slice of the layout, with its pack count,
+    * replica count, and token total. Pure arithmetic on the manifest (one
+    * extra aggregate), so the composed chain stays end-to-end
+    * oracle-gated; output rows are corpus-tokens / (packTokens ·
+    * packsPerShard) — driver-safe at any scale.
+    *
+    * Output: shard_id, n_packs, n_replicas, tokens — ordered by shard_id.
+    */
+  def shardSummary(
+      docs: DataFrame,
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      packsPerShard: Long = PacksPerShard,
+      buckets: Int = TokenBudget.Buckets): DataFrame = {
+    require(packsPerShard > 0, s"packsPerShard must be positive, got $packsPerShard")
+    manifest(docs, weightsBp, packTokens, buckets)
+      .withColumn("shard_id", expr(s"pack_id DIV $packsPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(
+        countDistinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_replicas"),
+        sum(col("tok")).as("tokens"))
+  }
+
+  /** DuckDB oracle for [[shardSummary]] — the chain CTEs rolled up with
+    * the same integer shard arithmetic.
+    */
+  def shardSummaryOracleSql(
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      packsPerShard: Long = PacksPerShard,
+      buckets: Int = TokenBudget.Buckets): String =
+    s"""WITH ${chainCtesSql(weightsBp, buckets, "documents")}
+       |SELECT CAST((cum - tok) // $packTokens // $packsPerShard AS BIGINT) AS shard_id,
+       |       CAST(count(DISTINCT (cum - tok) // $packTokens) AS BIGINT) AS n_packs,
+       |       CAST(count(*) AS BIGINT) AS n_replicas,
+       |       CAST(sum(tok) AS BIGINT) AS tokens
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   /** The universe-sampled twin of the composed pipeline — "estimate the
     * training-shard manifest of 100 TB from a pct % scan": run the SAME
     * curate → dedup → mix → pack chain over a doc-atomic
