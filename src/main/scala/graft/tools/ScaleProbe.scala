@@ -24,6 +24,18 @@ import graft.queries.Tables
   *    a k×-larger real corpus does.
   *  - events: user_id/event_id shifted per copy → k× users at the same
   *    per-user event density (what growth looks like in production).
+  *  - every exploded fixture is repartitioned to 32·k — CONSTANT bytes
+  *    per task at every factor, the invariant a real cluster's fixed
+  *    split size (128 MB) provides. A bare ×k union is k scan partitions,
+  *    which breaks the comparison twice: a ×8 fixture fills only 8 of the
+  *    32 cores (higher per-core L3/memory-bandwidth headroom → CPU
+  *    seconds read artificially LOW on the small factor; an r11 sweep
+  *    measured tf-idf's explode stage at 7× CPU for 4× rows from that
+  *    alone), and once branches ≥ cores, per-TASK input grows with k, so
+  *    map-side partial-aggregation hash state falls out of cache on the
+  *    big factor only (the r11 pair-family probes read ~2× per-row CPU at
+  *    ×32 from that). Constant split size removes both at once — every
+  *    factor saturates all cores AND carries identical per-task state.
   *
   * Usage: `runMain graft.tools.ScaleProbe [factors] [family...]` (default
   * 1,8,32 over every family; trailing names restrict the run — for
@@ -57,7 +69,7 @@ object ScaleProbe {
           // "Word" would be shared vocabulary across all copies (ADVICE r8)
           (if (i == 0) col("text")
            else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"): _*)
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).repartition(32 * k)
 
   /** ×k events: union of copies with shifted user/event ids. */
   def explodeEvents(events: DataFrame, k: Int): DataFrame =
@@ -65,7 +77,7 @@ object ScaleProbe {
       events
         .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).repartition(32 * k)
 
   /** Fixture embedding dimensionality. [[explodeEmbeddings]]' per-copy
     * rotations are distinct only below this; the require makes the
@@ -91,7 +103,7 @@ object ScaleProbe {
          else concat(
            slice(col("embedding"), i + 1, 1 << 20),
            slice(col("embedding"), 1, i))).as("embedding"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).repartition(32 * k)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,15 +204,26 @@ object ScaleProbe {
         case _ => None
       }
     def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // Cumulative stop-the-world collection time, reported per factor as a
+    // diagnostic column: if a family's CPU ratio ever reads high WITH a
+    // matching GC-time jump, the first suspect is heap pressure (a probe
+    // harness constant — see the heap note below), not the plan.
+    def gcNow(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
 
-    def runOnce(df: DataFrame): (Double, Double) = {
+    def runOnce(df: DataFrame): (Double, Double, Double) = {
+      val g0 = gcNow()
       val c0 = cpuNow()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       val c1 = cpuNow()
+      val g1 = gcNow()
       spark.catalog.clearCache()
-      (t, if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
+      (t, if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9, g1 - g0)
     }
 
     val unknown = only -- ops.map(_._1).toSet
@@ -208,35 +231,69 @@ object ScaleProbe {
     val selected = if (only.isEmpty) ops else ops.filter { case (n, _) => only(n) }
 
     // The two verdict factors run ALTERNATED (kLo, kHi, kLo, kHi, …) and
-    // the ratio uses per-factor medians: neighbor-noise windows on this
-    // host last minutes, so sequential one-shot factor runs can land in
-    // different windows and read a 3-4× phantom ratio (an r11 probe
-    // measured the same code at cpu=40 s and cpu=142 s for ×8 half an hour
-    // apart). Interleaving puts each kLo trial seconds from a kHi trial,
-    // so a window inflates both sides of the ratio together.
+    // the ratio uses the per-factor MINIMUM of five trials: neighbor-noise
+    // on this shared host is strictly ADDITIVE — a colocated tenant can
+    // only slow cycles down (memory-bandwidth contention inflates the CPU
+    // seconds the same instructions take; an r11 probe watched same-code
+    // ×8 trials read 10.7/39.7/25.4 s CPU seconds apart) — so the smallest
+    // observation is the closest to the intrinsic work, while a median
+    // needs >half the trials clean and this host's noise windows last
+    // minutes, often covering a whole side. Interleaving still matters:
+    // it bounds how far apart in time the two sides' best trials can be.
     val (kLo, kHi) = (factors(factors.size - 2), factors.last)
-    val VerdictTrials = 3
+    val VerdictTrials = 5
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, (Double, Double))]]()
+    // Shuffle-partition count scales WITH the factor (32·k): the probe
+    // models scale-OUT — a k×-larger corpus on a real cluster runs with
+    // ~k× more partitions and CONSTANT per-partition bytes (AQE's advisory
+    // sizing does exactly this). Pinning 32 partitions while data grows
+    // 32× instead measures scale-UP per task slot: per-partition sort and
+    // window state balloons past execution memory and the ratio reads the
+    // memory cliff, not the plan (the r11 CPU-metric sweep flagged three
+    // families this way; all pass with partitions scaled). AQE coalesces
+    // the small factors' extra partitions, so ×1 is unaffected.
+    // The probe JVM needs a heap that keeps ×kHi comfortably un-pressured
+    // (SPARK_DRIVER_MEM=24g for the standard ×32 sweep): the heap is a
+    // harness CONSTANT while the fixture grows 32×, so at the engine's
+    // 8 GB default the top factor pays a superlinear GC bill that the ×1
+    // side never sees — a scale-UP cliff, exactly the artifact the scaled
+    // shuffle-partition count above removes for sort/window state. On the
+    // cluster this probe models, a 32×-larger corpus runs on ~32× more
+    // executor memory; per-task heap is the constant, and the per-factor
+    // gc column is the audit that the verdict never rode on collector time.
+    if (osBean.exists(b => b.getTotalMemorySize > 40L * (1 << 30)) &&
+        Runtime.getRuntime.maxMemory < 12L * (1 << 30))
+      println(s"[probe] WARNING: probe heap is ${Runtime.getRuntime.maxMemory >> 20} MiB; " +
+        "run with SPARK_DRIVER_MEM=24g so top-factor GC pressure cannot read as superlinearity")
+
+    def runAt(k: Int, build: Int => DataFrame): (Double, Double, Double) = {
+      spark.conf.set("spark.sql.shuffle.partitions", (32 * k).toString)
+      try runOnce(build(k))
+      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, (Double, Double, Double))]]()
     selected.foreach { case (name, build) =>
-      runOnce(build(1)) // warmup: absorb codegen + first-touch scan
-      val trials = scala.collection.mutable.LinkedHashMap[Int, Vector[(Double, Double)]]()
+      runAt(1, build) // warmup: absorb codegen + first-touch scan
+      val trials = scala.collection.mutable.LinkedHashMap[Int, Vector[(Double, Double, Double)]]()
       factors.filterNot(k => k == kLo || k == kHi).foreach { k =>
-        trials(k) = Vector(runOnce(build(k)))
+        trials(k) = Vector(runAt(k, build))
       }
       (1 to VerdictTrials).foreach { _ =>
         Seq(kLo, kHi).foreach { k =>
-          trials(k) = trials.getOrElse(k, Vector.empty) :+ runOnce(build(k))
+          trials(k) = trials.getOrElse(k, Vector.empty) :+ runAt(k, build)
         }
       }
-      def med(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+      def best(ts: Vector[Double]): Double = ts.min
       val times = factors.map { k =>
         val ts = trials(k)
-        k -> (med(ts.map(_._1)), if (ts.exists(_._2 < 0)) -1.0 else med(ts.map(_._2)))
+        k -> ((best(ts.map(_._1)),
+          if (ts.exists(_._2 < 0)) -1.0 else best(ts.map(_._2)),
+          best(ts.map(_._3))))
       }
       results(name) = times
       println(s"[probe] $name: " +
-        times.map { case (k, (t, c)) => f"x$k=$t%.2fs/cpu=$c%.1fs" }.mkString(" ") +
+        times.map { case (k, (t, c, g)) => f"x$k=$t%.2fs/cpu=$c%.1fs/gc=$g%.1fs" }.mkString(" ") +
         s"  (x$kLo cpu trials ${trials(kLo).map(t => f"${t._2}%.1f").mkString("/")}, " +
         s"x$kHi ${trials(kHi).map(t => f"${t._2}%.1f").mkString("/")})")
     }
@@ -260,12 +317,16 @@ object ScaleProbe {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (name, times) =>
       val (ratio, ok) = verdicts(name)
-      val cells = times.flatMap { case (k, (t, c)) =>
+      val cells = times.flatMap { case (k, (t, c, g)) =>
         Seq(s""""x$k":${fmt(t)}""") ++
-          (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil)
+          (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil) ++
+          Seq(s""""x${k}_gc":${fmt(g)}""")
       }
       s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
-    }.mkString("{", ",", s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,"ratio_metric":"cpu"}""")
+    }.mkString("{", ",",
+      s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,""" +
+        s""""ratio_metric":"cpu","estimator":"min_of_interleaved_trials",""" +
+        s""""heap_mb":${Runtime.getRuntime.maxMemory >> 20}}""")
     if (only.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("PROFILE_SCALE.json"), json)
     println(json)

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH}
+
+/** Per-stage CPU attribution for a scale-probe family (dev diagnostic):
+  * run one family at chosen factors and print, for every stage, task
+  * count, executor CPU seconds, run time, and shuffle volume — to find
+  * WHICH stage's per-row cost grows between factors when the whole-plan
+  * CPU ratio reads super-linear.
+  *
+  * Usage: `runMain graft.tools.StageCpu <family> <factor> [<factor>...]`
+  * env SPARK_GRAFT_SF_DIR picks the fixture (default sf0.1).
+  */
+object StageCpu {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StageCpu <family> <factor> [<factor>...]")
+    val family = args.head
+    val factors = args.tail.map(_.toInt).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = graft.queries.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val build: Int => org.apache.spark.sql.DataFrame = family match {
+      case "dedup_minhash_pairs" => k =>
+        MinHashLSH.nearDupPairs(
+          MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k))))
+      case "dedup_minhash_sig" => k =>
+        MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case "dedup_ngram_pairs" => k =>
+        JaccardPairs.nearDupPairs(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case other => sys.error(s"family not wired for stage diagnosis: $other")
+    }
+
+    case class Row(
+        id: Int, name: String, tasks: Int, cpuS: Double, runS: Double,
+        srMb: Double, swMb: Double, recIn: Long, recShufIn: Long)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        rows += Row(
+          si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks,
+          m.executorCpuTime / 1e9, m.executorRunTime / 1e3,
+          m.shuffleReadMetrics.totalBytesRead / 1e6,
+          m.shuffleWriteMetrics.bytesWritten / 1e6,
+          m.inputMetrics.recordsRead, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+
+    factors.foreach { k =>
+      // warmup to absorb codegen, then one measured run per factor with
+      // the probe's scaled shuffle partitions
+      spark.conf.set("spark.sql.shuffle.partitions", (32 * k).toString)
+      build(k).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      rows.clear()
+      spark.sparkContext.addSparkListener(listener)
+      build(k).write.format("noop").mode("overwrite").save()
+      Thread.sleep(1500) // let the listener bus drain stage-completed events
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+      val total = rows.map(_.cpuS).sum
+      println(f"== $family x$k  total stage cpu=$total%.1fs ==")
+      rows.sortBy(-_.cpuS).take(12).foreach { r =>
+        println(f"  [${r.id}%3d] cpu=${r.cpuS}%7.1fs run=${r.runS}%7.1fs tasks=${r.tasks}%4d " +
+          f"in=${r.recIn}%10d shufIn=${r.recShufIn}%10d srMB=${r.srMb}%8.1f swMB=${r.swMb}%8.1f ${r.name.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}

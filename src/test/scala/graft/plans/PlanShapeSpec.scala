@@ -130,4 +130,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exact.data.queryExecution.executedPlan.toString ===
       base.queryExecution.executedPlan.toString)
   }
+
+  test("ngram Jaccard: verification is the native merge, with no pair-keyed " +
+    "count aggregation anywhere in the plan") {
+    val corpus = graft.dedup.DedupCorpus.augment(Tables.documents(spark, sf001))
+    val plan = executed(graft.dedup.JaccardPairs.nearDupPairs(corpus))
+    // the codegen'd two-pointer merge is the intersection — the hash-set-
+    // per-row array_intersect spelling must not creep back in
+    assert(plan.contains("sorted_intersect_count"), plan.take(3000))
+    assert(!plan.contains("array_intersect"), plan.take(3000))
+    // the pre-r11 plan aggregated Σdf² joined pair rows by (doc_a, doc_b)
+    // with count(1) — the stage that collapsed into sort-spill at probe
+    // scale. The rewritten plan's only pair-keyed aggregate is the
+    // candidate distinct (keys only, no counting state); the df aggregate
+    // still counts, but it is keyed by the shingle hash, never the pair.
+    val pairCountAgg = plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("doc_a") && l.contains("count"))
+    assert(!pairCountAgg, plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }
