@@ -35,19 +35,21 @@ object Hashing {
     * yield an empty array). DuckDB equivalent:
     * `[array_to_string(words[i:i+k-1], ' ') for i in range(1, len(words)-k+2)]`.
     *
-    * PERFORMANCE TRAP: pass a PRE-MATERIALIZED words-array attribute, not
-    * `words(text)` inline — expressions captured inside a higher-order
-    * function's lambda are re-evaluated PER ELEMENT, so an inline
-    * `split(lower(text))` here re-splits the whole document for every
-    * shingle (quadratic per doc; measured 4.9 s vs 0.6 s at sf0.1). Use
-    * [[explodeShingles]], which does the materialization.
+    * Backed by the codegen'd [[graft.functions.WordShingles]] kernel
+    * (r11). The composable HOF spelling —
+    * `transform(sequence(0, n−k), i => array_join(slice(w, i+1, k), ' '))`
+    * — is CodegenFallback: each window walks an interpreted slice+join
+    * tree, and with shingling under EVERY near-dup family that interpreted
+    * constant dominated the curation bench profile (repetition signals
+    * dropped ~4× CPU on the swap). It also carried a second trap: an
+    * expression captured inside the lambda is re-evaluated PER ELEMENT, so
+    * inlining `words(text)` re-split the document once per shingle
+    * (measured 4.9 s vs 0.6 s at sf0.1) — the native kernel reads its
+    * input array once by construction, though [[explodeShingles]] still
+    * materializes `__w` so the SPLIT itself runs once per row.
     */
   def shingles(w: Column, k: Int): Column =
-    when(size(w) < k, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(w) - k),
-          i => array_join(slice(w, i + lit(1), lit(k)), " ")))
+    graft.functions.WordShingles.wordShingles(w, k)
 
   /** (doc_id, shingle) rows of `df`'s text column, with the words array
     * materialized as its own projection before the shingle lambda (see

@@ -62,5 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => SamplePushdown)
     extensions.injectFunction(graft.functions.DotProductQ.descriptor)
     extensions.injectFunction(graft.functions.SortedIntersectCount.descriptor)
+    extensions.injectFunction(graft.functions.CountInSet.descriptor)
+    extensions.injectFunction(graft.functions.WordShingles.descriptor)
   }
 }

@@ -58,9 +58,11 @@ object CurationPipeline {
     val extras = extraCols.map(col)
     val w = col("__w")
     val nChars = length(col("text")).cast("long")
-    val nWords = size(filter(w, t => t =!= "")).cast("long")
+    // codegen'd set probes, not interpreted HOF filters — see
+    // [[TextAnalysis.langScoreCols]]'s note and [[graft.functions.CountInSet]]
+    val nWords = size(w).cast("long") - graft.functions.CountInSet.countInSet(w, Seq(""))
     val stop = TextAnalysis.Markers.head._2
-    val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
+    val nStop = graft.functions.CountInSet.countInSet(w, stop)
     val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
     val sig = graft.queries.Tables.parallelismFloor(docs)
       .select(Seq(col("doc_id")) ++ extras ++

@@ -54,11 +54,17 @@ object TextAnalysis {
         when(beatsLater && beatsEarlier, lit(lang)).otherwise(acc)
     }
 
-  /** Score columns s_<lang> from a materialized words-array column. */
+  /** Score columns s_<lang> from a materialized words-array column.
+    *
+    * `count_in_set` (codegen'd hash-set probe per token) rather than
+    * `size(filter(w, t => m1 || m2 || ...))`: the HOF spelling is
+    * CodegenFallback — an interpreted tree walk per token per marker that
+    * measured ~3 ms/doc at bench scale, the curation family's dominant
+    * per-row cost (see [[graft.functions.CountInSet]]).
+    */
   private[text] def langScoreCols(w: Column): Seq[Column] =
     Markers.map { case (lang, ms) =>
-      size(filter(w, t => ms.map(m => t === m).reduce[Column](_ || _)))
-        .cast("long").as(s"s_$lang")
+      graft.functions.CountInSet.countInSet(w, ms).as(s"s_$lang")
     }
 
   /** Quality signals: char/word counts, mean word length, non-alphanumeric
@@ -71,9 +77,11 @@ object TextAnalysis {
     // CollapseProject never re-inlines it, so the text splits once per row.
     val w = col("__w")
     val nChars = length(col("text")).cast("long")
-    val nWords = size(filter(w, t => t =!= "")).cast("long")
+    // non-empty count as size − empty-hits and stop count via the codegen'd
+    // set probe — both were interpreted HOF filters (see [[langScoreCols]])
+    val nWords = size(w).cast("long") - graft.functions.CountInSet.countInSet(w, Seq(""))
     val stop = Markers.head._2
-    val nStop = size(filter(w, t => stop.map(m => t === m).reduce[Column](_ || _))).cast("long")
+    val nStop = graft.functions.CountInSet.countInSet(w, stop)
     val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
     graft.queries.Tables.parallelismFloor(docs)
       .select(col("doc_id"), col("text"), Hashing.words(col("text")).as("__w"))

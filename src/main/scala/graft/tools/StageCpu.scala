@@ -21,18 +21,35 @@ object StageCpu {
     val factors = args.tail.map(_.toInt).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // always the serialized sort shuffle writer: bypass-merge opens and
+      // merges R files PER MAP TASK, a syscall storm at small R that
+      // measured 6x the CPU of the whole aggregation it served; at real
+      // scale R > 200 disables bypass anyway, so this just makes local
+      // behavior match the cluster path (one file + index per map task)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // JVM case mappings, not ICU (the Spark 4 default): lower() via ICU
+      // full case mapping was the hottest sampled frame across the text
+      // family, and every tokenizer here discards non-[a-z0-9] right after
+      // lowercasing, so the mappings agree wherever the engine looks;
+      // ASCII corpora take UTF8String's vectorized fast path either way
+      // only with ICU off (pre-4.0 behavior)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs0 = graft.queries.Tables.documents(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
+    // probe families take the explode factor; any other name resolves as a
+    // declared SparkEntry query (factor ignored — pass 1) so the stage-vs-
+    // process CPU gap (driver-side planning cost) is measurable per query
     val build: Int => org.apache.spark.sql.DataFrame = family match {
       case "dedup_minhash_pairs" => k =>
         MinHashLSH.nearDupPairs(
@@ -41,12 +58,14 @@ object StageCpu {
         MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "dedup_ngram_pairs" => k =>
         JaccardPairs.nearDupPairs(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case q if graft.SparkEntry.queries.contains(q) => _ =>
+        graft.SparkEntry.queries(q)(spark, sfDir)
       case other => sys.error(s"family not wired for stage diagnosis: $other")
     }
 
     case class Row(
         id: Int, name: String, tasks: Int, cpuS: Double, runS: Double,
-        srMb: Double, swMb: Double, recIn: Long, recShufIn: Long)
+        deserCpuS: Double, srMb: Double, swMb: Double, recIn: Long, recShufIn: Long)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -55,11 +74,18 @@ object StageCpu {
         rows += Row(
           si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks,
           m.executorCpuTime / 1e9, m.executorRunTime / 1e3,
+          m.executorDeserializeCpuTime / 1e9,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.recordsRead, m.shuffleReadMetrics.recordsRead)
       }
     }
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuNow(): Double = osBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
 
     factors.foreach { k =>
       // warmup to absorb codegen, then one measured run per factor with
@@ -69,14 +95,18 @@ object StageCpu {
       spark.catalog.clearCache()
       rows.clear()
       spark.sparkContext.addSparkListener(listener)
+      val c0 = cpuNow()
       build(k).write.format("noop").mode("overwrite").save()
+      val procCpu = cpuNow() - c0
       Thread.sleep(1500) // let the listener bus drain stage-completed events
       spark.sparkContext.removeSparkListener(listener)
       spark.catalog.clearCache()
       val total = rows.map(_.cpuS).sum
-      println(f"== $family x$k  total stage cpu=$total%.1fs ==")
+      val deser = rows.map(_.deserCpuS).sum
+      println(f"== $family x$k  total stage cpu=$total%.1fs (deser cpu=$deser%.1fs)  " +
+        f"process cpu=$procCpu%.1fs (driver-side gap=${procCpu - total - deser}%.1fs) ==")
       rows.sortBy(-_.cpuS).take(12).foreach { r =>
-        println(f"  [${r.id}%3d] cpu=${r.cpuS}%7.1fs run=${r.runS}%7.1fs tasks=${r.tasks}%4d " +
+        println(f"  [${r.id}%3d] cpu=${r.cpuS}%7.1fs deser=${r.deserCpuS}%6.1fs run=${r.runS}%7.1fs tasks=${r.tasks}%4d " +
           f"in=${r.recIn}%10d shufIn=${r.recShufIn}%10d srMB=${r.srMb}%8.1f swMB=${r.swMb}%8.1f ${r.name.take(60)}")
       }
     }
