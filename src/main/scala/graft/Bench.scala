@@ -124,7 +124,7 @@ object Bench {
     // line is kept compact — ms-rounded times, trials map omitted — and the
     // FULL precision object (every individual trial time included, so a
     // round-over-round drift is diagnosable from spread vs shift) goes to
-    // BENCH_LOCAL.json in the working directory.
+    // BENCH_SELF.json in the working directory.
     // Locale.ROOT, not the f interpolator: String.format under a
     // comma-decimal default locale (de_DE et al.) would render 1,234 and
     // break the driver's JSON parse (ADVICE r5).
@@ -145,13 +145,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_cpu":$cpuJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson)
     // Self-contained archive of THIS bench invocation at the repo root
     // (VERDICT r10 §missing-3): the driver's BENCH_r{N}.json captures a
     // bounded stdout tail, which the 95-query stdout line outgrew twice
     // (r3, r10) — the committed artifact must never depend on a capture
-    // window. Same full-precision payload as BENCH_LOCAL.json.
+    // window. Sole full-precision artifact (BENCH_LOCAL.json was a
+    // byte-identical duplicate of this file and was dropped, ADVICE r11).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), fullJson)
     println(

@@ -35,11 +35,20 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    // A failing query must leave a TRACE, not a hole: in round 11 two broken
+    // families simply vanished from the driver's CORRECTNESS record because
+    // their parquet dirs were never written, and the round read as fully
+    // green (ADVICE r11). Now every failure is collected, dumped to
+    // verify_errors.json beside the outputs, echoed in one summary line,
+    // and the process exits non-zero so the round record can't look clean.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
       finally spark.catalog.clearCache() // release per-query persist()s
     }
@@ -58,6 +67,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${selected.size} queries FAILED: " +
+          errors.keys.mkString(", "))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

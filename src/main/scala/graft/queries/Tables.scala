@@ -77,11 +77,24 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    * conf and convert with integer division (`DIV`, not `/`: epoch-nanos
-    * ~1.7e18 overflow double's 2^53 mantissa, and a microsecond of drift
-    * would break oracle parity).
+  /** `events.ts` normalized to session-zoned TimestampType regardless of
+    * how the driver generated the parquet — the physical type has already
+    * changed once between rounds (TIMESTAMP(NANOS) through r10,
+    * TIMESTAMP(MICROS)/no-tz from r11), and downstream operators do integer
+    * epoch arithmetic via `unix_micros`, which rejects TIMESTAMP_NTZ
+    * outright (ADVICE r11: events_asof/events_sessions regressed on the
+    * regeneration). Three generations handled:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively
+    *     (PARQUET_TYPE_ILLEGAL); read as raw nanos via the legacy conf and
+    *     convert with integer division (`DIV`, not `/`: epoch-nanos ~1.7e18
+    *     overflow double's 2^53 mantissa, and a microsecond of drift would
+    *     break oracle parity).
+    *   - TIMESTAMP(MICROS) without isAdjustedToUTC: Spark reads
+    *     TIMESTAMP_NTZ; cast to TimestampType under the harness-pinned UTC
+    *     session timezone, which reinterprets the naive wall time as UTC —
+    *     exactly what DuckDB's `epoch_us` does on the same file, so oracle
+    *     parity is preserved instant-for-instant.
+    *   - TIMESTAMP(MICROS) adjusted to UTC: already TimestampType, no-op.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The nanosAsLong conf itself is set once at session build (Verify/Bench
@@ -95,6 +108,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
