@@ -138,6 +138,16 @@ object SparkEntry {
     // components → surviving corpus
     "dedup_cleaned" -> ((s, dir) =>
       DedupClusters.cleaned(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
+    // quality-aware canonical selection: keep the BEST-quality member of
+    // each near-dup cluster (not min-id) — what a production dedup ships
+    "dedup_canonical_quality" -> ((s, dir) =>
+      DedupClusters.canonicalByQuality(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("cluster_rep")),
+    // cross-source near-dup matrix: the train/eval-leakage / provenance
+    // audit over the same banded-LSH pair table
+    "dedup_source_overlap" -> ((s, dir) =>
+      graft.dedup.SourceOverlap.pairsBySource(Tables.documents(s, dir))
+        .orderBy("source_lo", "source_hi")),
     // duplicate-rate estimation: exact twin + UNIVERSE (hash-range) sampled
     // estimator — deterministic content-hash predicate, so the sampled run
     // is fully oracle-gated (a Bernoulli row sample would understate the
@@ -564,6 +574,8 @@ object SparkEntry {
     "dedup_rate" -> graft.dedup.DedupRate.rateStatsOracleSql,
     "dedup_rate_sampled_u10" -> graft.dedup.DedupRate.rateStatsSampledOracleSql(),
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
+    "dedup_canonical_quality" -> DedupClusters.canonicalByQualityOracleSql,
+    "dedup_source_overlap" -> graft.dedup.SourceOverlap.pairsBySourceOracleSql,
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),

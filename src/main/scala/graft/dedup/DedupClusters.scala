@@ -113,6 +113,71 @@ object DedupClusters {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** QUALITY-AWARE canonical selection: keep the HIGHEST-quality member of
+    * each near-dup cluster (ties broken by smallest doc_id) instead of
+    * [[cleaned]]'s min-id representative. This is what production corpus
+    * dedup actually wants — near-dup clusters typically contain one clean
+    * original and N boilerplate-wrapped or truncated copies, and min-id
+    * keeps an arbitrary one (SlimPajama/RefinedWeb-style pipelines keep a
+    * best member; the quality signal here is
+    * [[graft.text.TextAnalysis.qualityScore]]).
+    *
+    * Plan shape: components (id-keyed joins) × quality (fused per-row
+    * projection) joined on doc_id, then ONE groupBy on the cluster
+    * representative — `max(struct(quality, -doc_id))` is an argmax that
+    * combines map-side, so the shuffle carries one (double, long) pair per
+    * cluster per partition, never text. The struct-typed buffer makes this
+    * a SortAggregate rather than HashAggregate (Spark hash-aggregates only
+    * mutable primitive buffers) — a deliberate trade: the partial sort runs
+    * over 24-byte (rep, quality, doc_id) rows and still collapses map-side,
+    * whereas the hash-friendly spelling (max-quality pass + join-back +
+    * min-id pass) costs a second exchange over the same rows plus a
+    * double-keyed self-join. Output: cluster_rep, canonical_id, quality,
+    * n_members.
+    */
+  def canonicalByQuality(corpus: DataFrame): DataFrame = {
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val quality = graft.text.TextAnalysis.qualityScore(corpus)
+      .select(col("doc_id"), col("quality"))
+    components(corpus, pairs)
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("rep").as("cluster_rep"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster_rep"),
+        (-col("__best.negid")).as("canonical_id"),
+        col("__best.quality").as("quality"),
+        col("n_members"))
+  }
+
+  /** Oracle SQL for [[canonicalByQuality]]: the same recursive-reachability
+    * clusters joined to the quality formula, argmax spelled as a
+    * row_number window (quality DESC, doc_id ASC) — equivalent to the
+    * Spark `max(struct(quality, -doc_id))` because both engines compute
+    * the quality double with identical IEEE operations (the basis of the
+    * hash-matched `text_quality` row).
+    */
+  def canonicalByQualityOracleSql: String = {
+    val qualityInner = graft.text.TextAnalysis
+      .qualityScoreOracleSql(from = "corpus")
+      .replace(" ORDER BY doc_id", "")
+    reachCtes +
+      s""",
+         |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |q AS ($qualityInner),
+         |m AS (SELECT dec.rep, q.doc_id, q.quality
+         |      FROM dec JOIN q ON dec.doc_id = q.doc_id)
+         |SELECT rep AS cluster_rep, doc_id AS canonical_id, quality, n_members
+         |FROM (SELECT m.*,
+         |             count(*) OVER (PARTITION BY rep) AS n_members,
+         |             row_number() OVER (PARTITION BY rep
+         |                                ORDER BY quality DESC, doc_id) AS rn
+         |      FROM m)
+         |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+  }
+
   /** Shared recursive-reachability CTE prefix (exact oracle for the
     * iterative propagation).
     */

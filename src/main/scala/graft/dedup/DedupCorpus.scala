@@ -52,6 +52,29 @@ object DedupCorpus {
       |      FROM documents)
       |WHERE doc_id % 11 = 0""".stripMargin
 
+  /** (doc_id, source) provenance lookup for the SAME augmented id space as
+    * [[augment]] — a synthetic duplicate inherits its original's source, so
+    * cross-source leakage queries ([[SourceOverlap]]) can label both ends
+    * of every near-dup pair. Kept beside [[augment]] because the id-shift
+    * rules must never drift between the two.
+    */
+  def augmentSources(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"))
+    base
+      .unionAll(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("source")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + NearDupOffset).as("doc_id"), col("source")))
+  }
+
+  /** SQL for [[augmentSources]] (DuckDB). */
+  val augmentSourcesSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |UNION ALL
+       |SELECT doc_id + $ExactDupOffset AS doc_id, source FROM documents WHERE doc_id % 7 = 0
+       |UNION ALL
+       |SELECT doc_id + $NearDupOffset AS doc_id, source FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
   /** Exact dedup by content hash: one surviving row per distinct text, the
     * smallest doc_id wins, with the duplicate count.
     *

@@ -53,6 +53,55 @@ class DedupClustersSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("canonicalByQuality: argmax verified against a brute-force recompute") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val comp = DedupClusters.components(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.text.TextAnalysis.qualityScore(corpus)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force reference: per cluster, best = max quality then min id
+    val expected = comp.groupBy(_._2).map { case (rep, members) =>
+      val ids = members.keys.toSeq
+      val best = ids.minBy(id => (-quality(id), id))
+      rep -> ((best, quality(best), ids.size.toLong))
+    }
+    val got = DedupClusters.canonicalByQuality(corpus)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    // the canonical member must be IN its cluster, and clusters partition
+    // the corpus (n_members sums to corpus size)
+    got.foreach { case (rep, (canon, _, _)) => assert(comp(canon) === rep) }
+    assert(got.values.map(_._3).sum === comp.size.toLong)
+    spark.catalog.clearCache()
+  }
+
+  test("canonicalByQuality can pick a non-min-id member; ties break to min id") {
+    // cluster {1,2,3}: doc 2 has the best quality → canonical_id = 2 ≠ rep 1;
+    // cluster {10,11}: identical text → equal quality → tie-break keeps 10
+    val corpus = Seq(
+      (1L, "zzz qq xx"), // low stopword ratio, junky
+      (2L, "the cat and the dog are in the house with a bird"),
+      (3L, "zzz qq yy"),
+      (10L, "the same exact sentence"),
+      (11L, "the same exact sentence")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val quality = graft.text.TextAnalysis.qualityScore(corpus)
+      .select(col("doc_id"), col("quality"))
+    val out = DedupClusters.components(corpus, pairs)
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("rep").as("cluster_rep"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("cluster_rep"), (-col("b.negid")).as("canonical_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)
+    assert(out(10L) === 10L)
+  }
+
   test("minhash clusters on the augmented corpus: injected dups lose, originals win") {
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
     val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
