@@ -201,7 +201,13 @@ object ScaleProbe {
         graft.text.SequencePacking.packsMixture(
           explodeDocs(docsS0, k, carry = Seq("source")))),
       "text_tfidf_topk" -> (k =>
-        graft.text.TfIdf.topTerms(explodeDocs(docs0, k))))
+        graft.text.TfIdf.topTerms(explodeDocs(docs0, k))),
+      // the r12 addition: quality-argmax canonical selection — CC labels
+      // joined to the per-doc quality projection, then the struct-buffer
+      // SortAggregate argmax; the probe checks the partial per-partition
+      // sort stays linear as clusters multiply
+      "dedup_canonical_quality" -> (k =>
+        DedupClusters.canonicalByQuality(DedupCorpus.augment(explodeDocs(docs0, k)))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
