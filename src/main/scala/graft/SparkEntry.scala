@@ -148,6 +148,12 @@ object SparkEntry {
     "dedup_source_overlap" -> ((s, dir) =>
       graft.dedup.SourceOverlap.pairsBySource(Tables.documents(s, dir))
         .orderBy("source_lo", "source_hi")),
+    // pair-level HT estimator of the overlap matrix from a 10 % doc-atomic
+    // universe sample — mixed first/second-order inclusion weights (same-
+    // base pairs ×10, cross-base ×100), deterministic → fully oracle-gated
+    "dedup_source_overlap_sampled_u10" -> ((s, dir) =>
+      graft.dedup.SourceOverlap.pairsBySourceSampled(Tables.documents(s, dir))
+        .orderBy("source_lo", "source_hi")),
     // duplicate-rate estimation: exact twin + UNIVERSE (hash-range) sampled
     // estimator — deterministic content-hash predicate, so the sampled run
     // is fully oracle-gated (a Bernoulli row sample would understate the
@@ -576,6 +582,8 @@ object SparkEntry {
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
     "dedup_canonical_quality" -> DedupClusters.canonicalByQualityOracleSql,
     "dedup_source_overlap" -> graft.dedup.SourceOverlap.pairsBySourceOracleSql,
+    "dedup_source_overlap_sampled_u10" ->
+      graft.dedup.SourceOverlap.pairsBySourceSampledOracleSql(),
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),

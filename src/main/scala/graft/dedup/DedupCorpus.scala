@@ -40,17 +40,23 @@ object DedupCorpus {
     base.unionAll(exactDups).unionAll(nearDups)
   }
 
+  /** SQL for the same augmented corpus (DuckDB), over any base relation —
+    * `from` defaults to the raw table; the sampled twins pass their
+    * keep-filtered CTE so duplicate structure replays over the slice.
+    */
+  def augmentSqlFrom(from: String = "documents"): String =
+    s"""SELECT doc_id, text FROM $from
+       |UNION ALL
+       |SELECT doc_id + $ExactDupOffset AS doc_id, text FROM $from WHERE doc_id % 7 = 0
+       |UNION ALL
+       |SELECT doc_id + $NearDupOffset AS doc_id,
+       |       array_to_string(w[1:greatest(len(w)-2, 0)], ' ') AS text
+       |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |      FROM $from)
+       |WHERE doc_id % 11 = 0""".stripMargin
+
   /** SQL for the same augmented corpus (DuckDB). */
-  val augmentSql: String =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
-      |UNION ALL
-      |SELECT doc_id + 200000 AS doc_id,
-      |       array_to_string(w[1:greatest(len(w)-2, 0)], ' ') AS text
-      |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
-      |      FROM documents)
-      |WHERE doc_id % 11 = 0""".stripMargin
+  val augmentSql: String = augmentSqlFrom()
 
   /** (doc_id, source) provenance lookup for the SAME augmented id space as
     * [[augment]] — a synthetic duplicate inherits its original's source, so
@@ -67,13 +73,16 @@ object DedupCorpus {
         .select((col("doc_id") + NearDupOffset).as("doc_id"), col("source")))
   }
 
+  /** SQL for [[augmentSources]] (DuckDB), over any base relation. */
+  def augmentSourcesSqlFrom(from: String = "documents"): String =
+    s"""SELECT doc_id, source FROM $from
+       |UNION ALL
+       |SELECT doc_id + $ExactDupOffset AS doc_id, source FROM $from WHERE doc_id % 7 = 0
+       |UNION ALL
+       |SELECT doc_id + $NearDupOffset AS doc_id, source FROM $from WHERE doc_id % 11 = 0""".stripMargin
+
   /** SQL for [[augmentSources]] (DuckDB). */
-  val augmentSourcesSql: String =
-    s"""SELECT doc_id, source FROM documents
-       |UNION ALL
-       |SELECT doc_id + $ExactDupOffset AS doc_id, source FROM documents WHERE doc_id % 7 = 0
-       |UNION ALL
-       |SELECT doc_id + $NearDupOffset AS doc_id, source FROM documents WHERE doc_id % 11 = 0""".stripMargin
+  val augmentSourcesSql: String = augmentSourcesSqlFrom()
 
   /** Exact dedup by content hash: one surviving row per distinct text, the
     * smallest doc_id wins, with the duplicate count.

@@ -211,7 +211,10 @@ object MinHashLSH {
     * including the bucket-size cap, so Spark and the oracle agree at every
     * scale (no-op on the test corpus).
     */
-  def nearDupPairsOracleSql(minSim: Double = 0.5, maxBucket: Long = MaxBucket): String = {
+  def nearDupPairsOracleSql(
+      minSim: Double = 0.5,
+      maxBucket: Long = MaxBucket,
+      from: String = "documents"): String = {
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
@@ -221,7 +224,7 @@ object MinHashLSH {
     val simExpr = sigCols
       .map(m => s"CASE WHEN sa.$m = sb.$m THEN 1 ELSE 0 END")
       .mkString(" + ")
-    shinglesSql(DedupCorpus.augmentSql) +
+    shinglesSql(DedupCorpus.augmentSqlFrom(from)) +
       s""",
          |bands0 AS (
          |  $bandKeys
