@@ -143,6 +143,11 @@ object SparkEntry {
     "dedup_canonical_quality" -> ((s, dir) =>
       DedupClusters.canonicalByQuality(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("cluster_rep")),
+    // end-to-end quality-keep dedup: cleaned corpus where each cluster
+    // surfaces its BEST-quality member (the pipeline a production job ships)
+    "dedup_cleaned_quality" -> ((s, dir) =>
+      DedupClusters.cleanedByQuality(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // cross-source near-dup matrix: the train/eval-leakage / provenance
     // audit over the same banded-LSH pair table
     "dedup_source_overlap" -> ((s, dir) =>
@@ -581,6 +586,7 @@ object SparkEntry {
     "dedup_rate_sampled_u10" -> graft.dedup.DedupRate.rateStatsSampledOracleSql(),
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
     "dedup_canonical_quality" -> DedupClusters.canonicalByQualityOracleSql,
+    "dedup_cleaned_quality" -> DedupClusters.cleanedByQualityOracleSql,
     "dedup_source_overlap" -> graft.dedup.SourceOverlap.pairsBySourceOracleSql,
     "dedup_source_overlap_sampled_u10" ->
       graft.dedup.SourceOverlap.pairsBySourceSampledOracleSql(),

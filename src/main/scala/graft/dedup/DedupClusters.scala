@@ -178,6 +178,42 @@ object DedupClusters {
          |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
   }
 
+  /** END-TO-END quality-keep dedup: the [[cleaned]] pipeline with
+    * [[canonicalByQuality]]'s winner rule — every near-dup cluster
+    * surfaces its best-quality member's document, not its min-id one.
+    * Same scale shape as [[cleaned]]: the canonical-id set is
+    * cluster-cardinality, and the join back to the corpus is id-keyed
+    * (ids + digests shuffle, never text).
+    */
+  def cleanedByQuality(corpus: DataFrame): DataFrame =
+    corpus
+      .join(
+        canonicalByQuality(corpus).select(col("canonical_id").as("doc_id")),
+        Seq("doc_id"))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  /** Oracle SQL for [[cleanedByQuality]]. */
+  def cleanedByQualityOracleSql: String = {
+    val qualityInner = graft.text.TextAnalysis
+      .qualityScoreOracleSql(from = "corpus")
+      .replace(" ORDER BY doc_id", "")
+    reachCtes +
+      s""",
+         |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |q AS ($qualityInner),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT q.doc_id,
+         |           row_number() OVER (PARTITION BY dec.rep
+         |                              ORDER BY q.quality DESC, q.doc_id) AS rn
+         |    FROM dec JOIN q ON dec.doc_id = q.doc_id)
+         |  WHERE rn = 1
+         |)
+         |SELECT c.doc_id, md5(c.text) AS content_hash
+         |FROM corpus c JOIN canon ON c.doc_id = canon.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Shared recursive-reachability CTE prefix (exact oracle for the
     * iterative propagation).
     */

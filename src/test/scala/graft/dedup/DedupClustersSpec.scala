@@ -79,6 +79,18 @@ class DedupClustersSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cleanedByQuality keeps exactly the canonical members' documents") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val canon = DedupClusters.canonicalByQuality(corpus)
+      .select("canonical_id").collect().map(_.getLong(0)).toSet
+    val out = DedupClusters.cleanedByQuality(corpus).collect()
+    assert(out.map(_.getLong(0)).toSet === canon)
+    assert(out.length === canon.size)
+    // same cluster count as the min-id pipeline — only the WINNER differs
+    assert(out.length === DedupClusters.cleaned(corpus).count())
+    spark.catalog.clearCache()
+  }
+
   test("canonicalByQuality can pick a non-min-id member; ties break to min id") {
     // cluster {1,2,3}: doc 2 has the best quality → canonical_id = 2 ≠ rep 1;
     // cluster {10,11}: identical text → equal quality → tie-break keeps 10
