@@ -461,6 +461,13 @@ object SparkEntry {
     "docs_training_shard" -> ((s, dir) =>
       graft.text.TrainingShard.manifest(Tables.documents(s, dir))
         .orderBy("doc_id", "copy")),
+    // the FUZZY-dedup production variant: curate → near-dup CC with the
+    // quality-keep winner → mixture → pack, over the source-carrying
+    // augmented corpus (non-vacuous dedup work, like the standalone
+    // dedup queries) — the full RefinedWeb-style pipeline shape
+    "docs_training_shard_neardup" -> ((s, dir) =>
+      graft.text.TrainingShard.manifestNearDup(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy")),
     // the AQP twin of the composed pipeline: the same 4-stage chain over a
     // 10 % doc-atomic universe sample, HT-scaled to the one-row summary a
     // planner reads ("how many kept docs / tokens / packs would the full
@@ -684,6 +691,8 @@ object SparkEntry {
     "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql,
     "docs_curated_funnel_by_source" -> graft.text.CurationPipeline.funnelBySourceOracleSql,
     "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql(),
+    "docs_training_shard_neardup" ->
+      graft.text.TrainingShard.manifestNearDupOracleSql(),
     "docs_training_shard_sampled_u10" ->
       graft.text.TrainingShard.manifestSampledOracleSql(),
     "docs_shard_summary" -> graft.text.TrainingShard.shardSummaryOracleSql())

@@ -214,6 +214,44 @@ object DedupClusters {
          |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** CTE fragments (NO `WITH` prefix — the caller's chain must open with
+    * `WITH RECURSIVE`) computing the quality-keep canonical id set over an
+    * arbitrary corpus CTE named `corpusName` (doc_id, text): pairs →
+    * edges → recursive reach → clusters → quality → `canon(doc_id)`.
+    * The embeddable form of [[cleanedByQualityOracleSql]]'s chain, for
+    * pipelines that dedup mid-stream ([[graft.text.TrainingShard
+    * .manifestNearDup]]).
+    */
+  def canonicalCtesOverCorpus(corpusName: String): String = {
+    val pairsSql = MinHashLSH.nearDupPairsOracleSqlCorpus(
+      s"SELECT doc_id, text FROM $corpusName")
+    val qualityInner = graft.text.TextAnalysis
+      .qualityScoreOracleSql(from = corpusName)
+      .replace(" ORDER BY doc_id", "")
+    s"""pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |  UNION ALL SELECT doc_id, doc_id FROM $corpusName
+       |),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM $corpusName
+       |  UNION
+       |  SELECT e.src, r.label
+       |  FROM reach r JOIN edges e ON e.dst = r.node
+       |),
+       |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+       |q AS ($qualityInner),
+       |canon AS (
+       |  SELECT doc_id FROM (
+       |    SELECT q.doc_id,
+       |           row_number() OVER (PARTITION BY dec.rep
+       |                              ORDER BY q.quality DESC, q.doc_id) AS rn
+       |    FROM dec JOIN q ON dec.doc_id = q.doc_id)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
   /** Shared recursive-reachability CTE prefix (exact oracle for the
     * iterative propagation).
     */

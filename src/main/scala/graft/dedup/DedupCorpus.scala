@@ -58,6 +58,39 @@ object DedupCorpus {
   /** SQL for the same augmented corpus (DuckDB). */
   val augmentSql: String = augmentSqlFrom()
 
+  /** [[augment]] with the `source` column carried through (copies inherit
+    * their original's source) — the input shape for pipelines that both
+    * dedup AND mix by source ([[graft.text.TrainingShard.manifestNearDup]]).
+    */
+  def augmentWithSource(documents: DataFrame): DataFrame = {
+    val base = graft.queries.Tables.parallelismFloor(
+      documents.select(col("doc_id"), col("text"), col("source")))
+    val exactDups = base
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text"), col("source"))
+    val w = Hashing.words(col("text"))
+    val nearDups = base
+      .filter(col("doc_id") % 11 === 0)
+      .select(
+        (col("doc_id") + NearDupOffset).as("doc_id"),
+        array_join(slice(w, lit(1), greatest(size(w) - 2, lit(0))), " ").as("text"),
+        col("source"))
+    base.unionAll(exactDups).unionAll(nearDups)
+  }
+
+  /** SQL for [[augmentWithSource]] (DuckDB), over any base relation. */
+  def augmentWithSourceSqlFrom(from: String = "documents"): String =
+    s"""SELECT doc_id, text, source FROM $from
+       |UNION ALL
+       |SELECT doc_id + $ExactDupOffset AS doc_id, text, source FROM $from WHERE doc_id % 7 = 0
+       |UNION ALL
+       |SELECT doc_id + $NearDupOffset AS doc_id,
+       |       array_to_string(w[1:greatest(len(w)-2, 0)], ' ') AS text,
+       |       source
+       |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w, source
+       |      FROM $from)
+       |WHERE doc_id % 11 = 0""".stripMargin
+
   /** (doc_id, source) provenance lookup for the SAME augmented id space as
     * [[augment]] — a synthetic duplicate inherits its original's source, so
     * cross-source leakage queries ([[SourceOverlap]]) can label both ends

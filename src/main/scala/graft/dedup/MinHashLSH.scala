@@ -214,7 +214,17 @@ object MinHashLSH {
   def nearDupPairsOracleSql(
       minSim: Double = 0.5,
       maxBucket: Long = MaxBucket,
-      from: String = "documents"): String = {
+      from: String = "documents"): String =
+    nearDupPairsOracleSqlCorpus(DedupCorpus.augmentSqlFrom(from), minSim, maxBucket)
+
+  /** [[nearDupPairsOracleSql]] over an ARBITRARY corpus SQL (doc_id, text)
+    * — no implicit augment; the near-dup training-shard chain passes its
+    * curated CTE here.
+    */
+  def nearDupPairsOracleSqlCorpus(
+      corpusSql: String,
+      minSim: Double = 0.5,
+      maxBucket: Long = MaxBucket): String = {
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
@@ -224,7 +234,7 @@ object MinHashLSH {
     val simExpr = sigCols
       .map(m => s"CASE WHEN sa.$m = sb.$m THEN 1 ELSE 0 END")
       .mkString(" + ")
-    shinglesSql(DedupCorpus.augmentSqlFrom(from)) +
+    shinglesSql(corpusSql) +
       s""",
          |bands0 AS (
          |  $bandKeys

@@ -109,6 +109,79 @@ object TrainingShard {
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin
 
+  /** The FUZZY-dedup production variant of [[manifest]]: stage 2 swaps the
+    * exact md5 first-occurrence for NEAR-duplicate connected components
+    * with the quality-keep winner rule
+    * ([[graft.dedup.DedupClusters.canonicalByQuality]]) — curate →
+    * near-dup-dedup-keep-best → mix → pack, the full shape a
+    * RefinedWeb-style production pipeline ships (fuzzy dedup after
+    * filtering, best member survives). Runs over the source-carrying
+    * augmented corpus ([[graft.dedup.DedupCorpus.augmentWithSource]]) so
+    * the dedup stage has non-vacuous work exactly like the standalone
+    * dedup queries.
+    *
+    * Scale shape: stage 2 adds the banded-LSH pair shuffle and the
+    * conf-sized CC joins (both bounded — see the dedup scaladocs) between
+    * the same id-keyed stage boundaries; everything else is [[manifest]]'s
+    * plan. Output: doc_id, source, copy, tok, cum, pack_id.
+    */
+  def manifestNearDup(
+      documents: DataFrame,
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val corpus = graft.dedup.DedupCorpus.augmentWithSource(documents)
+    val kept = CurationPipeline.verdicts(corpus)
+      .filter(col("keep")).select(col("doc_id"))
+    val curated = corpus.join(kept, "doc_id")
+    val canon = graft.dedup.DedupClusters
+      .canonicalByQuality(curated.select(col("doc_id"), col("text")))
+      .select(col("canonical_id").as("doc_id"))
+    val unique = curated.join(canon, "doc_id")
+    val mixed = MixtureResample.resample(
+      unique.withColumn("tok", TokenBudget.tokOfText),
+      weightsBp, extraCols = Seq("tok"))
+    val unit = concat(
+      col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
+    val (_, cum) = TokenBudget.withCumKeyed(
+      mixed, buckets, Seq("doc_id", "copy", "source"), unit, tok = col("tok"))
+    cum
+      .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
+      .select(col("doc_id"), col("source"), col("copy"),
+        col("tok"), col("cum"), col("pack_id"))
+  }
+
+  /** DuckDB oracle for [[manifestNearDup]] — the recursive-CC canonical
+    * CTEs spliced between the curation and mixture stages.
+    */
+  def manifestNearDupOracleSql(
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): String =
+    s"""WITH RECURSIVE
+       |corpus0 AS (${graft.dedup.DedupCorpus.augmentWithSourceSqlFrom("documents")}),
+       |curated AS (
+       |  SELECT * FROM corpus0 WHERE doc_id IN (
+       |${CurationPipeline.keptIdsSql("corpus0")}
+       |  )
+       |),
+       |${graft.dedup.DedupClusters.canonicalCtesOverCorpus("curated")},
+       |uniq AS (
+       |  SELECT *, ${TokenBudget.TokOfTextSql} AS tok
+       |  FROM curated WHERE doc_id IN (SELECT doc_id FROM canon)
+       |),
+       |m AS (
+       |${MixtureResample.manifestSql(weightsBp, extraCols = Seq("tok"), from = "uniq")}
+       |),
+       |${TokenBudget.cumCteSql(
+           buckets, from = "m", keyCols = Seq("doc_id", "copy", "source"),
+           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)",
+           tokSql = "tok")}
+       |SELECT doc_id, source, copy, tok, cum,
+       |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id, copy""".stripMargin
+
   /** Packs per physical shard file-set. The fixture default is tiny —
     * 4 packs × the 2 048-token budget ≈ 8 k tokens — because the sf
     * corpora are ~13 packs total and the contract (several shards, pack

@@ -42,6 +42,50 @@ class TrainingShardSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("near-dup variant: survivors are exactly the quality-keep canonical " +
+    "set of the curated augmented corpus, and fuzzy dedup actually bites") {
+    import graft.dedup.{DedupClusters, DedupCorpus}
+    val out = TrainingShard.manifestNearDup(docs).cache()
+    try {
+      // recompose stages 1-2 independently: curation keep-set over the
+      // source-carrying augmented corpus, then the canonical winners
+      val corpus = DedupCorpus.augmentWithSource(docs)
+      val keptIds = CurationPipeline.verdicts(corpus)
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      val curated = corpus.filter(col("doc_id").isin(keptIds.toSeq: _*))
+      val canon = DedupClusters
+        .canonicalByQuality(curated.select(col("doc_id"), col("text")))
+        .select("canonical_id").as[Long].collect().toSet
+      val outIds = out.select("doc_id").distinct().as[Long].collect().toSet
+      assert(outIds.nonEmpty)
+      // manifest docs = canonical winners with a POSITIVE mixture copy
+      // count (zero-weight sources drop entirely; down-weighted sources
+      // drop the docs whose position hash falls outside the keep range) —
+      // the copy rule recomputed independently, as in the manifest spec
+      def h60(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+      }
+      val srcOf = curated.select("doc_id", "source")
+        .as[(Long, String)].collect().toMap
+      val expected = canon.filter { id =>
+        val w = MixtureResample.DefaultWeightsBp
+          .getOrElse(srcOf(id), MixtureResample.DefaultBp)
+        val frac = if (h60(s"m:$id") % MixtureResample.Mod < w % MixtureResample.Mod) 1 else 0
+        w / MixtureResample.Mod + frac > 0
+      }
+      assert(outIds === expected)
+      // the fuzzy stage removed at least the injected exact copies that
+      // survived curation: strictly fewer survivors than curated docs
+      assert(canon.size < keptIds.size)
+      // every synthetic exact copy lost to its original (identical text →
+      // equal quality → min-id tie-break keeps the original)
+      val exactCopies = outIds.filter(id =>
+        id >= DedupCorpus.ExactDupOffset && id < DedupCorpus.NearDupOffset)
+      assert(exactCopies.isEmpty, s"exact copies survived: $exactCopies")
+    } finally { out.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("sampled twin: summary equals the HT-scaled aggregate of the chain " +
     "run on the sampled slice, and estimates land near the full-run truth") {
     val pct = 10
