@@ -134,7 +134,15 @@ object TrainingShard {
     val corpus = graft.dedup.DedupCorpus.augmentWithSource(documents)
     val kept = CurationPipeline.verdicts(corpus)
       .filter(col("keep")).select(col("doc_id"))
-    val curated = corpus.join(kept, "doc_id")
+    // FIVE consumers read the curated frame (the pair signatures, the CC
+    // node set, the quality projection, and the two sides of the final
+    // canon join) and each would otherwise re-run the full verdict chain —
+    // measured 83 s CPU for a ~30 s plan at sf0.1. One lazy
+    // localCheckpoint (the [[graft.dedup.MinHashLSH.nearDupPairs]]
+    // discipline: materialized by the first consuming action, no
+    // CacheManager entry, blocks freed when the plan is dropped) makes
+    // every consumer read the narrow (id, text, source) rows instead.
+    val curated = corpus.join(kept, "doc_id").localCheckpoint(false)
     val canon = graft.dedup.DedupClusters
       .canonicalByQuality(curated.select(col("doc_id"), col("text")))
       .select(col("canonical_id").as("doc_id"))

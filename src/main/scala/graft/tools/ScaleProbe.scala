@@ -207,7 +207,14 @@ object ScaleProbe {
       // SortAggregate argmax; the probe checks the partial per-partition
       // sort stays linear as clusters multiply
       "dedup_canonical_quality" -> (k =>
-        DedupClusters.canonicalByQuality(DedupCorpus.augment(explodeDocs(docs0, k)))))
+        DedupClusters.canonicalByQuality(DedupCorpus.augment(explodeDocs(docs0, k)))),
+      // the r12 composed flagship: curate → near-dup CC quality-keep →
+      // mixture → pack. manifestNearDup augments internally, so the probe
+      // feeds it the exploded RAW docs (source carried) — the composed
+      // chain sees k× docs with k×-replicated dup structure
+      "docs_training_shard_neardup" -> (k =>
+        graft.text.TrainingShard.manifestNearDup(
+          explodeDocs(docsS0, k, carry = Seq("source")))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
@@ -233,7 +240,15 @@ object ScaleProbe {
         .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
 
-    def runOnce(df: DataFrame): (Double, Double, Double) = {
+    // BY-NAME df: the timer must wrap PLAN CONSTRUCTION too, not just the
+    // sink write — iterative operators (the connected-components families)
+    // run their label-propagation jobs EAGERLY while the DataFrame is being
+    // built, and an eagerly-evaluated argument would leave that work
+    // outside the timed window (discovered r12: the neardup-pipeline probe
+    // read ×8 CPU BELOW ×1 because the build phase absorbed the heavy
+    // stages, then the ratio on the leftover fragment read 24× — a harness
+    // artifact, not a plan verdict). Bench.run times the same way.
+    def runOnce(df: => DataFrame): (Double, Double, Double) = {
       val g0 = gcNow()
       val c0 = cpuNow()
       val t0 = System.nanoTime()
