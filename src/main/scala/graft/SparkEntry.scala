@@ -350,6 +350,17 @@ object SparkEntry {
       graft.queries.TpchQueries.q10(
         Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // conditional-aggregate ratio (promotion share) — both sums one pass
+    "tpch_q14" -> ((s, dir) =>
+      graft.queries.TpchQueries.q14(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // aggregate-then-HAVING whales query — heavy groupBy on lineitem alone
+    "tpch_q18" -> ((s, dir) =>
+      graft.queries.TpchQueries.q18(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // existence semi-join with a mixed equi + range condition
+    "tpch_q4_late" -> ((s, dir) =>
+      graft.queries.TpchQueries.q4Late(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "tpch_q5" -> ((s, dir) =>
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -645,6 +656,9 @@ object SparkEntry {
     "tpch_q3_bucketed" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q5" -> graft.queries.TpchQueries.q5OracleSql(),
     "tpch_q10" -> graft.queries.TpchQueries.Q10OracleSql,
+    "tpch_q14" -> graft.queries.TpchQueries.Q14OracleSql,
+    "tpch_q18" -> graft.queries.TpchQueries.Q18OracleSql,
+    "tpch_q4_late" -> graft.queries.TpchQueries.Q4LateOracleSql,
     "events_salted_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

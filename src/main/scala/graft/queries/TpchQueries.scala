@@ -380,4 +380,133 @@ object TpchQueries {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin
+
+  val Q14Start = "1996-09-01"
+  val Q14End = "1996-10-01"
+
+  /** TPC-H Q14 (promotion effect): conditional-aggregate RATIO over a
+    * fact⋈dim join — the shape every "share of revenue" dashboard query
+    * takes. Scale: the one-month shipdate filter pushes to the lineitem
+    * scan; `part` is the small side (broadcast under AQE); ONE aggregate
+    * computes both the conditional and total sums in a single pass (no
+    * second scan for the denominator). Revenue in integer 1e4 units; the
+    * ratio is one division of identical longs → bit-identical doubles
+    * cross-engine.
+    */
+  def q14(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val rev = priceC * (lit(100L) - discP)
+    lineitem
+      .filter(col("l_shipdate") >= lit(Q14Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q14End).cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+          .as("promo_revenue_e4"),
+        sum(rev).as("total_revenue_e4"))
+      .select(
+        col("promo_revenue_e4"), col("total_revenue_e4"),
+        (col("promo_revenue_e4").cast("double") * 100.0 /
+          col("total_revenue_e4").cast("double")).as("promo_pct"))
+  }
+
+  val Q14OracleSql: String =
+    s"""WITH agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN p_type = 'PROMO'
+       |             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |             ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS total_revenue_e4
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '$Q14Start 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '$Q14End 00:00:00'
+       |)
+       |SELECT promo_revenue_e4, total_revenue_e4,
+       |       CAST(promo_revenue_e4 AS DOUBLE) * 100.0
+       |         / CAST(total_revenue_e4 AS DOUBLE) AS promo_pct
+       |FROM agg""".stripMargin
+
+  val Q18MinQty = 150.0
+
+  /** TPC-H Q18 (large-volume customers): aggregate-then-HAVING feeding a
+    * 3-way join — the "find the whales" shape. Scale: the heavy groupBy
+    * runs over lineitem ALONE (two narrow columns shuffle, partial
+    * aggregation map-side); only the tiny surviving orderkey set joins
+    * back to orders/customer, so the wide tables never shuffle against
+    * the full fact table. Quantities are integral doubles → sums exact
+    * cross-engine.
+    */
+  def q18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    big
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("o_totalprice_c"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val Q18OracleSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $Q18MinQty
+       |)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       |       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       |       sum_qty
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin
+
+  val Q4Start = "1996-01-01"
+  val Q4End = "1996-04-01"
+  val Q4LateDays = 60
+
+  /** TPC-H Q4-shaped (late-order priority check): an EXISTENCE semi-join
+    * with a mixed equi + range condition — "orders in the quarter with at
+    * least one line shipped more than [[Q4LateDays]] days after the order
+    * date", counted by priority. (The reference TPC-H Q4 compares
+    * l_commitdate/l_receiptdate, which this corpus doesn't carry; the
+    * shipdate-lag predicate keeps the exact EXISTS shape.) Scale: LEFT
+    * SEMI join — lineitem never duplicates orders rows and only
+    * (orderkey, shipdate) shuffles from the fact side; the quarter filter
+    * pushes to the orders scan; output is bounded by the priority
+    * cardinality.
+    */
+  def q4Late(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(Q4Start).cast("timestamp") &&
+        col("o_orderdate") < lit(Q4End).cast("timestamp"))
+      .join(
+        lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q4LateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val Q4LateOracleSql: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders o
+       |WHERE o_orderdate >= TIMESTAMP '$Q4Start 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '$Q4End 00:00:00'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o.o_orderkey
+       |      AND l_shipdate > o.o_orderdate + INTERVAL $Q4LateDays DAY)
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 }
