@@ -403,6 +403,13 @@ object SparkEntry {
     "events_asof" -> ((s, dir) =>
       graft.operators.AsofJoin.asof(Tables.events(s, dir))
         .orderBy("event_id")),
+    // offset + bounded-frame windows: per-user inter-event gap and a
+    // rolling last-4-events aggregate (integer cents — a double rolling
+    // sum would not replay: DuckDB's segment-tree frame evaluation sums
+    // in a different order than Spark's running accumulation)
+    "events_rolling" -> ((s, dir) =>
+      graft.operators.RollingWindow.eventsRolling(Tables.events(s, dir))
+        .orderBy("user_id", "ts_us", "event_id")),
     "events_value_tier" -> ((s, dir) =>
       graft.operators.RangeJoin.eventsByTier(s, Tables.events(s, dir))
         .orderBy("tier")),
@@ -692,6 +699,7 @@ object SparkEntry {
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,
+    "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),

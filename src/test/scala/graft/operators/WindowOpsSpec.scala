@@ -92,4 +92,32 @@ class WindowOpsSpec extends SparkSpec {
     }
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("rolling window matches a brute-force trailing-frame sweep; one shuffle") {
+    val q = RollingWindow.eventsRolling(Tables.events(spark, sf001))
+    val got = q.orderBy("user_id", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getDouble(6)))
+    val vals = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("val_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = vals
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (user, evs) =>
+        val ordered = evs.sortBy(e => (e._3, e._1)) // (ts_us, event_id)
+        ordered.zipWithIndex.map { case ((id, _, ts, vc), i) =>
+          val frame = ordered.slice(math.max(0, i - RollingWindow.Preceding), i + 1)
+          val sumC = frame.map(_._4).sum
+          val gap = if (i == 0) None else Some(ts - ordered(i - 1)._3)
+          (id, user, ts, vc, gap, sumC, sumC.toDouble / frame.size.toDouble)
+        }
+      }
+    assert(got.toSeq == expected)
+    // both window functions ride ONE hash exchange on user_id (the
+    // sessionize argument) — no second shuffle for the bounded frame
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
 }
