@@ -161,8 +161,7 @@ object DedupClusters {
     */
   def canonicalByQualityOracleSql: String = {
     val qualityInner = graft.text.TextAnalysis
-      .qualityScoreOracleSql(from = "corpus")
-      .replace(" ORDER BY doc_id", "")
+      .qualityScoreOracleSql(from = "corpus", ordered = false)
     reachCtes +
       s""",
          |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
@@ -195,8 +194,7 @@ object DedupClusters {
   /** Oracle SQL for [[cleanedByQuality]]. */
   def cleanedByQualityOracleSql: String = {
     val qualityInner = graft.text.TextAnalysis
-      .qualityScoreOracleSql(from = "corpus")
-      .replace(" ORDER BY doc_id", "")
+      .qualityScoreOracleSql(from = "corpus", ordered = false)
     reachCtes +
       s""",
          |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
@@ -226,8 +224,7 @@ object DedupClusters {
     val pairsSql = MinHashLSH.nearDupPairsOracleSqlCorpus(
       s"SELECT doc_id, text FROM $corpusName")
     val qualityInner = graft.text.TextAnalysis
-      .qualityScoreOracleSql(from = corpusName)
-      .replace(" ORDER BY doc_id", "")
+      .qualityScoreOracleSql(from = corpusName, ordered = false)
     s"""pairs AS ($pairsSql),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs

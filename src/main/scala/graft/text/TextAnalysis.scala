@@ -487,8 +487,13 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  def qualityScoreOracleSql(from: String = "documents"): String = {
+  /** @param ordered emit the trailing `ORDER BY doc_id` — pass `false` when
+    *   splicing this as an inner CTE (DuckDB rejects ORDER BY in that
+    *   position), instead of string-stripping the clause post-hoc.
+    */
+  def qualityScoreOracleSql(from: String = "documents", ordered: Boolean = true): String = {
     val stop = markerListSql(Markers.head._2)
+    val orderBy = if (ordered) " ORDER BY doc_id" else ""
     s"""WITH base AS (
        |  SELECT doc_id,
        |         CAST(length(text) AS BIGINT) AS n_chars,
@@ -516,7 +521,7 @@ object TextAnalysis {
        |       stop_ratio * 0.5 + (1.0 - special_ratio) * 0.3 +
        |       CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.2 ELSE 0.0 END
        |         AS quality
-       |FROM ratios ORDER BY doc_id""".stripMargin
+       |FROM ratios$orderBy""".stripMargin
   }
 
   /** DuckDB oracle for the universe-sampled [[qualityDistribution]] twin:
@@ -526,7 +531,7 @@ object TextAnalysis {
     * oracle-gated (unlike the `rand(seed)` r10 twin).
     */
   def qualityDistributionSampledUOracleSql(pct: Int = 10): String = {
-    val inner = qualityScoreOracleSql(from = "src").replace(" ORDER BY doc_id", "")
+    val inner = qualityScoreOracleSql(from = "src", ordered = false)
     s"""WITH src AS (SELECT * FROM documents
        |             WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}),
        |q AS ($inner)

@@ -12,11 +12,24 @@ import org.scalatest.BeforeAndAfterAll
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  def sf001 = "/root/testdata/sf0.001"
-  def sf01 = "/root/testdata/sf0.01"
+  def sf001 = s"${SparkSpec.testdataRoot}/sf0.001"
+  def sf01 = s"${SparkSpec.testdataRoot}/sf0.01"
+  def sf1 = s"${SparkSpec.testdataRoot}/sf0.1"
+  /** Cancel (not fail) a live-testdata suite when the dir is absent — an
+    * environment gap, not a schema drift (ADVICE r12). */
+  def assumeTestdata(dir: String): Unit =
+    assume(new java.io.File(dir).isDirectory,
+      s"live testdata missing at $dir (set GRAFT_TESTDATA_ROOT) — skipping, NOT a pass")
 }
 
 object SparkSpec {
+  /** Same root the driver harness points its SPARK_GRAFT_SF_DIR at; override
+    * with GRAFT_TESTDATA_ROOT on machines that stage testdata elsewhere. */
+  val testdataRoot: String =
+    sys.env.get("GRAFT_TESTDATA_ROOT")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR").map(d => new java.io.File(d).getParent))
+      .getOrElse("/root/testdata")
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

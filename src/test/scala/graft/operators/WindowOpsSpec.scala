@@ -116,8 +116,13 @@ class WindowOpsSpec extends SparkSpec {
       }
     assert(got.toSeq == expected)
     // both window functions ride ONE hash exchange on user_id (the
-    // sessionize argument) — no second shuffle for the bounded frame
+    // sessionize argument) — no second shuffle for the bounded frame.
+    // Count ShuffleExchange nodes specifically so a future broadcast in
+    // the plan can't satisfy (or break) the pin for the wrong reason.
+    // (count on toString because AdaptiveSparkPlanExec is a leaf — collect
+    // can't see through the AQE boundary)
     val plan = q.queryExecution.executedPlan.toString
-    assert("Exchange ".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("BroadcastExchange"), plan.take(2000))
   }
 }

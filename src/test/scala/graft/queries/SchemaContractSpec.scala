@@ -15,10 +15,29 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 class SchemaContractSpec extends SparkSpec {
 
   test("events.ts normalizes to TimestampType at every scale factor") {
-    for (dir <- Seq(sf001, sf01, "/root/testdata/sf0.1")) {
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      assumeTestdata(dir)
       val dt = Tables.events(spark, dir).schema("ts").dataType
       assert(dt == TimestampType, s"$dir/events.parquet ts normalized to $dt")
       assert(dt != TimestampNTZType && dt != LongType)
+    }
+  }
+
+  test("documents doc_id stays below DedupCorpus.ExactDupOffset at every scale factor") {
+    // SourceOverlap.baseId (and every augment offset) assumes base ids fit
+    // under ExactDupOffset; a driver regeneration with larger ids would
+    // mis-strip offsets and corrupt HT weights IDENTICALLY in Spark and the
+    // oracle, so the hash gate would stay green on wrong estimates
+    // (ADVICE r12). Fail loudly here instead.
+    import org.apache.spark.sql.functions.max
+    for (dir <- Seq(sf001, sf01, sf1)) {
+      assumeTestdata(dir)
+      val maxId = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(max("doc_id")).collect()(0).getLong(0)
+      assert(maxId < graft.dedup.DedupCorpus.ExactDupOffset,
+        s"$dir/documents.parquet max(doc_id)=$maxId >= " +
+          s"ExactDupOffset=${graft.dedup.DedupCorpus.ExactDupOffset}: " +
+          "augment id offsets and SourceOverlap HT weights are invalid")
     }
   }
 
@@ -49,6 +68,7 @@ class SchemaContractSpec extends SparkSpec {
     // executing the plan, so a DATATYPE_MISMATCH or missing-column error from
     // a regenerated table surfaces for ALL 95+ queries in seconds. Execution
     // correctness is the driver's DuckDB gate; this is the cheap early tripwire.
+    assumeTestdata(sf001)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, sf001).schema; None }
