@@ -134,6 +134,13 @@ object SparkEntry {
       DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
         .orderBy("doc_id")
     }),
+    // the O(log d) large-star/small-star CC strategy over the same pairs —
+    // bit-identical decisions, gated by the same reachability oracle
+    "dedup_clusters_bigstar" -> ((s, dir) => {
+      val corpus = DedupCorpus.augment(Tables.documents(s, dir))
+      DedupClusters.decisionsBigStar(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
+        .orderBy("doc_id")
+    }),
     // the full pipeline a training-data job ships: signatures → pairs →
     // components → surviving corpus
     "dedup_cleaned" -> ((s, dir) =>
@@ -607,6 +614,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
+    // same exact-reachability oracle: both CC strategies converge to the
+    // same min-id representatives, so the bigstar path is gated by the
+    // identical SQL
+    "dedup_clusters_bigstar" -> DedupClusters.decisionsOracleSql,
     "dedup_rate" -> graft.dedup.DedupRate.rateStatsOracleSql,
     "dedup_rate_sampled_u10" -> graft.dedup.DedupRate.rateStatsSampledOracleSql(),
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,

@@ -92,11 +92,126 @@ object DedupClusters {
     labels.select(col("node").as("doc_id"), col("label").as("rep"))
   }
 
+  /** Iteration cap for [[componentsBigStar]]: star contraction halves a
+    * potential function every alternation (Kiveris et al., SoCC 2014,
+    * Thm 5.1 — O(log² n) worst case, O(log n) observed), so 40 rounds
+    * covers any corpus that fits in storage; hitting the cap means a bug,
+    * not a deep graph, and throws like the min-label loop does.
+    */
+  val MaxStarRounds = 40
+
+  /** Alternative CC strategy: LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scaladoc's own named upgrade path for [[components]].
+    * Min-label propagation needs O(component diameter) rounds, which is
+    * fine for shallow near-dup clusters but degrades on chain-shaped
+    * components (A~B~C~… with no short-cuts); star contraction converges
+    * in O(log d) alternations because each round re-points nodes at their
+    * neighborhood minimum, halving every path.
+    *
+    * Per alternation: two half-rounds, each a conf-partitioned
+    * `groupBy(u).agg(min(v))` (map-side combining — a mega-star center
+    * costs one long per map partition) followed by an id-keyed join that
+    * fans out one row per edge. No neighborhood is ever materialized as a
+    * list, so a 10⁸-member cluster is just 10⁸ rows spread across the
+    * shuffle, and AQE's skew split handles the one hot join partition a
+    * giant star center creates. Edge multiset is `distinct`-ed per
+    * half-round (star contraction collapses parallel edges fast, so the
+    * working set SHRINKS monotonically — the property that makes this the
+    * 100 TB choice).
+    *
+    * Convergence: Σ(u+v) over the canonical edge list as decimal(38,0).
+    * Both stars only ever re-point an edge end at a smaller label, so the
+    * sum is non-increasing per edge and strictly drops when anything
+    * changes (dedup removals only drop it further) — an unchanged sum
+    * across a full alternation ⟺ the edge set is a fixed point, i.e. a
+    * forest of stars centered at each component's minimum id. One cheap
+    * action per alternation, same pattern as [[components]]'s label sum.
+    *
+    * Returns (labels, alternations): labels is (doc_id, rep) like
+    * [[components]]; bit-identical output (both strategies are
+    * deterministic and converge to min-id representatives), so the
+    * `dedup_clusters` DuckDB oracle gates this path too
+    * (`dedup_clusters_bigstar`).
+    */
+  def componentsBigStar(corpus: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val spark = corpus.sparkSession
+    val nParts = edgePartitions(spark)
+    val nodes = corpus.select(col("doc_id").as("node"))
+    // canonical undirected edges: (u = max, v = min), self-loops dropped
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(nParts, col("u"))
+      .localCheckpoint(false)
+
+    // m(u) = min of the closed neighborhood of u over `directed`
+    def neighborhoodMin(directed: DataFrame): DataFrame =
+      directed.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+
+    // large-star: key BOTH directions; emit (v, m) for neighbors v > u.
+    // v > u ≥ m keeps the output canonical with no self-loops.
+    def largeStar(e: DataFrame): DataFrame = {
+      val directed = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      directed.join(neighborhoodMin(directed), Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: key the LARGER endpoint (canonical order already does
+    // this); emit (v, m) for neighbors v ≠ m, plus (u, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mm = neighborhoodMin(e)
+      e.join(mm, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def edgeSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum((col("u") + col("v")).cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = edgeSum(edges) // null ⇔ no edges at all
+    var converged = prevSum == null
+    var iter = 0
+    while (!converged && iter < MaxStarRounds) {
+      val next = smallStar(largeStar(edges).localCheckpoint(false)).localCheckpoint(false)
+      val newSum = edgeSum(next)
+      edges = next
+      converged = newSum == null || newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      iter += 1
+    }
+    System.err.println(s"DedupClusters.componentsBigStar: $iter alternations, converged=$converged")
+    if (!converged)
+      throw new IllegalStateException(
+        s"DedupClusters.componentsBigStar: no fixed point after $MaxStarRounds alternations")
+    // fixed point = star forest: every non-min member carries exactly one
+    // edge (member, component-min); singletons label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("star_rep")), Seq("node"), "left")
+      .select(col("node").as("doc_id"), coalesce(col("star_rep"), col("node")).as("rep"))
+    (labels, iter)
+  }
+
   /** Dedup verdict per doc: its cluster representative and whether it
     * survives (is the representative).
     */
   def decisions(corpus: DataFrame, pairs: DataFrame): DataFrame =
     components(corpus, pairs)
+      .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("keep"))
+
+  /** [[decisions]] computed with the [[componentsBigStar]] strategy —
+    * same output, O(log d) rounds instead of O(d).
+    */
+  def decisionsBigStar(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    componentsBigStar(corpus, pairs)._1
       .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("keep"))
 
   /** THE END-TO-END DEDUP PIPELINE: corpus → MinHash signatures → banded

@@ -39,6 +39,49 @@ class DedupClustersSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixed point"))
   }
 
+  test("bigstar: hand-built graph matches min-label decisions") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.decisionsBigStar(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true))))
+  }
+
+  test("bigstar: deep path graph converges in O(log d) alternations where min-label throws") {
+    // a 200-node path: diameter 199 ≫ MaxIterations=20, the exact shape the
+    // min-label loop rejects (test above) — star contraction must both
+    // solve it AND do so in logarithmically few rounds
+    val n = 200L
+    val corpus = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupClusters.componentsBigStar(corpus, pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), s"non-zero rep in ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 12, s"expected O(log 199) ≈ 8 alternations, took $rounds")
+  }
+
+  test("bigstar: singleton-only corpus (no edges) labels every node itself") {
+    val corpus = Seq(10L, 20L, 30L).toDF("doc_id")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupClusters.componentsBigStar(corpus, pairs)
+    assert(rounds === 0)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((10L, 10L), (20L, 20L), (30L, 30L)))
+  }
+
+  test("bigstar: agrees with min-label on the real sf0.001 near-dup graph") {
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val minLabel = DedupClusters.components(corpus, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (bigStar, _) = DedupClusters.componentsBigStar(corpus, pairs)
+    val star = bigStar.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(star === minLabel)
+  }
+
   test("cleaned pipeline keeps exactly the cluster representatives") {
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
     val dec = DedupClusters.decisions(
