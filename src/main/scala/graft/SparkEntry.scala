@@ -201,6 +201,13 @@ object SparkEntry {
       graft.similarity.IvfIndex.search(s, model, emb)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
+    // deterministic-centroid IVF: fixed md5-family seeds instead of a
+    // k-means fit, so the ENTIRE inverted-file search path (seed selection,
+    // integer-L2 assignment, probing, quantized-cosine top-k) replays in
+    // DuckDB — the oracle-gated member of the IVF family
+    "simsearch_ivf_det" -> ((s, dir) =>
+      graft.similarity.IvfIndex.detTopK(Tables.embeddings(s, dir))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
     "simsearch_centroids" -> ((s, dir) =>
       graft.similarity.EmbeddingCentroids.centroids(Tables.embeddings(s, dir))
         .orderBy("label", "dim")),
@@ -628,6 +635,7 @@ object SparkEntry {
       graft.dedup.SourceOverlap.pairsBySourceSampledOracleSql(),
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
+    "simsearch_ivf_det" -> graft.similarity.IvfIndex.detTopKOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
     "simsearch_centroids" -> graft.similarity.EmbeddingCentroids.centroidsOracleSql(),
     "dedup_embedding_pairs_banded" ->

@@ -171,6 +171,124 @@ object IvfIndex {
     path
   }
 
+  /** DETERMINISTIC IVF: the same inverted-file search shape with FIXED
+    * centroids drawn from the md5 hash family instead of a k-means fit —
+    * centroid i is the quantized vector of the corpus row with the i-th
+    * smallest `md5(vec_id)` (ties by vec_id), a pseudo-random spread that
+    * any engine can replay. Everything downstream is exact integer
+    * arithmetic: assignment is argmin over squared L2 on quantized
+    * vectors, probing is top-`nprobe` of the same distances, ranking is
+    * the quantized cosine of [[SimilaritySearch]]. The whole pipeline —
+    * seed selection, assignment, probe set, final top-k — replays
+    * bit-exactly in DuckDB, which makes this the ORACLE-GATED member of
+    * the IVF family (`simsearch_ivf_det`); the k-means [[topK]] stays the
+    * rows-only twin (a fit is not SQL-replayable) and typically buys
+    * better list balance, not different mechanics.
+    *
+    * Plan shape: seed selection is a global top-`nlist` by hash
+    * (TakeOrdered — map-side partial top-k, no full sort); centroids are
+    * then driver-side metadata (`nlist`×[[SimilaritySearch.Dims]] longs,
+    * the saved-quality-model-weights pattern) embedded as LITERAL arrays,
+    * so list assignment is a per-row codegen'd `least(struct(dist, id))`
+    * argmin — NO join and NO shuffle touches the corpus-wide assignment.
+    * `qv·qv` is constant per row, so distances drop it and compare
+    * `c·c − 2·qv·c` (same order, same ties). At a production `nlist`
+    * (≥ 10⁴) the literal fold would bloat codegen — the upgrade is the
+    * broadcast-join + map-side `min(struct(...))` argmin, same no-shuffle
+    * property.
+    */
+  def detTopK(
+      embeddings: DataFrame,
+      numQueries: Int = SimilaritySearch.NumQueries,
+      k: Int = SimilaritySearch.TopK,
+      nlist: Int = NList,
+      nprobe: Int = NProbe): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val prep = SimilaritySearch.prepared(embeddings)
+    val cents: Array[Array[Long]] = prep
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy("hk", "vec_id").limit(nlist)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
+    // dist surrogate to literal centroid c: c·c − 2·qv·c (qv·qv dropped)
+    def distTo(c: Array[Long]): org.apache.spark.sql.Column =
+      lit(c.map(x => x * x).sum) -
+        lit(2L) * SimilaritySearch.dotQ(col("qv"), array(c.map(lit(_)): _*))
+    val assignCol = least(cents.indices.map(i =>
+      struct(distTo(cents(i)).as("d"), lit(i).as("i"))): _*).getField("i")
+    val assigned = prep.withColumn("list", assignCol)
+
+    val centsDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("centroid_id", "cv", "cc")
+    val probes = prep.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centsDf)) // numQueries × nlist rows — metadata-sized
+      .withColumn("dist",
+        col("cc") - lit(2L) * SimilaritySearch.dotQ(col("q_qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_qv"), col("q_nrm"), col("centroid_id").as("list"))
+    // each vector lives in exactly one list (argmin is unique under the
+    // dist/id tie-break), so probed lists contribute disjoint candidates
+    val cands = assigned
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        (SimilaritySearch.dotQ(col("q_qv"), col("qv")).cast("double") /
+          (col("q_nrm") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** DuckDB oracle for [[detTopK]] — replays seed selection, integer-L2
+    * assignment, probing, and quantized-cosine ranking verbatim.
+    */
+  def detTopKOracleSql(
+      numQueries: Int = SimilaritySearch.NumQueries,
+      k: Int = SimilaritySearch.TopK,
+      nlist: Int = NList,
+      nprobe: Int = NProbe): String = {
+    val dims = SimilaritySearch.Dims
+    def l2Sql(a: String, b: String): String =
+      s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, ${dims + 1})]) AS BIGINT)"
+    s"""WITH ${SimilaritySearch.preparedSql},
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |           AS centroid_id,
+       |         qv AS cv
+       |  FROM prep WHERE nrm > 0
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist
+       |),
+       |assign AS (
+       |  SELECT p.vec_id, p.qv, p.nrm, c.centroid_id AS list
+       |  FROM prep p CROSS JOIN cents c
+       |  WHERE p.nrm > 0
+       |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+       |                             ORDER BY ${l2Sql("p.qv", "c.cv")}, c.centroid_id) = 1
+       |),
+       |probes AS (
+       |  SELECT p.vec_id AS query_id, p.qv AS q_qv, p.nrm AS q_nrm,
+       |         c.centroid_id AS list
+       |  FROM prep p CROSS JOIN cents c
+       |  WHERE p.vec_id < $numQueries AND p.nrm > 0
+       |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+       |                             ORDER BY ${l2Sql("p.qv", "c.cv")}, c.centroid_id)
+       |          <= $nprobe
+       |)
+       |SELECT query_id, b.vec_id AS neighbor_id,
+       |       ${SimilaritySearch.dotSql("q_qv", "b.qv")} / (q_nrm * b.nrm) AS sim
+       |FROM probes q JOIN assign b ON q.list = b.list
+       |WHERE b.vec_id <> query_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
   /** Candidate top-k via IVF probing, fitting in-line (the one-shot path
     * the `simsearch_ivf_build` query uses — the entry name carries `_build`
     * because the k-means fit dominates its time). Deterministic for a

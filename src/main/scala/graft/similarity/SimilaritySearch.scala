@@ -204,13 +204,13 @@ object SimilaritySearch {
 
   // ---- DuckDB oracle generation ----
 
-  private def dotSql(a: String, b: String): String =
+  private[similarity] def dotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${Dims + 1})]) AS BIGINT)"
 
   private def planeDotSql(qv: String, p: Int): String =
     (0 until Dims).map(d => s"$qv[${d + 1}]*(${Signs(p)(d)})").mkString(" + ")
 
-  private def preparedSql: String = {
+  private[similarity] def preparedSql: String = {
     val bucketExpr = (0 until NumPlanes)
       .map(p => s"CASE WHEN (${planeDotSql("qv", p)}) > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")

@@ -62,4 +62,34 @@ class IvfIndexSpec extends SparkSpec {
     // sim-biased, so recall beats the 25% chance floor (measured at sf0.001)
     assert(recall >= 0.3, s"IVF recall@10 fell to $recall")
   }
+
+  test("deterministic IVF: k rows per query, sims exact, recall beats chance") {
+    val brute = SimilaritySearch.topK(emb, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteTop = SimilaritySearch.topK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = IvfIndex.detTopK(emb).collect()
+    assert(det.length === SimilaritySearch.NumQueries * SimilaritySearch.TopK)
+    det.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key), s"candidate $key not in brute-force rank list")
+      assert(brute(key) === r.getDouble(2))
+    }
+    val detSet = det.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteTop intersect detSet).size.toDouble / bruteTop.size
+    assert(recall >= 0.3, s"det-IVF recall@10 fell to $recall")
+    // runs are bit-identical (no RNG anywhere in the deterministic path)
+    val again = IvfIndex.detTopK(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === detSet)
+  }
+
+  test("deterministic IVF: corpus-wide assignment plan has no shuffle before the probe join") {
+    // the argmin is a per-row literal fold — every hash exchange in the
+    // plan partitions on query_id (the metadata-sized probes window and
+    // the final top-k), never on a corpus-wide key: list assignment itself
+    // shuffles nothing
+    val plan = IvfIndex.detTopK(emb).queryExecution.executedPlan.toString
+    val all = "Exchange hashpartitioning\\(\\w+".r.findAllIn(plan).toSeq
+    assert(all.nonEmpty && all.forall(_.endsWith("(query_id")), s"$all\n${plan.take(3000)}")
+  }
 }
