@@ -298,6 +298,25 @@ object SparkEntry {
       RQ.wordCount(
         graft.sources.XmlSource.readPages(s, graft.sources.XmlSource.fixturePath(s, dir)))
         .orderBy("word")),
+    // sample-below-parse XML (exact mode): raw spans split on </page>,
+    // from_xml only after the (here trivially-true) keep filter — must
+    // hash-match the post-parse wordcount
+    "wordcount_xml_presample" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.XmlSource.readPagesPresampled(
+          s, graft.sources.XmlSource.fixturePath(s, dir)))
+        .orderBy("word")),
+    // sample-below-parse XML at 10%: parse CPU scales with the keep ratio,
+    // and the hash-range sample replays in DuckDB → fully oracle-gated
+    "wordcount_xml_presample_u10" -> ((s, dir) =>
+      RQ.wordCount(
+        graft.sources.XmlSource.readPagesPresampled(
+          s, graft.sources.XmlSource.fixturePath(s, dir), Some(10)))
+        .withColumn("est_cnt",
+          col("cnt") * org.apache.spark.sql.functions.lit(
+            graft.sampling.UniverseSampled.scale(10)))
+        .drop("cnt")
+        .orderBy("word")),
     // gzip-compressed text ingestion (non-splittable codec path) — must
     // hash-match wordcount
     "wordcount_text_gz" -> ((s, dir) =>
@@ -659,6 +678,8 @@ object SparkEntry {
     // through the percent-escape → url_decode round trip
     "wordcount_text" -> WordCountSql,
     "wordcount_xml" -> WordCountSql,
+    "wordcount_xml_presample" -> WordCountSql,
+    "wordcount_xml_presample_u10" -> wordCountSampledUSql(10),
     "wordcount_text_gz" -> WordCountSql,
     "wordcount_text_bz2" -> WordCountSql,
     "wordcount_orc" -> WordCountSql,

@@ -55,4 +55,45 @@ object XmlSource {
       .format("xml")
       .load(path)
       .select(col("id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+
+  private val PageSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("id LONG, text STRING")
+
+  /** Raw `<page>…</page>` spans with NO XML parse: the monolithic dump is
+    * read as text split on the closing tag (`lineSep = "</page>"` — the
+    * text source scans for the delimiter per split, so one 100 TB dump
+    * file still reads as parallel splits), and each row is trimmed to its
+    * page fragment. This is the span the reference's sampled RecordReader
+    * skips over before parsing (RandomizedXMLRecordReader.java:117-123).
+    */
+  def readPageSpans(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</page>").text(path)
+      .filter(col("value").contains("<page>"))
+      .select(concat(
+        lit("<page>"), substring_index(col("value"), "<page>", -1), lit("</page>")).as("span"))
+
+  /** SAMPLE-BELOW-PARSE page reader — closes the one accepted deviation
+    * from the reference (SURVEY §7.5): Spark's XML source samples AFTER
+    * parsing, paying full parse CPU for rejected pages; here the sampling
+    * unit id is pulled from the raw span with one cheap regex, the
+    * hash-range keep-predicate ([[graft.sampling.UniverseSampled]])
+    * filters the spans, and `from_xml` parses ONLY survivors — parse CPU
+    * scales with the keep ratio, not the corpus (XmlPresampleSpec pins
+    * from_xml above the keep filter in the optimized plan). `pct = None`
+    * is exact mode: every span parses, and the result must hash-match the
+    * post-parse reader (`wordcount_xml_presample` vs the wordcount
+    * oracle). Unlike the reference's geometric skip this keeps the sample
+    * REPLAYABLE (deterministic id-range), so both modes are oracle-gated.
+    */
+  def readPagesPresampled(
+      spark: SparkSession, path: String, pct: Option[Int] = None): DataFrame = {
+    val spans = readPageSpans(spark, path)
+      .withColumn("doc_id",
+        regexp_extract(col("span"), "<id>([0-9]+)</id>", 1).cast("long"))
+    val kept = pct.fold(spans)(p =>
+      spans.filter(graft.sampling.UniverseSampled.keep(col("doc_id"), p)))
+    kept.select(
+      col("doc_id"),
+      from_xml(col("span"), PageSchema).getField("text").as("text"))
+  }
 }

@@ -31,6 +31,39 @@ class SourcesSinksSpec extends SparkSpec {
     assert(!xml.replaceAll("</?page>|</?id>|</?text>", "").contains("<"))
   }
 
+  test("XML presample (exact mode) equals the post-parse reader row for row") {
+    val path = XmlSource.fixturePath(spark, sf001)
+    val parsed = XmlSource.readPages(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val pre = XmlSource.readPagesPresampled(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(pre === parsed)
+  }
+
+  test("XML presample at 10% equals post-parse reader filtered by the same keep predicate") {
+    val path = XmlSource.fixturePath(spark, sf001)
+    val expected = XmlSource.readPages(spark, path)
+      .filter(graft.sampling.UniverseSampled.keep(col("doc_id"), 10))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val pre = XmlSource.readPagesPresampled(spark, path, Some(10))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(pre.nonEmpty && pre === expected)
+  }
+
+  test("XML presample plan parses BELOW the sample: from_xml sits above the keep filter") {
+    val path = XmlSource.fixturePath(spark, sf001)
+    val plan = XmlSource.readPagesPresampled(spark, path, Some(10))
+      .queryExecution.optimizedPlan.toString
+    val parseAt = plan.indexOf("from_xml")
+    val filterAt = plan.indexOf("Filter")
+    assert(parseAt >= 0 && filterAt >= 0)
+    // toString prints top-down: the from_xml Project must appear ABOVE the
+    // Filter carrying the hash-range keep predicate — i.e. rejected spans
+    // are never parsed, the reference's skip-before-parse semantics
+    assert(parseAt < filterAt, plan.take(2000))
+    assert(plan.substring(filterAt).contains("md5"), plan.take(2000))
+  }
+
   test("text source yields one line per document") {
     val lines = TextLines.readLines(spark, TextLines.fixturePath(spark, sf001))
     assert(lines.count() === Tables.documents(spark, sf001).count())
