@@ -174,6 +174,17 @@ object SparkEntry {
       graft.dedup.DedupRate.rateStats(DedupCorpus.augment(Tables.documents(s, dir)))),
     "dedup_rate_sampled_u10" -> ((s, dir) =>
       graft.dedup.DedupRate.rateStatsSampled(DedupCorpus.augment(Tables.documents(s, dir)))),
+    // cluster-size histogram: the dedup planner's sizing curve
+    "dedup_cluster_hist" -> ((s, dir) =>
+      graft.dedup.DedupRate.clusterSizeHist(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("cluster_size")),
+    // doc-atomic sampled twin: binomial-inversion HT weights (1/p^k for a
+    // fully-surviving size-k cluster) — every inclusion order at once,
+    // integer arithmetic end to end, fully oracle-gated
+    "dedup_cluster_hist_sampled_u10" -> ((s, dir) =>
+      graft.dedup.DedupRate.clusterSizeHistSampledU(
+        DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("cluster_size")),
     // --- LLM-data-pipeline: similarity search over embeddings ---
     "simsearch_topk" -> ((s, dir) =>
       SimilaritySearch.topK(Tables.embeddings(s, dir))
@@ -646,6 +657,9 @@ object SparkEntry {
     "dedup_clusters_bigstar" -> DedupClusters.decisionsOracleSql,
     "dedup_rate" -> graft.dedup.DedupRate.rateStatsOracleSql,
     "dedup_rate_sampled_u10" -> graft.dedup.DedupRate.rateStatsSampledOracleSql(),
+    "dedup_cluster_hist" -> graft.dedup.DedupRate.clusterSizeHistOracleSql,
+    "dedup_cluster_hist_sampled_u10" ->
+      graft.dedup.DedupRate.clusterSizeHistSampledUOracleSql(),
     "dedup_cleaned" -> DedupClusters.cleanedOracleSql,
     "dedup_canonical_quality" -> DedupClusters.canonicalByQualityOracleSql,
     "dedup_cleaned_quality" -> DedupClusters.cleanedByQualityOracleSql,

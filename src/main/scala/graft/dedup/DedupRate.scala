@@ -65,7 +65,76 @@ object DedupRate {
       .withColumn("est_n_dup_docs", col("n_dup_docs") * scale)
   }
 
-  // ---- DuckDB oracle generation ----
+  /** Largest cluster size the sampled-histogram estimator's weight table
+    * covers. Observed sampled sizes can only be ≤ true sizes, and the
+    * exact twin shows the corpus tops out at size 2 (size 8 leaves 4×
+    * headroom); a corpus whose clusters outgrow this would need the table
+    * widened, which ClusterHistSpec checks loudly against the live data.
+    */
+  val MaxHistSize = 8
+
+  /** EXACT cluster-size histogram: how many exact-dup clusters (same
+    * content hash) have exactly k members — the sizing curve a dedup
+    * planner reads before choosing a strategy (mass in k=2 pairs vs deep
+    * mirror families). One hash agg to sizes, one to the histogram.
+    */
+  def clusterSizeHist(corpus: DataFrame): DataFrame =
+    corpus
+      .select(Hashing.hash60(col("text")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+
+  /** SECOND-ORDER-HT sampled twin of [[clusterSizeHist]], sampled DOC-
+    * atomically (unit = doc_id, deliberately NOT the content hash): each
+    * member of a size-k cluster survives independently with p = pct/100,
+    * so the full cluster survives with pᵏ and partial survivals fold a
+    * true size-k cluster into every observed size j ≤ k with binomial
+    * probability C(k,j)pʲqᵏ⁻ʲ. The unbiased estimator is the binomial
+    * INVERSION  N̂ₖ = Σⱼ C(j,k)·(−(m−1))^(j−k)·mᵏ · fⱼ  with m = 1/p
+    * (for j = k this is the 1/pᵏ weight a fully-surviving cluster earns —
+    * the pair case of `dedup_source_overlap_sampled_u10` generalized to
+    * every order). With integer m the weights are exact integers, fⱼ are
+    * counts, and the whole estimate is integer arithmetic → bit-exact
+    * DuckDB replay, fully oracle-gated. Estimates can be negative on a
+    * sparse draw (unbiasedness, not positivity, is the guarantee);
+    * pct = 100 degenerates to the identity weights and reproduces the
+    * exact histogram, which ClusterHistSpec pins.
+    */
+  def clusterSizeHistSampledU(corpus: DataFrame, pct: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(100 % pct == 0, s"pct must divide 100, got $pct")
+    val m = 100L / pct
+    val sampled = corpus.filter(graft.sampling.UniverseSampled.keep(col("doc_id"), pct))
+    val wDf = histWeights(m)
+      .map { case (j, k, w) => (j.toLong, k.toLong, w) }
+      .toDF("j", "cluster_size", "w")
+    clusterSizeHist(sampled)
+      .select(col("cluster_size").as("j"), col("n_clusters").as("f"))
+      .join(broadcast(wDf), Seq("j"))
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("w") * col("f")).cast("long").as("est_n_clusters"))
+      .filter(col("est_n_clusters") =!= 0L)
+  }
+
+  /** Integer inversion weights (j, k, C(j,k)·(−(m−1))^(j−k)·mᵏ) for
+    * 1 ≤ k ≤ j ≤ [[MaxHistSize]]. (−0)⁰ = 1 makes m = 1 the identity.
+    */
+  private[dedup] def histWeights(m: Long): Seq[(Int, Int, Long)] = {
+    def choose(n: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((acc, i) => acc * (n - r + i) / i)
+    for {
+      j <- 1 to MaxHistSize
+      k <- 1 to j
+    } yield {
+      val sign = if ((j - k) % 2 == 0) 1L else -1L
+      val mag = (1 to (j - k)).foldLeft(1L)((acc, _) => acc * (m - 1))
+      val mk = (1 to k).foldLeft(1L)((acc, _) => acc * m)
+      (j, k, choose(j, k) * sign * mag * mk)
+    }
+  }
 
   private def statsSql(from: String): String =
     s"""SELECT CAST(sum(c) AS BIGINT) AS n_docs,
@@ -78,6 +147,37 @@ object DedupRate {
     s"""WITH corpus AS (${DedupCorpus.augmentSql}),
        |h AS (SELECT ${Hashing.hash60Sql("text")} AS h FROM corpus)
        |${statsSql("h")}""".stripMargin
+
+  /** Oracle SQL for [[clusterSizeHist]] over the augmented corpus. */
+  def clusterSizeHistOracleSql: String =
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |cl AS (SELECT ${Hashing.hash60Sql("text")} AS h, count(*) AS cluster_size
+       |       FROM corpus GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
+  /** Oracle SQL for [[clusterSizeHistSampledU]]: identical keep-predicate,
+    * observed histogram, and integer inversion weights.
+    */
+  def clusterSizeHistSampledUOracleSql(pct: Int = 10): String = {
+    val m = 100L / pct
+    val rows = histWeights(m)
+      .map { case (j, k, w) => s"($j, $k, ${w}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |s AS (SELECT * FROM corpus
+       |      WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}),
+       |cl AS (SELECT ${Hashing.hash60Sql("text")} AS h, count(*) AS j
+       |       FROM s GROUP BY 1),
+       |f AS (SELECT j, count(*) AS f FROM cl GROUP BY j),
+       |w AS (SELECT * FROM (VALUES $rows) AS t(j, cluster_size, w))
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(sum(w.w * f.f) AS BIGINT) AS est_n_clusters
+       |FROM f JOIN w ON f.j = w.j
+       |GROUP BY cluster_size
+       |HAVING CAST(sum(w.w * f.f) AS BIGINT) <> 0
+       |ORDER BY cluster_size""".stripMargin
+  }
 
   def rateStatsSampledOracleSql(pct: Int = 10): String =
     s"""WITH corpus AS (${DedupCorpus.augmentSql}),
