@@ -411,6 +411,21 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")),
     // skew-safe two-stage aggregation, on integer cents so the two-stage
     // sum is order-independent and engine-exact
+    // BATCH REPLAY of the streaming universe-sampled windowed counts: the
+    // exact frame StreamingSampled.windowedCountsUniverse builds (same
+    // function — the watermark is a no-op on a batch frame), so the
+    // streaming sampler's HT math gets an oracle-gated CORRECTNESS row;
+    // StreamingSampledSpec separately pins the triggered run row-identical
+    // to this batch twin. win_start carried as epoch micros (the
+    // operators' integer-time convention).
+    "events_windowed_u10" -> ((s, dir) =>
+      graft.streaming.StreamingSampled.windowedCountsUniverse(
+        Tables.events(s, dir), "ts", "event_type", col("event_id"), 10,
+        "1 hour", "1 hour")
+        .select(
+          org.apache.spark.sql.functions.unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("cnt"), col("est_cnt"))
+        .orderBy("win_start_us", "event_type")),
     "events_salted_sum" -> ((s, dir) =>
       graft.operators.SaltedAggregate.sumCount(
         Tables.events(s, dir)
@@ -749,6 +764,15 @@ object SparkEntry {
           s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS $t")
           .mkString(", ") +
         """ FROM events GROUP BY 1 ORDER BY 1"""),
+    "events_windowed_u10" -> {
+      val winUs = 3600000000L // 1 hour, matching the declared windowDur
+      s"""SELECT CAST((epoch_us(ts) // $winUs) * $winUs AS BIGINT) AS win_start_us,
+         |       event_type, count(*) AS cnt,
+         |       count(*) * ${graft.sampling.UniverseSampled.scaleSql(10)} AS est_cnt
+         |FROM events
+         |WHERE ${graft.sampling.UniverseSampled.keepSql("event_id", 10)}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "events_sessions" -> graft.operators.Sessionize.sessionsOracleSql(),
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
