@@ -409,6 +409,45 @@ object SparkEntry {
       graft.queries.TpchQueries.q5Regional(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir)).orderBy("n_name")),
+    // nation-pair bilateral volume — broadcast-dim pair filter, OR'd on
+    // two broadcast-joined name columns
+    "tpch_q7" -> ((s, dir) =>
+      graft.queries.TpchQueries.q7(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
+    // national market share — one-pass conditional/total ratio through a
+    // 7-table broadcast-dim tree + region semi-join
+    "tpch_q8" -> ((s, dir) =>
+      graft.queries.TpchQueries.q8(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    // product-type profit by nation × year (partsupp-less Q9 shape)
+    "tpch_q9" -> ((s, dir) =>
+      graft.queries.TpchQueries.q9(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.nation(s, dir))),
+    // top supplier: groupBy + one-row broadcast max join-back, ties kept
+    "tpch_q15" -> ((s, dir) =>
+      graft.queries.TpchQueries.q15(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // distinct-supplier count per (brand, type) — two-level distinct agg
+    "tpch_q16" -> ((s, dir) =>
+      graft.queries.TpchQueries.q16(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // decorrelated per-part-average threshold, integer comparison
+    "tpch_q17" -> ((s, dir) =>
+      graft.queries.TpchQueries.q17(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // disjunctive brand/size/quantity bundles over the part join
+    "tpch_q19" -> ((s, dir) =>
+      graft.queries.TpchQueries.q19(
+        Tables.part(s, dir), Tables.lineitem(s, dir))),
+    // above-average-balance never-ordered customers — anti join + one-row
+    // broadcast threshold in integer cents
+    "tpch_q22" -> ((s, dir) =>
+      graft.queries.TpchQueries.q22(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
     // skew-safe two-stage aggregation, on integer cents so the two-stage
     // sum is order-independent and engine-exact
     // BATCH REPLAY of the streaming universe-sampled windowed counts: the
@@ -735,6 +774,14 @@ object SparkEntry {
     "tpch_q14" -> graft.queries.TpchQueries.Q14OracleSql,
     "tpch_q18" -> graft.queries.TpchQueries.Q18OracleSql,
     "tpch_q4_late" -> graft.queries.TpchQueries.Q4LateOracleSql,
+    "tpch_q7" -> graft.queries.TpchQueries.Q7OracleSql,
+    "tpch_q8" -> graft.queries.TpchQueries.Q8OracleSql,
+    "tpch_q9" -> graft.queries.TpchQueries.Q9OracleSql,
+    "tpch_q15" -> graft.queries.TpchQueries.Q15OracleSql,
+    "tpch_q16" -> graft.queries.TpchQueries.Q16OracleSql,
+    "tpch_q17" -> graft.queries.TpchQueries.Q17OracleSql,
+    "tpch_q19" -> graft.queries.TpchQueries.Q19OracleSql,
+    "tpch_q22" -> graft.queries.TpchQueries.Q22OracleSql,
     "events_salted_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

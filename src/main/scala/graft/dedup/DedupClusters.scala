@@ -221,12 +221,20 @@ object DedupClusters {
     * content_hash); the join back to the corpus is on doc_id (the shuffle
     * carries ids + digests, never text).
     */
-  def cleaned(corpus: DataFrame): DataFrame = {
-    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+  def cleaned(corpus: DataFrame): DataFrame =
+    cleanedWithPairs(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
+
+  /** [[cleaned]] with an injected pair graph — the decision layer is
+    * pair-source-agnostic (MinHash, SimHash, embedding or synthetic edges
+    * all yield (doc_a, doc_b)), and the scale probe uses this seam to
+    * drive the CC edge shuffle with a power-law component (one mega-star
+    * holding ~10 % of docs) that the MinHash path's bucket cap
+    * (NumBands × MaxBucket ⇒ degree ≤ 512) deliberately never produces.
+    */
+  def cleanedWithPairs(corpus: DataFrame, pairs: DataFrame): DataFrame =
     corpus
       .join(decisions(corpus, pairs).filter(col("keep")), Seq("doc_id"))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-  }
 
   /** QUALITY-AWARE canonical selection: keep the HIGHEST-quality member of
     * each near-dup cluster (ties broken by smallest doc_id) instead of
@@ -250,8 +258,14 @@ object DedupClusters {
     * double-keyed self-join. Output: cluster_rep, canonical_id, quality,
     * n_members.
     */
-  def canonicalByQuality(corpus: DataFrame): DataFrame = {
-    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+  def canonicalByQuality(corpus: DataFrame): DataFrame =
+    canonicalByQualityWithPairs(
+      corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
+
+  /** [[canonicalByQuality]] with an injected pair graph (see
+    * [[cleanedWithPairs]] for why the seam exists).
+    */
+  def canonicalByQualityWithPairs(corpus: DataFrame, pairs: DataFrame): DataFrame = {
     val quality = graft.text.TextAnalysis.qualityScore(corpus)
       .select(col("doc_id"), col("quality"))
     components(corpus, pairs)

@@ -509,4 +509,398 @@ object TpchQueries {
        |    WHERE l_orderkey = o.o_orderkey
        |      AND l_shipdate > o.o_orderdate + INTERVAL $Q4LateDays DAY)
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ---- r13 additions: the remaining classic TPC-H join/agg shapes this
+  // corpus can express (no partsupp / commitdate / receiptdate / container
+  // / phone columns exist — each scaladoc names its adaptation). Same
+  // integer-cents discipline throughout.
+
+  val Q7Nation1 = "NATION_1"
+  val Q7Nation2 = "NATION_2"
+  val Q7Start = "1996-01-01"
+  val Q7End = "1998-01-01"
+
+  /** TPC-H Q7 (volume shipping): revenue flowing between a NATION PAIR in
+    * either direction, by supplier nation × customer nation × ship year.
+    * Scale shape: the two nation dimensions broadcast (names attached to
+    * supplier/customer BEFORE the fact joins, so the pair filter prunes
+    * both dimension sides early); lineitem shuffles once per fact join
+    * (orderkey, then custkey via orders), supplier broadcasts. The OR'd
+    * pair predicate runs on two broadcast-joined name columns — no
+    * re-shuffle. Ship-year via `year()` cast long so both engines emit the
+    * same column type.
+    */
+  def q7(
+      supplier: DataFrame,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val pair = Seq(Q7Nation1, Q7Nation2)
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(Q7Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q7End).cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === Q7Nation1 && col("cust_nation") === Q7Nation2) ||
+          (col("supp_nation") === Q7Nation2 && col("cust_nation") === Q7Nation1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(priceC * (lit(100L) - discP)).as("volume_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val Q7OracleSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS volume_e4
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '$Q7Start 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '$Q7End 00:00:00'
+       |  AND ((n1.n_name = '$Q7Nation1' AND n2.n_name = '$Q7Nation2')
+       |    OR (n1.n_name = '$Q7Nation2' AND n2.n_name = '$Q7Nation1'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  val Q8Region = "ASIA"
+  val Q8Nation = "NATION_7"
+  val Q8Type = "PROMO"
+
+  /** TPC-H Q8 (national market share): [[Q8Nation]]'s share of [[Q8Type]]
+    * revenue sold into [[Q8Region]], by order year. Scale shape: part and
+    * the nation/region chain broadcast; ONE aggregate computes both the
+    * conditional (nation) and total sums per year in a single pass — the
+    * [[q14]] ratio discipline, so the share division is over identical
+    * longs and bit-identical cross-engine. The supplier-nation name rides
+    * the broadcast supplier dim; no second scan for the denominator.
+    */
+  def q8(
+      part: DataFrame,
+      supplier: DataFrame,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val vol = priceC * (lit(100L) - discP)
+    val custInRegion = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNamed = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === Q8Type).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNamed), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, vol).otherwise(lit(0L)))
+          .as("nation_volume_e4"),
+        sum(vol).as("total_volume_e4"))
+      .select(
+        col("o_year"), col("nation_volume_e4"), col("total_volume_e4"),
+        (col("nation_volume_e4").cast("double") /
+          col("total_volume_e4").cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val Q8OracleSql: String =
+    s"""WITH agg AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    CAST(sum(CASE WHEN n1.n_name = '$Q8Nation'
+       |             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+       |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+       |             ELSE 0 END) AS BIGINT) AS nation_volume_e4,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS total_volume_e4
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE p_type = '$Q8Type'
+       |    AND EXISTS (
+       |      SELECT 1 FROM customer
+       |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      JOIN region ON n2.n_regionkey = r_regionkey
+       |      WHERE c_custkey = o_custkey AND r_name = '$Q8Region')
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, nation_volume_e4, total_volume_e4,
+       |       CAST(nation_volume_e4 AS DOUBLE) / CAST(total_volume_e4 AS DOUBLE)
+       |         AS mkt_share
+       |FROM agg ORDER BY o_year""".stripMargin
+
+  val Q9NamePattern = "widget"
+
+  /** TPC-H Q9-shaped (product-type profit): revenue from parts whose name
+    * contains [[Q9NamePattern]], by supplier nation × order year. (True
+    * Q9 subtracts ps_supplycost·qty; this corpus has no partsupp, so the
+    * measure is discounted revenue — the join tree and grouping are Q9's.)
+    * Scale shape: the name-filtered part set and supplier+nation broadcast;
+    * lineitem shuffles only for the orders join (year comes from
+    * o_orderdate). `contains`, not a regex — pushes as a parquet scan
+    * filter.
+    */
+  def q9(
+      part: DataFrame,
+      supplier: DataFrame,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val suppNamed = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(Q9NamePattern))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNamed), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(priceC * (lit(100L) - discP)).as("profit_e4"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val Q9OracleSql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS profit_e4
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%$Q9NamePattern%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  val Q15Start = "1996-01-01"
+  val Q15End = "1996-04-01"
+
+  /** TPC-H Q15 (top supplier): suppliers whose quarterly revenue equals
+    * the global maximum (ties all surface, suppkey-ordered — TPC-H's own
+    * determinism rule). Scale shape: ONE partial-aggregated groupBy over
+    * the filtered fact builds the per-supplier revenue; the global max is
+    * a one-row broadcast joined back (no second scan — the revenue frame
+    * is localCheckpoint-free since Spark reuses the exchange for both
+    * consumers when canonically equal; here the max side is an aggregate
+    * over the SAME exchange output). Supplier names attach by broadcast
+    * at the end, only to the max-revenue survivors.
+    */
+  def q15(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(Q15Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q15End).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(priceC * (lit(100L) - discP)).as("total_revenue_e4"))
+    val top = rev.agg(max(col("total_revenue_e4")).as("max_revenue_e4"))
+    rev
+      .join(broadcast(top), col("total_revenue_e4") === col("max_revenue_e4"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val Q15OracleSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+       |      AS total_revenue_e4
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q15Start 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '$Q15End 00:00:00'
+       |  GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, total_revenue_e4
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  val Q16ExcludedBrand = "Brand#5"
+
+  /** TPC-H Q16-shaped (parts/supplier relationship): how many DISTINCT
+    * suppliers ship each (brand, type), excluding [[Q16ExcludedBrand]].
+    * (True Q16 reads partsupp, absent here — the lineitem fact is the
+    * observed part↔supplier relation, and p_size buckets are dropped to
+    * keep output bounded.) Scale shape: the expensive step is
+    * count(DISTINCT l_suppkey), which Spark plans as a two-level aggregate
+    * — dedup on (brand, type, suppkey) partially map-side, then count —
+    * so the shuffle carries the distinct triple set, never raw lineitems.
+    * Part broadcasts; the brand exclusion prunes at the broadcast build.
+    */
+  def q16(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part.filter(col("p_brand") =!= Q16ExcludedBrand)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+
+  val Q16OracleSql: String =
+    s"""SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> '$Q16ExcludedBrand'
+       |GROUP BY 1, 2
+       |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  val Q17Brand = "Brand#3"
+  val Q17Type = "SMALL"
+
+  /** TPC-H Q17-shaped (small-quantity-order revenue): revenue from
+    * lineitems of [[Q17Brand]]/[[Q17Type]] parts whose quantity is below
+    * 20 % of that part's average quantity. (p_container doesn't exist;
+    * p_type stands in.) The correlated scalar subquery decorrelates into
+    * a per-part aggregate joined back — and the threshold comparison is
+    * INTEGER (5·qty·cnt < Σqty ⟺ qty < 0.2·avg), so no cross-engine
+    * double-division drift can flip a boundary row. Scale shape: the
+    * filtered part set broadcasts to BOTH the aggregate build and the
+    * probe; the per-part aggregate is partial map-side and its join back
+    * is part-keyed (tiny vs the fact).
+    */
+  def q17(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val qty = round(col("l_quantity")).cast("long")
+    val parts = broadcast(
+      part.filter(col("p_brand") === Q17Brand && col("p_type") === Q17Type)
+        .select(col("p_partkey")))
+    val li = lineitem.join(parts, col("l_partkey") === col("p_partkey"))
+    val perPart = li
+      .groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    li
+      .join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(qty * lit(5L) * col("cnt_qty") < col("sum_qty"))
+      .agg(
+        sum(priceC).as("total_price_c"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("total_price_c"), lit(0L)).as("total_price_c"),
+        col("n_lines"))
+  }
+
+  val Q17OracleSql: String =
+    s"""WITH pp AS (SELECT p_partkey FROM part
+       |            WHERE p_brand = '$Q17Brand' AND p_type = '$Q17Type'),
+       |li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+       |              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+       |       FROM lineitem JOIN pp ON l_partkey = p_partkey),
+       |agg AS (SELECT l_partkey AS agg_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+       |               count(*) AS cnt_qty
+       |        FROM li GROUP BY 1)
+       |SELECT coalesce(CAST(sum(price_c) AS BIGINT), 0) AS total_price_c,
+       |       count(*) AS n_lines
+       |FROM li JOIN agg ON l_partkey = agg_partkey
+       |WHERE qty * 5 * cnt_qty < sum_qty""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): three OR'd
+    * brand/size/quantity bundles over the lineitem⋈part join. The classic
+    * optimizer test: the equi key (partkey) must still drive the join with
+    * the disjunction as a post-join filter — and the common sub-predicates
+    * (size ≥ 1, quantity bounds) push to the scans. Part broadcasts.
+    */
+  def q19(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val qty = col("l_quantity")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        qty >= 1 && qty <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          qty >= 10 && qty <= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          qty >= 20 && qty <= 30)
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey") && cond)
+      .agg(sum(priceC * (lit(100L) - discP)).as("revenue_e4"))
+      .select(coalesce(col("revenue_e4"), lit(0L)).as("revenue_e4"))
+  }
+
+  val Q19OracleSql: String =
+    s"""SELECT coalesce(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT), 0)
+       |         AS revenue_e4
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22-shaped (global sales opportunity): well-funded customers
+    * who never ordered, bucketed by country code. (No phone column — the
+    * code is `c_nationkey % 10`.) The above-average-balance threshold is
+    * evaluated in INTEGER cents (bal·n > Σbal ⟺ bal > avg) against a
+    * one-row broadcast, so no double-average drift; the "never ordered"
+    * test is a LEFT ANTI join — o_custkey is the only orders column
+    * shuffled. Scale shape: customer shuffles once (anti join on custkey);
+    * the threshold aggregate is a scan-local one-row reduce.
+    */
+  def q22(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val balC = round(col("c_acctbal") * 100).cast("long")
+    val thr = customer
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(balC).as("sum_bal_c"), count(lit(1)).as("n_bal"))
+    customer
+      .crossJoin(broadcast(thr))
+      .filter(balC * col("n_bal") > col("sum_bal_c"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(balC).as("totacctbal_c"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val Q22OracleSql: String =
+    s"""WITH thr AS (
+       |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       |           AS sum_bal_c,
+       |         count(*) AS n_bal
+       |  FROM customer WHERE c_acctbal > 0
+       |)
+       |SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       |         AS totacctbal_c
+       |FROM customer, thr
+       |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_bal > sum_bal_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

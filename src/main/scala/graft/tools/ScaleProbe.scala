@@ -92,6 +92,38 @@ object ScaleProbe {
     * [[EmbeddingDims]] dims so every copy gets a distinct rotation (at
     * k > dims the wrap silently re-collides copies, a fixture artifact).
     */
+  /** Power-law pair graph over an exploded corpus (VERDICT r12 §next 4):
+    * every probe fixture so far replicates dup structure EVENLY per copy,
+    * so the CC families never see a skewed label — this builds the shape
+    * that first hurts them: ONE mega-star component holding ~10 % of ALL
+    * docs across every copy (hub = doc 0; membership doc_id % 10 = 0,
+    * which every shifted copy satisfies, so the cluster grows k× while
+    * background structure stays per-copy). Remaining docs get small
+    * 2-clusters (doc_id % 10 = 1 paired with its successor) so the rest
+    * of the graph is non-trivial. Injected at the decision layer
+    * deliberately: the MinHash candidate path's bucket cap bounds degree
+    * at NumBands × MaxBucket = 512 BY DESIGN, so a text fixture cannot
+    * produce this skew — the probe drives the CC edge shuffle directly
+    * with the worst case the cap no longer protects against (e.g. pairs
+    * from an exact-hash or embedding source with no cap).
+    *
+    * Skew landing spots this exercises, per [[graft.dedup.DedupClusters]]:
+    * min-label propagation joins edges on dst (dst = hub carries 10 % of
+    * all edges — one hot join partition, AQE's skew split territory) and
+    * the canonical-selection groupBy(rep) sees one label holding 10 % of
+    * rows (map-side argmax combine keeps the shuffle narrow).
+    */
+  def powerLawPairs(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val megaSpokes = ids
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") =!= 0)
+      .select(lit(0L).as("doc_a"), col("doc_id").as("doc_b"))
+    val smallPairs = ids
+      .filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    megaSpokes.unionAll(smallPairs)
+  }
+
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     require(k <= EmbeddingDims,
       s"explodeEmbeddings: k=$k exceeds the $EmbeddingDims-dim fixture — " +
@@ -214,7 +246,22 @@ object ScaleProbe {
       // chain sees k× docs with k×-replicated dup structure
       "docs_training_shard_neardup" -> (k =>
         graft.text.TrainingShard.manifestNearDup(
-          explodeDocs(docsS0, k, carry = Seq("source")))))
+          explodeDocs(docsS0, k, carry = Seq("source")))),
+      // the r12-mandated power-law CC probes (VERDICT r12 §next 4): the
+      // same decision-layer pipelines driven by [[powerLawPairs]]' mega-star
+      // graph instead of the evenly-replicated MinHash structure — the
+      // skewed-label worst case the bucket-capped candidate path cannot
+      // produce. Note explodeDocs' per-copy text suffixing is irrelevant
+      // to the pair graph here (pairs are id-keyed), but keeps the
+      // corpus-side work (md5 digests, quality projection) honest.
+      "dedup_cleaned_powerlaw" -> (k => {
+        val d = explodeDocs(docs0, k)
+        DedupClusters.cleanedWithPairs(d, powerLawPairs(d))
+      }),
+      "dedup_canonical_quality_powerlaw" -> (k => {
+        val d = explodeDocs(docs0, k)
+        DedupClusters.canonicalByQualityWithPairs(d, powerLawPairs(d))
+      }))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
