@@ -515,8 +515,8 @@ object TpchQueries {
   // / phone columns exist — each scaladoc names its adaptation). Same
   // integer-cents discipline throughout.
 
-  val Q7Nation1 = "NATION_1"
-  val Q7Nation2 = "NATION_2"
+  val Q7Nation1 = "NATION_12"
+  val Q7Nation2 = "NATION_15"
   val Q7Start = "1996-01-01"
   val Q7End = "1998-01-01"
 
@@ -865,14 +865,19 @@ object TpchQueries {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  val Q22Lapsed = "2000-01-01"
+
   /** TPC-H Q22-shaped (global sales opportunity): well-funded customers
-    * who never ordered, bucketed by country code. (No phone column — the
+    * with no RECENT order (none since [[Q22Lapsed]] — literal Q22's
+    * "never ordered" is hollow on this corpus, where every customer
+    * orders ~10 times), bucketed by country code. (No phone column — the
     * code is `c_nationkey % 10`.) The above-average-balance threshold is
     * evaluated in INTEGER cents (bal·n > Σbal ⟺ bal > avg) against a
-    * one-row broadcast, so no double-average drift; the "never ordered"
-    * test is a LEFT ANTI join — o_custkey is the only orders column
-    * shuffled. Scale shape: customer shuffles once (anti join on custkey);
-    * the threshold aggregate is a scan-local one-row reduce.
+    * one-row broadcast, so no double-average drift; the lapsed test is a
+    * LEFT ANTI join whose date filter pushes to the orders scan, so only
+    * recent o_custkeys shuffle. Scale shape: customer shuffles once (anti
+    * join on custkey); the threshold aggregate is a scan-local one-row
+    * reduce.
     */
   def q22(customer: DataFrame, orders: DataFrame): DataFrame = {
     val balC = round(col("c_acctbal") * 100).cast("long")
@@ -882,7 +887,10 @@ object TpchQueries {
     customer
       .crossJoin(broadcast(thr))
       .filter(balC * col("n_bal") > col("sum_bal_c"))
-      .join(orders.select(col("o_custkey")),
+      .join(
+        orders
+          .filter(col("o_orderdate") >= lit(Q22Lapsed).cast("timestamp"))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy((col("c_nationkey") % 10).as("cntrycode"))
       .agg(count(lit(1)).as("numcust"), sum(balC).as("totacctbal_c"))
@@ -901,6 +909,7 @@ object TpchQueries {
        |         AS totacctbal_c
        |FROM customer, thr
        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_bal > sum_bal_c
-       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderdate >= TIMESTAMP '$Q22Lapsed 00:00:00')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 }
