@@ -511,6 +511,12 @@ object SparkEntry {
     "events_value_tier" -> ((s, dir) =>
       graft.operators.RangeJoin.eventsByTier(s, Tables.events(s, dir))
         .orderBy("tier")),
+    // Morton-grid density histogram over (l_partkey, l_suppkey) — the
+    // oracle-gated arithmetic core of the z-order layout operator
+    // (ZOrder.layoutByZ; per-file span shrinkage pinned by ZOrderSpec)
+    "lineitem_zorder_hist" -> ((s, dir) =>
+      graft.operators.ZOrder.zHistogram(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey")),
     // --- corpus curation: benchmark decontamination + token-budget mix ---
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
@@ -824,6 +830,8 @@ object SparkEntry {
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,
+    "lineitem_zorder_hist" ->
+      graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
