@@ -43,6 +43,13 @@ object SparkEntry {
     "log_pagesize" -> ((s, dir) => RQ.clfPagesize(RQ.clfParsed(Tables.events(s, dir))).orderBy("page")),
     "log_page" -> ((s, dir) => RQ.clfPage(RQ.clfParsed(Tables.events(s, dir))).orderBy("page")),
     "wireless_links" -> ((s, dir) => RQ.wirelessLinks(Tables.events(s, dir)).orderBy("link")),
+    // --- graph analytics over the P10 link graph: integer fixed-point
+    // --- PageRank (bit-exact across engines — no floating point anywhere)
+    // --- and the degree-distribution profile ---
+    "graph_pagerank" -> ((s, dir) =>
+      graft.graphs.PageRank.ranks(Tables.events(s, dir)).orderBy("node")),
+    "graph_degree_hist" -> ((s, dir) =>
+      graft.graphs.PageRank.degreeHistogram(Tables.events(s, dir)).orderBy("degree")),
     // --- approximate mode (seeded sample + HT scale-up; no SQL oracle:
     // --- an external engine can't reproduce Spark's RNG stream) ---
     "wordcount_sampled_r10" -> ((s, dir) =>
@@ -521,6 +528,14 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // deterministic global training-order shuffle (range-partitioned
+    // two-level rank — no single-task sort/window) + its shard manifest
+    "docs_global_shuffle" -> ((s, dir) =>
+      graft.text.GlobalShuffle.positions(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_shuffle_manifest" -> ((s, dir) =>
+      graft.text.GlobalShuffle.shardManifest(Tables.documents(s, dir))
+        .orderBy("shard")),
     "docs_token_budget" -> ((s, dir) =>
       graft.sampling.TokenBudget.select(Tables.documents(s, dir))
         .orderBy("doc_id")),
@@ -701,6 +716,8 @@ object SparkEntry {
       """SELECT concat(greatest(user_id, k), '->', least(user_id, k)) AS link, count(*) AS cnt
         |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
+    "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
     "dedup_exact" ->
       s"""WITH corpus AS (${DedupCorpus.augmentSql})
          |SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_cnt
@@ -834,6 +851,8 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
+    "docs_shuffle_manifest" -> graft.text.GlobalShuffle.shardManifestOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
     "docs_pack_fill" -> graft.text.SequencePacking.packFillHistogramOracleSql(),

@@ -1,0 +1,156 @@
+package graft.graphs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over the wireless link graph (the reference's P10 link pairs,
+  * `RandomizedWirelessLogAnalysis.java:31-40`, promoted from pair counting
+  * to whole-graph analytics) — the "which hosts matter" question a link
+  * dataset exists to answer (Page et al., "The PageRank Citation Ranking",
+  * 1999).
+  *
+  * INTEGER FIXED-POINT power iteration: ranks are longs in units of
+  * 1e-9 (SCALE), damping 0.85 applied as `(85 * x) div 100`, per-edge
+  * shares as `rank div outdeg` — every operation is exact 64-bit integer
+  * arithmetic, so a fixed iteration count K produces bit-identical ranks
+  * in Spark and the DuckDB oracle (a floating-point formulation could
+  * not be hash-gated: per-node sums of doubles are association-order-
+  * dependent, and the two engines order them differently). Overflow
+  * headroom: total rank mass ≈ N·SCALE, so the damped in-sum is bounded
+  * by 85·N·SCALE — with SCALE=1e9 that stays inside a signed long up to
+  * N = 1e8 nodes (asserted per run via the outdeg count, which the plan
+  * computes anyway); beyond that, swap the sum to decimal(38,0) — the
+  * iteration shape is unchanged.
+  *
+  * Scale design (100 TB): each iteration is one shuffle-join of the rank
+  * vector (2 longs/node) against the edge list on `src`, then a partial-
+  * aggregating groupBy on `dst` — the standard Pregel-on-dataframes step.
+  * Edges are distinct-ed and persisted ONCE (they are iteration-invariant);
+  * ranks are `localCheckpoint`ed per round so round k's plan does not nest
+  * rounds 1..k-1 (the [[graft.dedup.DedupClusters]] lineage discipline).
+  * The rank vector is tiny relative to the corpus (nodes, not documents),
+  * so at 1000 executors the per-round cost is dominated by the edge-list
+  * shuffle, which AQE can skew-split if one hub node holds a large
+  * in-neighborhood.
+  *
+  * Graph: undirected sender↔receiver links doubled into both directed
+  * edges, so every node has outdeg ≥ 1 (no dangling-mass term needed —
+  * the variant choice is documented and replayed identically in the
+  * oracle). Parallel edges collapse via `distinct` (simple-graph
+  * PageRank); self-loops are kept as-is.
+  */
+object PageRank {
+
+  /** Rank unit: 1.0 of mass = 1e9. */
+  val Scale: Long = 1000000000L
+
+  /** (1 − damping) · Scale with damping = 0.85. */
+  val BaseMass: Long = 150000000L
+
+  /** Fixed iteration count — part of the operator's contract (the oracle
+    * unrolls exactly this many steps). Five damped iterations contract the
+    * rank vector to ~0.85⁵ ≈ 44 % residual, enough to rank hubs; a caller
+    * tuning for convergence raises K, and the oracle SQL generator follows.
+    */
+  val Iterations = 5
+
+  private val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+
+  /** Directed edge list (src, dst): both directions of every distinct
+    * sender↔receiver link in `events` (user_id, props.k).
+    */
+  def edges(events: DataFrame): DataFrame = {
+    val pairs = graft.queries.Tables.parallelismFloor(events)
+      .withColumn("__p", from_json(col("props"), propsSchema))
+      .filter(col("__p").getField("k").isNotNull)
+      .select(col("user_id").as("a"), col("__p").getField("k").as("b"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** (node, rank_q) after [[Iterations]] integer power-iteration steps;
+    * rank_q is the PageRank mass in [[Scale]] units (node count × Scale
+    * total). Deterministic — no RNG, no floating point.
+    */
+  def ranks(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val e = edges(events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one small job up front: materializes the persisted edge list AND
+    // checks the long-overflow headroom contract (see scaladoc)
+    val n = outdeg.count()
+    require(n <= 100000000L,
+      s"PageRank: $n nodes exceeds the long fixed-point headroom (1e8); " +
+        "switch the in-sum to decimal(38,0)")
+    var ranks = outdeg.select(col("src").as("node"), lit(Scale).as("rank_q"))
+      .localCheckpoint()
+    for (_ <- 1 to Iterations) {
+      val shares = ranks
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("node").as("src"), expr("rank_q div outdeg").as("share"))
+      ranks = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(BaseMass) + expr("(85 * sum(share)) div 100")).as("rank_q"))
+        .localCheckpoint(false)
+    }
+    // materialize the final lazy checkpoint before releasing the edges
+    ranks.count()
+    e.unpersist()
+    ranks
+  }
+
+  /** DuckDB oracle: the identical integer iteration unrolled as
+    * [[Iterations]] chained CTEs (`//` is DuckDB's integer division —
+    * floor-exact on the all-positive operands here, matching Spark `div`).
+    */
+  def ranksOracleSql(iterations: Int = Iterations): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST($BaseMass + (85 * sum(r.rank_q // o.outdeg)) // 100 AS BIGINT) AS rank_q
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
+       |  FROM events
+       |), pairs AS (SELECT a, b FROM base WHERE b IS NOT NULL),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM pairs
+       |),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS rank_q FROM outdeg),
+       |$steps
+       |SELECT node, rank_q FROM r$iterations ORDER BY node""".stripMargin
+  }
+
+  /** Degree distribution of the link graph: how many nodes have each
+    * (undirected) degree — the first sanity profile run on any new graph
+    * corpus, and a pure two-level aggregation (degree per node map-side
+    * combines, then a tiny histogram shuffle).
+    */
+  def degreeHistogram(events: DataFrame): DataFrame =
+    edges(events)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("nodes"))
+
+  def degreeHistogramOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
+       |  FROM events
+       |), pairs AS (SELECT a, b FROM base WHERE b IS NOT NULL),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM pairs
+       |),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+       |SELECT degree, count(*) AS nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+}
