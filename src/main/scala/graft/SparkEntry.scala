@@ -528,6 +528,14 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // DSIR-style importance scoring + deterministic resample toward the
+    // target-language hashed-ngram distribution (Xie et al. 2023)
+    "docs_importance_scores" -> ((s, dir) =>
+      graft.sampling.ImportanceResample.scores(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_importance_resampled" -> ((s, dir) =>
+      graft.sampling.ImportanceResample.resample(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // deterministic global training-order shuffle (range-partitioned
     // two-level rank — no single-task sort/window) + its shard manifest
     "docs_global_shuffle" -> ((s, dir) =>
@@ -851,6 +859,8 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_importance_scores" -> graft.sampling.ImportanceResample.scoresOracleSql,
+    "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
     "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
     "docs_shuffle_manifest" -> graft.text.GlobalShuffle.shardManifestOracleSql(),
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
