@@ -136,6 +136,12 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")),
+    // incremental ingest: delta batch probed against the SAVED base-corpus
+    // signature index (no base re-shingling in the query path)
+    "dedup_incremental" -> ((s, dir) =>
+      graft.dedup.IncrementalDedup.matches(s, dir).orderBy("doc_id")),
+    "dedup_incremental_novel" -> ((s, dir) =>
+      graft.dedup.IncrementalDedup.novel(s, dir).orderBy("doc_id")),
     "dedup_clusters" -> ((s, dir) => {
       val corpus = DedupCorpus.augment(Tables.documents(s, dir))
       DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
@@ -735,6 +741,8 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
+    "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
+    "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
     // same exact-reachability oracle: both CC strategies converge to the
     // same min-id representatives, so the bigstar path is gated by the

@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta-vs-index) near-duplicate detection: check a NEW batch
+  * of documents against the MinHash signature index of an already-ingested
+  * corpus — the shape a continuously-crawling pipeline actually runs, where
+  * re-shingling the full 100 TB corpus per ingest is not an option. The
+  * index is a SAVED parquet signature table ([[ensureSavedSignatures]],
+  * the `simsearch_ivf_saved` artifact convention: content-digest-keyed
+  * path, atomic-rename publish); the timed path is load + LSH probe, with
+  * NO base-corpus shingling.
+  *
+  * Corpus split (deterministic, replayed by the oracle): the augmented
+  * dedup corpus's originals with doc_id % [[DeltaMod]] ≠ 0 form the indexed
+  * base; the remaining originals plus ALL injected copies form the delta
+  * batch. Copies of base originals should match the index; copies of
+  * delta originals should NOT (their original arrives in the same batch —
+  * within-batch dedup is [[DedupCorpus.exactDedup]] / [[MinHashLSH]]'s
+  * job, deliberately out of scope here).
+  *
+  * Scale design: band keys of BOTH sides meet in one equi-join on
+  * (band, key) — delta never sees base signatures outside shared buckets,
+  * and the [[MinHashLSH.MaxBucket]] skew cap applies to the UNION of band
+  * rows (a degenerate bucket is degenerate regardless of which side its
+  * members came from). Candidate pairs are distinct-ed before the
+  * signature-compare joins; best-match-per-delta-doc is a
+  * (m DESC, base_id) top-1 window, which Spark runs as WindowGroupLimit
+  * (pre-shuffle partial top-1). The saved index is read twice (banding +
+  * compare) — two scans of a 17-longs-per-doc columnar file, each pruned
+  * to the columns it needs.
+  */
+object IncrementalDedup {
+
+  /** Originals with doc_id % DeltaMod == 0 arrive in the delta batch. */
+  val DeltaMod = 4L
+
+  /** Minimum agreeing signature components for an index hit (8/16 = the
+    * 0.5 similarity floor the pair family uses).
+    */
+  val MinMatch = 8
+
+  /** The indexed base: augmented-corpus originals not in the delta. */
+  def baseCorpus(documents: DataFrame): DataFrame =
+    DedupCorpus.augment(documents)
+      .filter(col("doc_id") < DedupCorpus.ExactDupOffset &&
+        col("doc_id") % DeltaMod =!= 0)
+
+  /** The new batch: delta originals + every injected copy. */
+  def deltaCorpus(documents: DataFrame): DataFrame =
+    DedupCorpus.augment(documents)
+      .filter((col("doc_id") < DedupCorpus.ExactDupOffset &&
+        col("doc_id") % DeltaMod === 0) ||
+        col("doc_id") >= DedupCorpus.ExactDupOffset)
+
+  /** Build-once signature index of [[baseCorpus]], content-digest keyed. */
+  def ensureSavedSignatures(spark: SparkSession, dir: String): String = {
+    val digest = graft.queries.Tables.contentDigest(
+      graft.queries.Tables.path(dir, "documents"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_incsig_$digest"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      MinHashLSH.signatures(baseCorpus(graft.queries.Tables.documents(spark, dir)))
+        .write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    path
+  }
+
+  /** (doc_id, base_id, m): each delta document's best index hit — most
+    * agreeing components m (≥ [[MinMatch]]), ties to the smallest base_id.
+    * Novel delta docs are absent (see [[novel]]).
+    */
+  def matches(spark: SparkSession, dir: String): DataFrame = {
+    val baseSigs = spark.read.parquet(ensureSavedSignatures(spark, dir))
+    val deltaSigs = MinHashLSH
+      .signatures(deltaCorpus(graft.queries.Tables.documents(spark, dir)))
+      .localCheckpoint(false)
+    val dBands = MinHashLSH.bandedSignatures(deltaSigs).select("doc_id", "band", "key")
+    val bBands = MinHashLSH.bandedSignatures(baseSigs)
+      .select(col("doc_id").as("base_id"), col("band"), col("key"))
+    val hot = dBands.select("band", "key")
+      .unionAll(bBands.select("band", "key"))
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > MinHashLSH.MaxBucket)
+      .select("band", "key")
+    val cand = dBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .join(bBands.join(broadcast(hot), Seq("band", "key"), "left_anti"),
+        Seq("band", "key"))
+      .select("doc_id", "base_id")
+      .distinct()
+    val m = (0 until MinHashLSH.NumHashes)
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = cand
+      .join(deltaSigs.as("sa"), Seq("doc_id"))
+      .join(baseSigs.withColumnRenamed("doc_id", "__bid").as("sb"),
+        col("base_id") === col("__bid"))
+      .select(col("doc_id"), col("base_id"), m.cast("long").as("m"))
+      .filter(col("m") >= MinMatch)
+    val top = Window.partitionBy("doc_id").orderBy(col("m").desc, col("base_id"))
+    scored
+      .withColumn("__rn", row_number().over(top))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Delta documents with NO index hit — the rows an ingest would actually
+    * append (plus their signatures, already computed, for the index merge).
+    */
+  def novel(spark: SparkSession, dir: String): DataFrame =
+    deltaCorpus(graft.queries.Tables.documents(spark, dir))
+      .select("doc_id")
+      .join(matches(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+
+  // ---- DuckDB oracle (recomputes the saved index from its derivation —
+  // ---- the artifact is deterministic, the qualityModelSaved pattern) ----
+
+  private def corpusSplitSql: String = {
+    val base =
+      s"SELECT doc_id, text FROM aug WHERE doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod <> 0"
+    val delta =
+      s"SELECT doc_id, text FROM aug WHERE (doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod = 0) OR doc_id >= ${DedupCorpus.ExactDupOffset}"
+    s"""aug AS (${DedupCorpus.augmentSql}),
+       |${MinHashLSH.sigCtes(base, "b")},
+       |${MinHashLSH.sigCtes(delta, "d")},
+       |bb AS (
+       |  ${MinHashLSH.bandKeysSql("bsig")}
+       |),
+       |db AS (
+       |  ${MinHashLSH.bandKeysSql("dsig")}
+       |),
+       |ok AS (
+       |  SELECT band, key
+       |  FROM (SELECT band, key FROM bb UNION ALL SELECT band, key FROM db)
+       |  GROUP BY 1, 2 HAVING count(*) <= ${MinHashLSH.MaxBucket}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id, b.doc_id AS base_id
+       |  FROM db d
+       |  JOIN ok USING (band, key)
+       |  JOIN bb b ON d.band = b.band AND d.key = b.key
+       |),
+       |scored AS (
+       |  SELECT cand.doc_id, cand.base_id,
+       |         CAST(${MinHashLSH.simMatchesSql} AS BIGINT) AS m
+       |  FROM cand
+       |  JOIN dsig sa ON cand.doc_id = sa.doc_id
+       |  JOIN bsig sb ON cand.base_id = sb.doc_id
+       |),
+       |best AS (
+       |  SELECT doc_id, base_id, m FROM scored
+       |  WHERE m >= $MinMatch
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, base_id) = 1
+       |)""".stripMargin
+  }
+
+  def matchesOracleSql: String =
+    s"""WITH $corpusSplitSql
+       |SELECT doc_id, base_id, m FROM best ORDER BY doc_id""".stripMargin
+
+  def novelOracleSql: String =
+    s"""WITH $corpusSplitSql
+       |SELECT doc_id FROM dcorpus
+       |WHERE doc_id NOT IN (SELECT doc_id FROM best)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -103,6 +103,22 @@ object MinHashLSH {
       .select(col("doc_id") +: minima: _*)
   }
 
+  /** SQL twin of the banding explode over a (prefixed) sig CTE: one row per
+    * (doc_id, band, key) — shared by the self-join oracle and
+    * [[IncrementalDedup]]'s two-corpus oracle.
+    */
+  private[dedup] def bandKeysSql(sigTable: String): String =
+    (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, ${Hashing.hash60Sql(parts)} AS key FROM $sigTable"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** The per-component signature-equality sum between aliases sa and sb. */
+  private[dedup] def simMatchesSql: String =
+    sigCols.map(m => s"CASE WHEN sa.$m = sb.$m THEN 1 ELSE 0 END").mkString(" + ")
+
   /** Band key for band b: 60-bit hash of the band's joined signature rows. */
   private def bandKey(b: Int): Column = {
     val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}").cast("string"))
@@ -184,23 +200,31 @@ object MinHashLSH {
 
   // ---- DuckDB oracle generation (same constants, same computation) ----
 
-  private def shinglesSql(corpusSql: String): String =
-    s"""WITH corpus AS ($corpusSql),
-       |sh AS (
+  /** The shingle→hash→signature CTE chain for one corpus, with CTE names
+    * prefixed by `p` so two corpora (e.g. [[IncrementalDedup]]'s saved base
+    * index and its delta batch) compose into one oracle query. Returns the
+    * comma-joined CTE bodies WITHOUT a leading `WITH`.
+    */
+  private[dedup] def sigCtes(corpusSql: String, p: String = ""): String =
+    s"""${p}corpus AS ($corpusSql),
+       |${p}sh AS (
        |  SELECT doc_id,
        |         unnest([array_to_string(w[i:i+${ShingleK - 1}], ' ')
        |                 for i in range(1, len(w) - ${ShingleK - 2})]) AS shingle
        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
-       |        FROM corpus)
+       |        FROM ${p}corpus)
        |),
-       |hv AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Prime} AS hv FROM sh),
-       |sig AS (
+       |${p}hv AS (SELECT doc_id, ${Hashing.hash60Sql("shingle")} % ${Prime} AS hv FROM ${p}sh),
+       |${p}sig AS (
        |  SELECT doc_id,
        |         ${Coeffs.zipWithIndex
         .map { case ((a, b), j) => s"min(($a * hv + $b) % ${Prime}) AS m$j" }
         .mkString(",\n         ")}
-       |  FROM hv GROUP BY doc_id
+       |  FROM ${p}hv GROUP BY doc_id
        |)""".stripMargin
+
+  private def shinglesSql(corpusSql: String): String =
+    "WITH " + sigCtes(corpusSql)
 
   /** Oracle SQL for [[signatures]] over the augmented dedup corpus. */
   def signaturesOracleSql: String =
@@ -225,15 +249,8 @@ object MinHashLSH {
       corpusSql: String,
       minSim: Double = 0.5,
       maxBucket: Long = MaxBucket): String = {
-    val bandKeys = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
-        .mkString(" || '_' || ")
-      s"SELECT doc_id, $b AS band, ${Hashing.hash60Sql(parts)} AS key FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    val simExpr = sigCols
-      .map(m => s"CASE WHEN sa.$m = sb.$m THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val bandKeys = bandKeysSql("sig")
+    val simExpr = simMatchesSql
     shinglesSql(corpusSql) +
       s""",
          |bands0 AS (
