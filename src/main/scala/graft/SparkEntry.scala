@@ -534,6 +534,11 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // per-source quality deciles for cutoff ablations (distributed rank,
+    // not per-source NTILE sorts)
+    "docs_quality_deciles" -> ((s, dir) =>
+      graft.text.QualityDeciles.profile(Tables.documents(s, dir))
+        .orderBy("source", "decile")),
     // DSIR-style importance scoring + deterministic resample toward the
     // target-language hashed-ngram distribution (Xie et al. 2023)
     "docs_importance_scores" -> ((s, dir) =>
@@ -867,6 +872,7 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_quality_deciles" -> graft.text.QualityDeciles.profileOracleSql,
     "docs_importance_scores" -> graft.sampling.ImportanceResample.scoresOracleSql,
     "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
     "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
