@@ -534,6 +534,16 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // context-window chunking (the split dual of sequence packing) —
+    // shuffle-free per-row explode
+    "docs_chunks" -> ((s, dir) =>
+      graft.text.Chunker.chunks(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_id")),
+    // ordered view→click→purchase conversion funnel (stage frames shrink,
+    // user-keyed joins — no per-user ordered scan)
+    "events_seq_funnel" -> ((s, dir) =>
+      graft.operators.SequenceFunnel.funnel(Tables.events(s, dir))
+        .orderBy("stage")),
     // per-source quality deciles for cutoff ablations (distributed rank,
     // not per-source NTILE sorts)
     "docs_quality_deciles" -> ((s, dir) =>
@@ -872,6 +882,8 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_chunks" -> graft.text.Chunker.chunksOracleSql(),
+    "events_seq_funnel" -> graft.operators.SequenceFunnel.funnelOracleSql,
     "docs_quality_deciles" -> graft.text.QualityDeciles.profileOracleSql,
     "docs_importance_scores" -> graft.sampling.ImportanceResample.scoresOracleSql,
     "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
