@@ -136,6 +136,11 @@ object SparkEntry {
     "dedup_ngram_pairs" -> ((s, dir) =>
       JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")),
+    // span-granular cross-doc dedup: winnowing-fingerprint collision pairs
+    // (the exact-substring-overlap layer between paragraph and whole-doc)
+    "dedup_shared_spans" -> ((s, dir) =>
+      graft.text.SharedSpans.pairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -756,6 +761,7 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
+    "dedup_shared_spans" -> graft.text.SharedSpans.pairsOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,

@@ -74,11 +74,18 @@ object IncrementalDedup {
     * agreeing components m (≥ [[MinMatch]]), ties to the smallest base_id.
     * Novel delta docs are absent (see [[novel]]).
     */
-  def matches(spark: SparkSession, dir: String): DataFrame = {
-    val baseSigs = spark.read.parquet(ensureSavedSignatures(spark, dir))
-    val deltaSigs = MinHashLSH
-      .signatures(deltaCorpus(graft.queries.Tables.documents(spark, dir)))
-      .localCheckpoint(false)
+  def matches(spark: SparkSession, dir: String): DataFrame =
+    matchesFrom(
+      spark.read.parquet(ensureSavedSignatures(spark, dir)),
+      MinHashLSH
+        .signatures(deltaCorpus(graft.queries.Tables.documents(spark, dir)))
+        .localCheckpoint(false))
+
+  /** The probe path over prepared signature frames (callers materialize
+    * multi-consumer inputs themselves — the saved-index read needs no
+    * checkpoint, a computed signature frame does).
+    */
+  def matchesFrom(baseSigs: DataFrame, deltaSigs: DataFrame): DataFrame = {
     val dBands = MinHashLSH.bandedSignatures(deltaSigs).select("doc_id", "band", "key")
     val bBands = MinHashLSH.bandedSignatures(baseSigs)
       .select(col("doc_id").as("base_id"), col("band"), col("key"))

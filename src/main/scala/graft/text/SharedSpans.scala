@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document SHARED-SPAN detection: document pairs that share
+  * verbatim character spans, via winnowing fingerprint collisions
+  * (Schleimer et al., "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003) — the span-granular sibling of the
+  * MinHash (whole-doc) and paragraph (block) dedup layers, and the
+  * practical stand-in for suffix-array exact-substring dedup (Lee et al.,
+  * ACL 2022): a shared fingerprint witnesses a shared ≥[[TextAnalysis
+  * .GramLen]]-char span, and the winnowing guarantee bounds the miss
+  * window.
+  *
+  * Scale design (100 TB): the fingerprint stream is the shuffle-free
+  * per-row winnowing pipeline ([[TextAnalysis.winnowed]]) exploded to
+  * (fp, doc) rows; pairs meet ONLY inside fingerprint buckets (equi-join
+  * on fp), never all-pairs. Boilerplate spans shared by thousands of
+  * documents would make their buckets quadratic — fingerprints with more
+  * than [[MaxFpDocs]] carriers are dropped before the join via a
+  * broadcast anti-join (the MinHash MaxBucket discipline; the over-cap
+  * span set is tiny and is exactly what the boilerplate-terms query
+  * reports). Pair aggregation is a partial-combining count on (a, b).
+  */
+object SharedSpans {
+
+  /** Skew guard: fingerprints carried by more documents than this never
+    * generate pairs (a b-carrier fingerprint costs b² pair rows).
+    */
+  val MaxFpDocs = 64L
+
+  /** Minimum shared distinct fingerprints for a reported pair — one
+    * collision can be a hash accident; two distinct winnowed spans is the
+    * plagiarism-detector convention.
+    */
+  val MinShared = 2L
+
+  /** Containment floor, percent: a pair is reported only when it shares at
+    * least this fraction of the SMALLER document's fingerprint set. The
+    * absolute [[MinShared]] floor alone is vocabulary-relative — on a
+    * corpus with heavy phrase reuse, most document pairs share a couple of
+    * accidental spans (measured: 137k ≥2-fp pairs on the 600-doc fixture,
+    * an O(n²)-shaped report) — while containment is the plagiarism-
+    * detector metric that stays selective at any corpus size.
+    */
+  val MinContainmentPct = 50L
+
+  /** (doc_a, doc_b, n_shared, containment_bp) over the duplicate-injected
+    * corpus — doc_a < doc_b canonical order; containment_bp =
+    * n_shared·10⁴ div min(|fp_a|, |fp_b|), exact basis points.
+    */
+  def pairs(documents: DataFrame): DataFrame = {
+    val fps = TextAnalysis
+      .fingerprintSet(graft.dedup.DedupCorpus.augment(documents))
+      .localCheckpoint(false)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > MaxFpDocs)
+      .select("fp")
+    val ok = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    // per-doc fingerprint-set sizes (the containment denominators) come
+    // from the SAME checkpointed stream — no second winnowing pass. The
+    // min() over an UNcapped count is deliberate: capping would inflate
+    // containment of boilerplate-heavy docs.
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    ok.as("a")
+      .join(ok.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("__nfa")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("__nfb")), Seq("doc_b"))
+      .filter(col("n_shared") * 100 >= least(col("__nfa"), col("__nfb")) * MinContainmentPct)
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(n_shared * 10000) div least(__nfa, __nfb)").as("containment_bp"))
+  }
+
+  def pairsOracleSql: String =
+    s"""WITH corpus AS (${graft.dedup.DedupCorpus.augmentSql}),
+       |${TextAnalysis.winnowCtes("corpus")},
+       |hot AS (SELECT wmin FROM sel GROUP BY wmin HAVING count(*) > $MaxFpDocs),
+       |ok AS (SELECT doc_id, wmin FROM sel WHERE wmin NOT IN (SELECT wmin FROM hot)),
+       |nf AS (SELECT doc_id, count(*) AS nf FROM sel GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM ok a JOIN ok b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |)
+       |SELECT doc_a, doc_b, n_shared,
+       |       (n_shared * 10000) // least(fa.nf, fb.nf) AS containment_bp
+       |FROM p
+       |JOIN nf fa ON p.doc_a = fa.doc_id
+       |JOIN nf fb ON p.doc_b = fb.doc_id
+       |WHERE n_shared * 100 >= least(fa.nf, fb.nf) * $MinContainmentPct
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -427,7 +427,18 @@ object TextAnalysis {
     * POSITION. The explode-of-one-struct barrier pins `hs` as a
     * materialized attribute.
     */
-  def fingerprints(docs: DataFrame): DataFrame = {
+  def fingerprints(docs: DataFrame): DataFrame =
+    winnowed(docs)
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("__wmins"))).cast("long").as("n_fp"),
+        array_min(col("__wmins")).as("min_fp"))
+
+  /** The winnowing pipeline up to the per-doc window-minima array —
+    * shared by the [[fingerprints]] profile and the cross-doc
+    * [[SharedSpans]] pair detector.
+    */
+  private[text] def winnowed(docs: DataFrame): DataFrame = {
     val n = length(col("text"))
     val hs = transform(sequence(lit(1), col("__ngrams")), i => gramHash(col("__codes"), i))
     val wmins = transform(
@@ -447,11 +458,15 @@ object TextAnalysis {
         explode(array(struct(hs.as("hs"), col("__ngrams").as("ng")))).as("__g"))
       .select(col("doc_id"), col("__g.hs").as("__hs"), col("__g.ng").as("__ng"))
       .select(col("doc_id"), wmins.as("__wmins"))
-      .select(
-        col("doc_id"),
-        size(array_distinct(col("__wmins"))).cast("long").as("n_fp"),
-        array_min(col("__wmins")).as("min_fp"))
   }
+
+  /** (doc_id, fp): each document's DISTINCT winnowing fingerprints, one
+    * row per fingerprint — the exploded form the shared-span join
+    * consumes.
+    */
+  private[text] def fingerprintSet(docs: DataFrame): DataFrame =
+    winnowed(docs)
+      .select(col("doc_id"), explode(array_distinct(col("__wmins"))).as("fp"))
 
   // ---- DuckDB oracle generation ----
 
@@ -558,18 +573,22 @@ object TextAnalysis {
        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok_bpe_est
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  def fingerprintsOracleSql: String = {
+  /** The winnowing CTE chain (grams → window minima → distinct `sel`
+    * fingerprint set) over any (doc_id, text) relation — shared by the
+    * fingerprint profile oracle and [[SharedSpans]]' pair oracle.
+    */
+  private[text] def winnowCtes(from: String = "documents"): String = {
     val polySql = (0 until GramLen)
       .map(j => s"CAST(ascii(substr(text, j + $j, 1)) AS BIGINT) * ${PolyPow(GramLen - 1 - j)}")
       .mkString("(", " + ", s") % $PolyMod")
-    s"""WITH grams AS (
+    s"""grams AS (
        |  SELECT doc_id, j - 1 AS p, h
        |  FROM (
        |    SELECT doc_id,
        |           unnest(range(1, length(text) - ${GramLen - 2})) AS j,
        |           unnest([CAST($polySql AS BIGINT)
        |                   for j in range(1, length(text) - ${GramLen - 2})]) AS h
-       |    FROM documents WHERE length(text) >= $GramLen
+       |    FROM $from WHERE length(text) >= $GramLen
        |  )
        |),
        |wmins AS (
@@ -579,8 +598,11 @@ object TextAnalysis {
        |         count(*) OVER (PARTITION BY doc_id) AS np
        |  FROM grams
        |),
-       |sel AS (SELECT DISTINCT doc_id, wmin FROM wmins WHERE p <= np - $WinnowWindow)
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM wmins WHERE p <= np - $WinnowWindow)""".stripMargin
+  }
+
+  def fingerprintsOracleSql: String =
+    s"""WITH ${winnowCtes()}
        |SELECT doc_id, count(*) AS n_fp, min(wmin) AS min_fp
        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 }

@@ -261,7 +261,36 @@ object ScaleProbe {
       "dedup_canonical_quality_powerlaw" -> (k => {
         val d = explodeDocs(docs0, k)
         DedupClusters.canonicalByQualityWithPairs(d, powerLawPairs(d))
-      }))
+      }),
+      // the r13 additions: the fixed-iteration integer PageRank (edge list
+      // grows k×; receivers are UNshifted so in-neighborhoods densify k× —
+      // a hub-skew stress the partial agg must absorb), the delta-vs-index
+      // LSH probe (both signature sides grow k×), the range-rank global
+      // shuffle, the 3-consumer hashed-ngram importance pipeline, and the
+      // rank-based per-source decile profile
+      "graph_pagerank" -> (k =>
+        graft.graphs.PageRank.ranks(explodeEvents(events0, k))),
+      "dedup_incremental" -> (k => {
+        // explodeDocs shifts ids by i·1e8, so "is an original" must read
+        // id mod 1e8 (the augment copy offsets are below that); the 1e8
+        // shift is ≡ 0 mod DeltaMod, so the %4 split replicates per block
+        val aug = DedupCorpus.augment(explodeDocs(docs0, k))
+        val isBase = (col("doc_id") % 100000000L) < DedupCorpus.ExactDupOffset &&
+          col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0
+        graft.dedup.IncrementalDedup.matchesFrom(
+          MinHashLSH.signatures(aug.filter(isBase)).localCheckpoint(false),
+          MinHashLSH.signatures(aug.filter(!isBase)).localCheckpoint(false))
+      }),
+      "docs_global_shuffle" -> (k =>
+        graft.text.GlobalShuffle.positions(explodeDocs(docs0, k))),
+      "docs_importance_resampled" -> (k =>
+        graft.sampling.ImportanceResample.resample(
+          explodeDocs(
+            Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")),
+            k, carry = Seq("lang")))),
+      "docs_quality_deciles" -> (k =>
+        graft.text.QualityDeciles.profile(
+          explodeDocs(docsS0, k, carry = Seq("source")))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
