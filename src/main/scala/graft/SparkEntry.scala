@@ -261,6 +261,15 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_pii" -> ((s, dir) =>
       graft.text.PiiScrub.scrub(Tables.documents(s, dir)).orderBy("doc_id")),
+    // distributed BPE vocabulary induction: corpus-scale work is ONE
+    // word-count shuffle; 8 merge rounds run on the frequency dict
+    // (pair partial-agg + TakeOrdered(1) + broadcast 1-row merge apply)
+    "bpe_merges" -> ((s, dir) =>
+      graft.text.BpeVocab.merges(Tables.documents(s, dir))),
+    // corpus token frequencies under the learned vocab — applying BPE at
+    // scale = the dict join carries the segmentation, never re-tokenizing
+    "bpe_token_counts" -> ((s, dir) =>
+      graft.text.BpeVocab.tokenCounts(Tables.documents(s, dir)).orderBy("token")),
     // Gopher-style repetition quality signals (dup-word / top-word /
     // dup-bigram fractions) — the standard degenerate-text filters
     "text_repetition" -> ((s, dir) =>
@@ -791,6 +800,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreOracleSql(),
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
+    "bpe_merges" -> graft.text.BpeVocab.mergesOracleSql(),
+    "bpe_token_counts" -> graft.text.BpeVocab.tokenCountsOracleSql(),
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "text_tfidf_topk" -> graft.text.TfIdf.topTermsOracleSql(),

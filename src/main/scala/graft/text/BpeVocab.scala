@@ -1,0 +1,185 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Hashing
+
+/** Distributed BPE vocabulary induction (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) — the
+  * corpus-scale tokenizer-training pass of an LLM data pipeline, and the
+  * classic "BPE on MapReduce" problem: learn the top merge rules from a
+  * 100 TB corpus without ever holding it on one machine.
+  *
+  * Scale design: the ONLY corpus-scale work is the word-frequency
+  * aggregation (tokenize → map-side-combining count — one shuffle whose
+  * width is the distinct vocabulary, not the corpus). Every merge round
+  * then operates on the word-frequency DICT (heavy-tailed: millions of
+  * rows for a 100 TB corpus, thousands here), exactly how production BPE
+  * trainers work. Per round: adjacent-pair weighted count (partial agg),
+  * global argmax via `TakeOrderedAndProject(1)` (per-partition top-1,
+  * driver merges K rows — no global sort), then the 1-row winner
+  * broadcast-crossJoined back so every word applies the merge with one
+  * codegen'd `replace`. No collect in the loop; the dict is
+  * lazy-localCheckpointed per round so round i+1 never recomputes round i.
+  *
+  * Symbol encoding: a word is held as `||s1||s2||...||$||` (`$` = the
+  * end-of-word marker, Sennrich's `</w>`). Doubled `|` delimiters make the
+  * merge a plain string `replace(s, '|l||r|', '|lr|')`: the pattern can
+  * only match at true symbol boundaries (token-internal chars never adjoin
+  * a single `|`), and both engines' `replace` scan left-to-right
+  * non-overlapping — exactly BPE's greedy merge order (`a a a` → `aa a`).
+  *
+  * Everything is integer/string-deterministic (counts, byte-order
+  * tiebreaks), so the DuckDB oracle replays the full [[Rounds]]-round
+  * recurrence as unrolled CTEs — the PageRank pattern
+  * (`graphs/PageRank.scala`) applied to vocabulary learning.
+  *
+  * Reference scope: the reference engine has no tokenizer training; this
+  * is part of the LLM-pipeline layer the brief adds on top (tokenization
+  * counterpart of `text/TextAnalysis.tokenCounts`).
+  */
+object BpeVocab {
+
+  /** Merge rounds learned (each yields one vocab entry). Kept modest so
+    * the unrolled oracle stays readable; the loop itself is O(rounds ×
+    * dict) and at production scale runs thousands of rounds.
+    */
+  val Rounds = 8
+
+  /** End-of-word marker symbol (never a corpus character: corpus words are
+    * `[a-z0-9]+`).
+    */
+  val EndMark = "$"
+
+  /** (word, cnt) corpus word-frequency dict — the single corpus-scale
+    * aggregation everything downstream rides on.
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(Hashing.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol string: every char its own symbol plus the end mark —
+    * `the` → `||t||h||e||$||`.
+    */
+  private def initSymbols(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "\\|\\|$1"), lit("||" + EndMark + "||"))
+
+  /** The symbol list of a dict row's current string form. */
+  private def symsOf(s: Column): Column =
+    filter(split(s, "\\|\\|"), x => x =!= "")
+
+  /** Weighted adjacent-pair counts over the current dict: (l, r, c). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), symsOf(col("s")).as("__syms"))
+      .filter(size(col("__syms")) >= 2)
+      .select(
+        col("cnt"),
+        explode(transform(
+          sequence(lit(1), size(col("__syms")) - 1),
+          j => struct(
+            element_at(col("__syms"), j).as("l"),
+            element_at(col("__syms"), j + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("c"))
+
+  /** Learn [[Rounds]] merges. Returns (merges, finalDict):
+    * merges = (round, left_sym, right_sym, merged, pair_count), one row per
+    * round; finalDict = (word, cnt, s) with s the fully-merged symbol
+    * string (the trained segmenter, applied by [[tokenCounts]]).
+    */
+  def learn(docs: DataFrame): (DataFrame, DataFrame) = {
+    var words = wordCounts(docs)
+      .select(col("word"), col("cnt"), initSymbols(col("word")).as("s"))
+      .localCheckpoint(false)
+    var merges = Vector.empty[DataFrame]
+    for (round <- 1 to Rounds) {
+      // top-1 by (count desc, byte-order pair asc): per-partition top-1 +
+      // driver merge (TakeOrderedAndProject), never a global sort
+      val best = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .localCheckpoint(false)
+      merges :+= best.select(
+        lit(round).as("round"),
+        col("l").as("left_sym"),
+        col("r").as("right_sym"),
+        concat(col("l"), col("r")).as("merged"),
+        col("c").as("pair_count"))
+      words = words
+        .crossJoin(broadcast(best))
+        .withColumn("s", expr(
+          "replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
+        .drop("l", "r", "c")
+        .localCheckpoint(false)
+    }
+    (merges.reduce(_ unionAll _), words)
+  }
+
+  /** The learned merge table, one row per round. */
+  def merges(docs: DataFrame): DataFrame = learn(docs)._1.orderBy("round")
+
+  /** Corpus token frequencies UNDER the learned vocabulary: the final
+    * dict's segmentation exploded and weighted by corpus word count — how
+    * a trained BPE is applied at scale (the corpus never re-tokenizes;
+    * the dict join carries the segmentation).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    learn(docs)._2
+      .select(col("cnt"), explode(symsOf(col("s"))).as("token"))
+      .groupBy("token")
+      .agg(sum("cnt").as("n"))
+
+  // ---- DuckDB oracle generation (same constants, same recurrence) ----
+
+  /** The unrolled CTE chain: wc → w0 → (p_i, b_i, w_i) × [[Rounds]],
+    * WITHOUT a leading WITH.
+    */
+  private def learnCtes(from: String): String = {
+    val base =
+      s"""wc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+         |        FROM $from)
+         |  WHERE word <> '' GROUP BY word
+         |),
+         |w0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '||\\1', 'g') || '||$EndMark||' AS s
+         |       FROM wc)""".stripMargin
+    val rounds = (1 to Rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt,
+         |           unnest([syms[j] for j in range(1, len(syms))]) AS l,
+         |           unnest([syms[j+1] for j in range(1, len(syms))]) AS r
+         |    FROM (SELECT cnt, list_filter(string_split(s, '||'), x -> x <> '') AS syms
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2
+         |),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (SELECT word, cnt, replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+         |        FROM w${i - 1}, b$i)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  def mergesOracleSql(from: String = "documents"): String = {
+    val rows = (1 to Rounds)
+      .map(i => s"SELECT $i AS round, l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM b$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${learnCtes(from)}
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY round""".stripMargin
+  }
+
+  def tokenCountsOracleSql(from: String = "documents"): String =
+    s"""WITH ${learnCtes(from)}
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(list_filter(string_split(s, '||'), x -> x <> '')) AS token
+       |  FROM w$Rounds
+       |) GROUP BY token ORDER BY token""".stripMargin
+}
