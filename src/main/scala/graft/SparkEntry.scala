@@ -270,6 +270,11 @@ object SparkEntry {
     // scale = the dict join carries the segmentation, never re-tokenizing
     "bpe_token_counts" -> ((s, dir) =>
       graft.text.BpeVocab.tokenCounts(Tables.documents(s, dir)).orderBy("token")),
+    // Count-Min sketch heavy hitters: d·w-bounded aggregation state per
+    // partition (vs vocabulary-sized exact counting), merge-order-invariant
+    // counters → the sketch family's first fully oracle-gated member
+    "text_heavy_hitters_cm" -> ((s, dir) =>
+      graft.sampling.CountMin.heavyHitters(Tables.documents(s, dir)).orderBy("token")),
     // Gopher-style repetition quality signals (dup-word / top-word /
     // dup-bigram fractions) — the standard degenerate-text filters
     "text_repetition" -> ((s, dir) =>
@@ -802,6 +807,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
     "bpe_merges" -> graft.text.BpeVocab.mergesOracleSql(),
     "bpe_token_counts" -> graft.text.BpeVocab.tokenCountsOracleSql(),
+    "text_heavy_hitters_cm" -> graft.sampling.CountMin.heavyHittersOracleSql(),
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,
     "text_tfidf_topk" -> graft.text.TfIdf.topTermsOracleSql(),
