@@ -480,6 +480,38 @@ object SparkEntry {
     "tpch_q22" -> ((s, dir) =>
       graft.queries.TpchQueries.q22(
         Tables.customer(s, dir), Tables.orders(s, dir))),
+    // min-cost supplier per part — correlated-min decorrelation with ties
+    // kept, integer unit cost, both dims broadcast
+    "tpch_q2" -> ((s, dir) =>
+      graft.queries.TpchQueries.q2(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    // important-stock HAVING over a one-row broadcast threshold,
+    // mean-relative so it survives scale-up
+    "tpch_q11" -> ((s, dir) =>
+      graft.queries.TpchQueries.q11(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // late-shipment priority split — conditional-sum pair over an IN-list
+    "tpch_q12" -> ((s, dir) =>
+      graft.queries.TpchQueries.q12(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // orders-per-customer histogram — filter inside the outer-join
+    // condition, two-level aggregation
+    "tpch_q13" -> ((s, dir) =>
+      graft.queries.TpchQueries.q13(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+    // excess-share suppliers — nested IN-subquery chain as broadcast
+    // semi-joins
+    "tpch_q20" -> ((s, dir) =>
+      graft.queries.TpchQueries.q20(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+    // sole-late-supplier blame — EXISTS/NOT-EXISTS pair as semi/anti
+    // joins with an inequality riding the equi-key
+    "tpch_q21" -> ((s, dir) =>
+      graft.queries.TpchQueries.q21(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.nation(s, dir))),
     // skew-safe two-stage aggregation, on integer cents so the two-stage
     // sum is order-independent and engine-exact
     // BATCH REPLAY of the streaming universe-sampled windowed counts: the
@@ -859,6 +891,12 @@ object SparkEntry {
     "tpch_q17" -> graft.queries.TpchQueries.Q17OracleSql,
     "tpch_q19" -> graft.queries.TpchQueries.Q19OracleSql,
     "tpch_q22" -> graft.queries.TpchQueries.Q22OracleSql,
+    "tpch_q2" -> graft.queries.TpchQueries.Q2OracleSql,
+    "tpch_q11" -> graft.queries.TpchQueries.Q11OracleSql,
+    "tpch_q12" -> graft.queries.TpchQueries.Q12OracleSql,
+    "tpch_q13" -> graft.queries.TpchQueries.Q13OracleSql,
+    "tpch_q20" -> graft.queries.TpchQueries.Q20OracleSql,
+    "tpch_q21" -> graft.queries.TpchQueries.Q21OracleSql,
     "events_salted_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -912,4 +912,334 @@ object TpchQueries {
        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
        |                  AND o_orderdate >= TIMESTAMP '$Q22Lapsed 00:00:00')
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val Q2MaxSize = 15
+  val Q2Type = "LARGE"
+  val Q2Region = "EUROPE"
+
+  /** TPC-H Q2-shaped (minimum-cost supplier): for every part of
+    * [[Q2Type]] with size ≤ [[Q2MaxSize]], the [[Q2Region]] supplier(s)
+    * offering it at the lowest observed unit cost. (True Q2 reads
+    * partsupp.ps_supplycost, absent here — the observed part↔supplier
+    * price relation is the lineitem fact, unit cost = min over that
+    * supplier's lineitems of price/quantity.) The unit cost is INTEGER:
+    * `(price_c · 100) div round(qty)` — both engines truncate positive
+    * integer division identically, so no double-division drift can flip
+    * a min. The correlated `cost = (SELECT min…)` subquery decorrelates
+    * the classic way (Q17's pattern): per-part min join-back, ties kept
+    * like real Q2.
+    *
+    * Scale shape: both dims broadcast (filtered part list; region
+    * suppliers — supplier count is orders of magnitude below the fact
+    * even at 100 TB, and only (suppkey, name, acctbal, nation) travel).
+    * The fact aggregates on (partkey, suppkey) with map-side partials;
+    * the min-cost join-back is part-keyed over the already-aggregated
+    * frame, so nothing fact-sized shuffles twice.
+    */
+  def q2(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val parts = broadcast(
+      part.filter(col("p_size") <= Q2MaxSize && col("p_type") === Q2Type)
+        .select(col("p_partkey"), col("p_name")))
+    val eur = broadcast(
+      supplier
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region.filter(col("r_name") === Q2Region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c"),
+          col("n_name")))
+    val unitCost = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100L) div CAST(round(l_quantity) AS BIGINT)")
+    val cost = lineitem
+      .join(parts.select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(eur.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(unitCost).as("unit_cost_c2"))
+    val minCost = cost
+      .groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("unit_cost_c2")).as("min_cost"))
+    cost
+      .join(minCost,
+        col("l_partkey") === col("mk") && col("unit_cost_c2") === col("min_cost"))
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal_c"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit_cost_c2"))
+      .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  val Q2OracleSql: String =
+    s"""WITH parts AS (SELECT p_partkey, p_name FROM part
+       |               WHERE p_size <= $Q2MaxSize AND p_type = '$Q2Type'),
+       |eur AS (SELECT s_suppkey, s_name,
+       |               CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name
+       |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |        JOIN region ON n_regionkey = r_regionkey
+       |        WHERE r_name = '$Q2Region'),
+       |cost AS (SELECT l_partkey, l_suppkey,
+       |           min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+       |               // CAST(round(l_quantity) AS BIGINT)) AS unit_cost_c2
+       |         FROM lineitem JOIN parts ON l_partkey = p_partkey
+       |         JOIN eur ON l_suppkey = s_suppkey
+       |         GROUP BY 1, 2),
+       |mn AS (SELECT l_partkey AS mk, min(unit_cost_c2) AS min_cost
+       |       FROM cost GROUP BY 1)
+       |SELECT s_acctbal_c, s_name, n_name, p_partkey, p_name, unit_cost_c2
+       |FROM cost JOIN mn ON l_partkey = mk AND unit_cost_c2 = min_cost
+       |JOIN eur ON l_suppkey = s_suppkey
+       |JOIN parts ON l_partkey = p_partkey
+       |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey""".stripMargin
+
+  val Q11Nation = "NATION_3"
+  val Q11MeanMultiple = 3
+
+  /** TPC-H Q11-shaped (important stock): parts whose shipped value from
+    * [[Q11Nation]] suppliers exceeds [[Q11MeanMultiple]]× the MEAN part
+    * value from that nation. (True Q11 reads partsupp and thresholds on
+    * `fraction · total` with fraction ∝ 1/SF — a fixed fraction goes
+    * empty as the corpus grows; thresholding on the mean is the
+    * spec's own scale normalization, expressed data-relatively.) The
+    * HAVING-over-scalar-subquery shape survives: one conditional on
+    * `val_c · n_parts > K · total_c`, all integer, so the boundary is
+    * engine-exact. Scale shape: nation suppliers broadcast; one partial
+    * map-side groupBy on partkey; the (total, count) threshold is a
+    * one-row broadcast over the already-aggregated per-part frame.
+    */
+  def q11(
+      supplier: DataFrame, lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    val nat = broadcast(
+      supplier
+        .join(nation.filter(col("n_name") === Q11Nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val perPart = lineitem
+      .join(nat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(priceC).as("val_c"))
+    val thr = perPart.agg(
+      sum(col("val_c")).as("total_c"), count(lit(1)).as("n_parts"))
+    perPart
+      .crossJoin(broadcast(thr))
+      .filter(col("val_c") * col("n_parts") > lit(Q11MeanMultiple.toLong) * col("total_c"))
+      .select(col("l_partkey"), col("val_c"))
+      .orderBy(col("val_c").desc, col("l_partkey"))
+  }
+
+  val Q11OracleSql: String =
+    s"""WITH nat AS (SELECT s_suppkey FROM supplier
+       |             JOIN nation ON s_nationkey = n_nationkey
+       |             WHERE n_name = '$Q11Nation'),
+       |v AS (SELECT l_partkey,
+       |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |               AS val_c
+       |      FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+       |      GROUP BY 1),
+       |t AS (SELECT CAST(sum(val_c) AS BIGINT) AS total_c, count(*) AS n_parts FROM v)
+       |SELECT l_partkey, val_c FROM v, t
+       |WHERE val_c * n_parts > $Q11MeanMultiple * total_c
+       |ORDER BY val_c DESC, l_partkey""".stripMargin
+
+  val Q12LateDays = 60
+  val Q12Start = "1997-01-01"
+  val Q12End = "1998-01-01"
+
+  /** TPC-H Q12-shaped (shipping modes and order priority): for late
+    * shipments in the [[Q12Start]] year, how many high- vs low-priority
+    * orders shipped per mode. (No l_shipmode/commitdate/receiptdate
+    * columns — the mode dimension is l_returnflag and "late" is
+    * `l_shipdate > o_orderdate + [[Q12LateDays]] days`, the same lateness
+    * predicate the Q4-shaped query uses.) The conditional-sum pair over
+    * a priority IN-list is the query's signature. Scale shape: the date
+    * window pushes to the lineitem scan; the join is orderkey-keyed with
+    * only (priority, date) carried from orders; the final groupBy has a
+    * 3-value key with map-side partials.
+    */
+  def q12(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(Q12Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q12End).cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q12LateDays DAYS"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  val Q12OracleSql: String =
+    s"""SELECT l_returnflag AS ship_mode,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE l_shipdate > o_orderdate + INTERVAL $Q12LateDays DAY
+       |  AND l_shipdate >= TIMESTAMP '$Q12Start 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '$Q12End 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val Q13ExcludedPriority = "5-LOW"
+
+  /** TPC-H Q13 (customer distribution): histogram of orders-per-customer,
+    * customers with none included. (The comment-pattern exclusion reads
+    * o_comment, absent here — [[Q13ExcludedPriority]] stands in as the
+    * excluded-order predicate, which is the structural point: the filter
+    * must live in the JOIN CONDITION of the left outer join, not a WHERE,
+    * or zero-order customers vanish.) Scale shape: one custkey-keyed
+    * outer join (orders filtered before the shuffle), one partial
+    * map-side count per customer, then a tiny second aggregate on the
+    * count domain — the two-level aggregation is the query's signature.
+    */
+  def q13(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderpriority") =!= Q13ExcludedPriority)
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val Q13OracleSql: String =
+    s"""SELECT c_count, count(*) AS custdist FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT OUTER JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '$Q13ExcludedPriority'
+       |  GROUP BY c_custkey)
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val Q20NamePrefix = "small"
+  val Q20Nation = "NATION_5"
+  val Q20MeanMultiple = 2
+
+  /** TPC-H Q20-shaped (potential part promotion): [[Q20Nation]] suppliers
+    * who ship an outsized share of some '[[Q20NamePrefix]]%' part —
+    * more than [[Q20MeanMultiple]]× the mean per-supplier share of that
+    * part. (True Q20 compares partsupp.ps_availqty against half the
+    * supplier's shipped quantity; without partsupp, "excess share of the
+    * observed shipments" keeps the nested IN-subquery chain: name-filtered
+    * parts → per-(part, supplier) quantities → qualifying suppliers →
+    * nation filter.) Threshold is the integer cross-multiply
+    * `sup_qty · n_supp > K · part_qty`, scale-robust the way Q11's is.
+    * Scale shape: filtered part list broadcasts; one (part, supp)
+    * partial-agg shuffle; the per-part (total, count) join-back is keyed
+    * on the already-aggregated frame; the final supplier semi-join is a
+    * broadcast of the tiny qualifying-supplier set.
+    */
+  def q20(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val pp = broadcast(
+      part.filter(col("p_name").startsWith(Q20NamePrefix))
+        .select(col("p_partkey")))
+    val supQty = lineitem
+      .join(pp, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sup_qty"))
+    val partQty = supQty
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("sup_qty")).as("part_qty"), count(lit(1)).as("n_supp"))
+    val excess = supQty
+      .join(partQty, col("l_partkey") === col("pk"))
+      .filter(col("sup_qty") * col("n_supp") > lit(Q20MeanMultiple.toLong) * col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(nation.filter(col("n_name") === Q20Nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c"))
+      .orderBy(col("s_name"))
+  }
+
+  val Q20OracleSql: String =
+    s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '$Q20NamePrefix%'),
+       |sq AS (SELECT l_partkey, l_suppkey,
+       |              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sup_qty
+       |       FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+       |pt AS (SELECT l_partkey AS pk, CAST(sum(sup_qty) AS BIGINT) AS part_qty,
+       |              count(*) AS n_supp
+       |       FROM sq GROUP BY 1),
+       |ex AS (SELECT DISTINCT l_suppkey FROM sq JOIN pt ON l_partkey = pk
+       |       WHERE sup_qty * n_supp > $Q20MeanMultiple * part_qty)
+       |SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |JOIN ex ON s_suppkey = l_suppkey
+       |WHERE n_name = '$Q20Nation' ORDER BY s_name""".stripMargin
+
+  val Q21Nation = "NATION_7"
+  val Q21LateDays = 60
+
+  /** TPC-H Q21-shaped (suppliers who kept orders waiting): [[Q21Nation]]
+    * suppliers whose late lineitem was the SOLE late one on a
+    * multi-supplier finished order. (No commitdate/receiptdate — late is
+    * `l_shipdate > o_orderdate + [[Q21LateDays]] days`, the shared
+    * lateness predicate.) The EXISTS (another supplier on the order) and
+    * NOT EXISTS (another LATE supplier) pair is the query's signature,
+    * spelled as a left-semi and a left-anti join with the
+    * `suppkey <> suppkey` inequality riding the orderkey equi-key — the
+    * shape Catalyst executes as shuffled semi/anti joins, never a
+    * cartesian. Scale shape: orders filtered to status-F before the
+    * orderkey join; the li frame carries (orderkey, suppkey, late) only;
+    * both existence probes are orderkey-keyed against that narrow frame.
+    */
+  def q21(
+      supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val fo = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = lineitem
+      .join(fo, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q21LateDays DAYS"))
+          .as("late"))
+    val l1 = li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = li.filter(col("late"))
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(
+        broadcast(
+          supplier
+            .join(nation.filter(col("n_name") === Q21Nation),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val Q21OracleSql: String =
+    s"""WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+       |            WHERE o_orderstatus = 'F'),
+       |li AS (SELECT l_orderkey, l_suppkey,
+       |              l_shipdate > o_orderdate + INTERVAL $Q21LateDays DAY AS late
+       |       FROM lineitem JOIN fo ON l_orderkey = o_orderkey),
+       |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+       |SELECT s_name, count(*) AS numwait
+       |FROM l1
+       |JOIN supplier ON l1.l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = '$Q21Nation'
+       |  AND EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey
+       |              AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM li l3 WHERE l3.l_orderkey = l1.l_orderkey
+       |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+       |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
 }

