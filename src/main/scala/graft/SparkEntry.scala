@@ -261,6 +261,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_pii" -> ((s, dir) =>
       graft.text.PiiScrub.scrub(Tables.documents(s, dir)).orderBy("doc_id")),
+    // corpus-trained bigram LM likelihood (the CCNet perplexity-filter
+    // shape) in integer fixed-point — two count aggregates + 1:1 joins
+    "text_lm_bigram" -> ((s, dir) =>
+      graft.text.BigramLm.scores(Tables.documents(s, dir))),
     // distributed BPE vocabulary induction: corpus-scale work is ONE
     // word-count shuffle; 8 merge rounds run on the frequency dict
     // (pair partial-agg + TakeOrdered(1) + broadcast 1-row merge apply)
@@ -837,6 +841,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreOracleSql(),
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsOracleSql,
+    "text_lm_bigram" -> graft.text.BigramLm.scoresOracleSql,
     "bpe_merges" -> graft.text.BpeVocab.mergesOracleSql(),
     "bpe_token_counts" -> graft.text.BpeVocab.tokenCountsOracleSql(),
     "text_heavy_hitters_cm" -> graft.sampling.CountMin.heavyHittersOracleSql(),
