@@ -210,6 +210,13 @@ object SparkEntry {
     "simsearch_ann" -> ((s, dir) =>
       SimilaritySearch.topKAnn(Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),
+    // every vector's top-k neighbors via banded sign-LSH — the SemDeDup /
+    // diversity-sampling building block, never all-pairs
+    "simsearch_knn_graph" -> ((s, dir) =>
+      graft.similarity.KnnGraph.graph(Tables.embeddings(s, dir))),
+    // hardest cross-label bucket-mate per vector — contrastive mining
+    "simsearch_hard_negatives" -> ((s, dir) =>
+      graft.similarity.KnnGraph.hardNegatives(Tables.embeddings(s, dir))),
     // IVF variant: k-means index is not replayable in DuckDB → rows-only
     // driver check; recall/consistency pinned by IvfIndexSpec. Named
     // `_build` because the timed path IS fit (k-means) + search — the
@@ -832,6 +839,8 @@ object SparkEntry {
       graft.dedup.SourceOverlap.pairsBySourceSampledOracleSql(),
     "simsearch_topk" -> SimilaritySearch.topKOracleSql(),
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
+    "simsearch_knn_graph" -> graft.similarity.KnnGraph.graphOracleSql(),
+    "simsearch_hard_negatives" -> graft.similarity.KnnGraph.hardNegativesOracleSql(),
     "simsearch_ivf_det" -> graft.similarity.IvfIndex.detTopKOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
     "simsearch_centroids" -> graft.similarity.EmbeddingCentroids.centroidsOracleSql(),

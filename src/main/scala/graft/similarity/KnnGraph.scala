@@ -1,0 +1,191 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-NN GRAPH construction and contrastive hard-negative mining over the
+  * embedding corpus — the two neighbor-set products a training pipeline
+  * derives from its embedding store beyond point lookups:
+  *
+  *  - [[graph]]: every vector's top-k most-similar neighbors (the input to
+  *    SemDeDup-style cluster pruning, graph-based diversity sampling, and
+  *    label propagation);
+  *  - [[hardNegatives]]: for every vector, the most-similar vector with a
+  *    DIFFERENT label — the classic in-batch-negative upgrade for
+  *    contrastive/embedding training (hardest negatives carry the
+  *    gradient signal; random negatives are too easy).
+  *
+  * Both are the same distributed shape as
+  * [[SimilaritySearch.nearDupPairs]]: candidates meet only inside
+  * sign-LSH band buckets (OR-construction over `numBands` bands), never
+  * all-pairs — the 100 TB path — and similarities are exact integer dot
+  * products over quantized vectors divided by IEEE-exact norms, so the
+  * DuckDB oracle replays every value bit-for-bit. The ranking step is a
+  * per-query row_number window, which Catalyst executes with a
+  * WindowGroupLimit partial rank BEFORE the shuffle (the
+  * [[graft.operators.GroupTopK]] pattern), so the exchange carries at
+  * most k + ties candidates per (partition, query), not the full
+  * candidate multiset.
+  *
+  * A vector whose buckets contain no (valid) candidate is absent from the
+  * output — the honest ANN contract (recall < 1), pinned by spec against
+  * the brute-force baseline on the live corpus.
+  */
+object KnnGraph {
+
+  val K = 5
+  val NumPlanes = 8
+  val NumBands = 2
+
+  /** (vec_id, qv, nrm, label, __bks) materialized ONCE — the self-join's
+    * two sides otherwise each rescan the corpus and re-run the plane dots
+    * (the [[SimilaritySearch.nearDupPairs]] checkpoint rationale).
+    */
+  private def bandedBase(
+      embeddings: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val bandBits = numPlanes / numBands
+    val signs = SimilaritySearch.signsFor(numPlanes)
+    val bandStructs = (0 until numBands).map { b =>
+      val key = (0 until bandBits)
+        .map { i =>
+          when(SimilaritySearch.planeDotSigns(col("qv"), signs(b * bandBits + i)) > 0,
+            lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce[Column](_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    graft.queries.Tables.parallelismFloor(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        SimilaritySearch.quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        array(bandStructs: _*).as("__bks"))
+      .localCheckpoint(false)
+  }
+
+  /** Directed candidate edges (query_id, q_label, neighbor_id, n_label,
+    * sim): both orientations of every in-bucket meeting, deduped across
+    * bands.
+    */
+  private def candidates(
+      embeddings: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
+    val base = bandedBase(embeddings, numPlanes, numBands)
+    val banded = base
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        explode(col("__bks")).as("bk"))
+      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val rhs = banded.select(
+      col("vec_id").as("vid_b"), col("label").as("label_b"),
+      col("qv").as("qv_b"), col("nrm").as("nrm_b"), col("band"), col("key"))
+    val pairs = banded
+      .join(rhs, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("vid_b"))
+      .select(
+        col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("vid_b").as("neighbor_id"), col("label_b").as("n_label"),
+        (SimilaritySearch.dotQ(col("qv"), col("qv_b")).cast("double") /
+          (col("nrm") * col("nrm_b"))).as("sim"))
+    // a pair meets once per shared band; sim is a deterministic function
+    // of the pair, so distinct dedupes exactly (the nearDupPairs argument)
+    if (numBands == 1) pairs else pairs.distinct()
+  }
+
+  private def rank(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** The k-NN graph: (query_id, neighbor_id, sim, rn) per surviving
+    * vector, rn the 1-based neighbor rank.
+    */
+  def graph(
+      embeddings: DataFrame, k: Int = K,
+      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame =
+    rank(candidates(embeddings, numPlanes, numBands), k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+
+  /** Hardest in-bucket negative per vector: (query_id, q_label, neg_id,
+    * neg_label, sim) — the most-similar bucket-mate carrying a different
+    * label, ties to the smaller id.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame =
+    rank(
+      candidates(embeddings, numPlanes, numBands)
+        .filter(col("q_label") =!= col("n_label")), 1)
+      .select(col("query_id"), col("q_label"),
+        col("neighbor_id").as("neg_id"), col("n_label").as("neg_label"),
+        col("sim"))
+      .orderBy(col("query_id"))
+
+  // ---- DuckDB oracle generation ----
+
+  /** Band CTEs shared by both oracles (labels carried through). */
+  private def bandsSql(numPlanes: Int, numBands: Int): String = {
+    val bandBits = numPlanes / numBands
+    val signs = SimilaritySearch.signsFor(numPlanes)
+    def planeSql(p: Int): String =
+      (0 until SimilaritySearch.Dims).map(d => s"qv[${d + 1}]*(${signs(p)(d)})").mkString(" + ")
+    val bands = (0 until numBands).map { b =>
+      val key = (0 until bandBits)
+        .map(i => s"CASE WHEN (${planeSql(b * bandBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, label, qv, nrm, $b AS band, CAST($key AS BIGINT) AS key FROM prep"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |             [CAST(round(x * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
+       |      FROM embeddings),
+       |prep0 AS (
+       |  SELECT vec_id, label, qv,
+       |         sqrt(CAST(${SimilaritySearch.dotSql("qv", "qv")} AS DOUBLE)) AS nrm
+       |  FROM q
+       |),
+       |prep AS (SELECT * FROM prep0 WHERE nrm > 0),
+       |bands AS (
+       |  $bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, a.label AS q_label,
+       |                  b.vec_id AS neighbor_id, b.label AS n_label
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id <> b.vec_id
+       |),
+       |sims AS (
+       |  SELECT query_id, q_label, neighbor_id, n_label,
+       |         ${SimilaritySearch.dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) AS sim
+       |  FROM cand
+       |  JOIN prep pa ON query_id = pa.vec_id
+       |  JOIN prep pb ON neighbor_id = pb.vec_id
+       |)""".stripMargin
+  }
+
+  /** Oracle SQL for [[graph]]. */
+  def graphOracleSql(
+      k: Int = K, numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numPlanes, numBands)}
+       |SELECT query_id, neighbor_id, sim,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+       |FROM sims
+       |QUALIFY rn <= $k
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** Oracle SQL for [[hardNegatives]]. */
+  def hardNegativesOracleSql(
+      numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numPlanes, numBands)}
+       |SELECT query_id, q_label, neighbor_id AS neg_id, n_label AS neg_label, sim
+       |FROM sims
+       |WHERE q_label <> n_label
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY sim DESC, neighbor_id) <= 1
+       |ORDER BY query_id""".stripMargin
+}
