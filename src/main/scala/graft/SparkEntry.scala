@@ -217,6 +217,9 @@ object SparkEntry {
     // hardest cross-label bucket-mate per vector — contrastive mining
     "simsearch_hard_negatives" -> ((s, dir) =>
       graft.similarity.KnnGraph.hardNegatives(Tables.embeddings(s, dir))),
+    // majority-vote label over the k-NN graph — semi-supervised labeling
+    "simsearch_knn_classify" -> ((s, dir) =>
+      graft.similarity.KnnGraph.classify(Tables.embeddings(s, dir))),
     // IVF variant: k-means index is not replayable in DuckDB → rows-only
     // driver check; recall/consistency pinned by IvfIndexSpec. Named
     // `_build` because the timed path IS fit (k-means) + search — the
@@ -841,6 +844,7 @@ object SparkEntry {
     "simsearch_ann" -> SimilaritySearch.topKAnnOracleSql(),
     "simsearch_knn_graph" -> graft.similarity.KnnGraph.graphOracleSql(),
     "simsearch_hard_negatives" -> graft.similarity.KnnGraph.hardNegativesOracleSql(),
+    "simsearch_knn_classify" -> graft.similarity.KnnGraph.classifyOracleSql(),
     "simsearch_ivf_det" -> graft.similarity.IvfIndex.detTopKOracleSql(),
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
     "simsearch_centroids" -> graft.similarity.EmbeddingCentroids.centroidsOracleSql(),

@@ -126,6 +126,29 @@ object KnnGraph {
         col("sim"))
       .orderBy(col("query_id"))
 
+  /** k-NN majority-vote classification: every vector's predicted label =
+    * the mode of its top-k neighbors' labels (ties to the smaller label) —
+    * the cheap semi-supervised labeler a pipeline runs over a partially
+    * human-labeled corpus before training a real classifier head. One
+    * vote aggregate + one argmax window over the ranked graph; both
+    * argmaxes use the pre-shuffle WindowGroupLimit partial rank.
+    * Output: (query_id, true_label, pred_label, votes).
+    */
+  def classify(
+      embeddings: DataFrame, k: Int = K,
+      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val votes = rank(candidates(embeddings, numPlanes, numBands), k)
+      .groupBy(col("query_id"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    votes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("q_label").as("true_label"),
+        col("n_label").as("pred_label"), col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   // ---- DuckDB oracle generation ----
 
   /** Band CTEs shared by both oracles (labels carried through). */
@@ -177,6 +200,24 @@ object KnnGraph {
        |FROM sims
        |QUALIFY rn <= $k
        |ORDER BY query_id, rn""".stripMargin
+
+  /** Oracle SQL for [[classify]]. */
+  def classifyOracleSql(
+      k: Int = K, numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numPlanes, numBands)},
+       |top AS (
+       |  SELECT query_id, q_label, n_label
+       |  FROM sims
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY sim DESC, neighbor_id) <= $k
+       |),
+       |v AS (SELECT query_id, q_label, n_label, count(*) AS votes
+       |      FROM top GROUP BY 1, 2, 3)
+       |SELECT query_id, q_label AS true_label, n_label AS pred_label, votes
+       |FROM v
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY votes DESC, n_label) = 1
+       |ORDER BY query_id""".stripMargin
 
   /** Oracle SQL for [[hardNegatives]]. */
   def hardNegativesOracleSql(

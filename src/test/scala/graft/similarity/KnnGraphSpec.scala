@@ -47,6 +47,32 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("classify: one prediction per covered query; votes bounded by k") {
+    val out = KnnGraph.classify(emb).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= KnnGraph.K))
+    // self-consistency: the prediction is the majority label of the
+    // ranked graph's neighbors (ties to the smaller label), recomputed
+    // driver-side from graph() + the label table. (The synthetic labels
+    // are geometry-independent — brute-force 5-NN accuracy is chance —
+    // so label-recovery accuracy is NOT a meaningful assertion here.)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = KnnGraph.graph(emb).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        val votes = rows.groupBy(r => labels(r.getLong(1)))
+          .view.mapValues(_.length.toLong).toMap
+        q -> votes.toSeq.minBy { case (l, v) => (-v, l) }
+      }
+    out.foreach { r =>
+      val (pl, pv) = expected(r.getLong(0))
+      assert(r.getLong(2) === pl && r.getLong(3) === pv,
+        s"query ${r.getLong(0)}: pred (${r.getLong(2)}, ${r.getLong(3)}) vs recomputed ($pl, $pv)")
+    }
+  }
+
   test("plan: candidates meet only in buckets — no cartesian") {
     val plan = KnnGraph.graph(emb).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
