@@ -667,6 +667,11 @@ object SparkEntry {
     "docs_mixture_u" -> ((s, dir) =>
       graft.sampling.MixtureResample.resample(Tables.documents(s, dir))
         .orderBy("doc_id", "copy")),
+    // temperature-scaled (α=1/2) mixture: weights computed in-plan from
+    // per-source counts via IEEE-exact floor-sqrt, then the same
+    // deterministic copy explode — fully oracle-gated
+    "docs_mixture_temp" -> ((s, dir) =>
+      graft.sampling.MixtureResample.resampleTemperature(Tables.documents(s, dir))),
     // SemDeDup-style semantic dedup: sign-LSH cluster buckets, keep the
     // representative (min vec_id) and everything below the cosine threshold
     // to it — deterministic clustering → fully oracle-gated, unlike k-means
@@ -975,6 +980,7 @@ object SparkEntry {
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,
     "docs_mixture_u" -> graft.sampling.MixtureResample.resampleOracleSql(),
+    "docs_mixture_temp" -> graft.sampling.MixtureResample.resampleTemperatureOracleSql,
     "dedup_semantic" -> graft.similarity.SemanticDedup.decisionsOracleSql(),
     "docs_curated" -> graft.text.CurationPipeline.verdictsOracleSql(),
     "docs_curated_funnel" -> graft.text.CurationPipeline.funnelOracleSql,

@@ -125,4 +125,80 @@ object MixtureResample {
       weightsBp: Map[String, Long] = DefaultWeightsBp,
       defaultBp: Long = DefaultBp): String =
     manifestSql(weightsBp, defaultBp) + "\nORDER BY doc_id, copy"
+
+  /** Salt for the temperature mixture's fractional copies — distinct from
+    * [[Salt]] so the two mixture queries' keep-decisions are independent.
+    */
+  val TempSalt = "mt:"
+
+  /** TEMPERATURE-scaled mixture weights, computed FROM the corpus instead
+    * of a hand-written table: per-source sampling proportion ∝ n_s^(1/2),
+    * renormalized so the mixture's expected size equals the corpus size —
+    * the standard low-resource up-weighting of multilingual pretraining
+    * (mC4/mT5, Xue et al. 2021; XLM-R, Conneau et al. 2020: p_s ∝ n_s^α
+    * with α < 1 flattens the source distribution so bulk sources stop
+    * drowning rare ones).
+    *
+    * The exponent is FIXED at α = 1/2 because IEEE-754 `sqrt` is the one
+    * exactly-rounded power primitive — `floor(sqrt(double(n)))` is
+    * bit-identical in the JVM and C libm for any n < 2⁵³, so the weight
+    * table is engine-exact without float `pow` (which carries no such
+    * guarantee; other α would need an integer k-th-root). The sqrt is
+    * quantized to an integer BEFORE normalization, and the final weight is
+    * one integer expression, `(n_tot · sq_s · 10⁴) DIV (s_tot · n_s)` bp
+    * (longs — exact while n_tot·sq_s < 9·10¹⁴, i.e. far past any testable
+    * corpus; a 100 TB deployment promotes the two totals to decimal).
+    *
+    * Output: (source, n_s, w_bp). One tiny aggregate + a one-row total —
+    * both broadcast-sized at any corpus scale (sources are a dimension).
+    */
+  def temperatureWeights(docs: DataFrame): DataFrame = {
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val sq = n.withColumn("sq_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val tot = sq.agg(sum(col("n_s")).as("n_tot"), sum(col("sq_s")).as("s_tot"))
+    sq.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        expr(s"(n_tot * sq_s * $Mod) div (s_tot * n_s)").as("w_bp"))
+  }
+
+  /** [[resample]] under the data-derived [[temperatureWeights]]: the
+    * weight table rides a broadcast join instead of a CASE literal (it is
+    * computed in-plan — no driver round-trip), then the same
+    * floor + hash-range fractional-copy explode. Output: (doc_id, source,
+    * w_bp, copy).
+    */
+  def resampleTemperature(docs: DataFrame): DataFrame = {
+    val w = temperatureWeights(docs).select(col("source"), col("w_bp"))
+    val fracHit =
+      Hashing.hash60(concat(lit(TempSalt), col("doc_id").cast("string"))) % Mod <
+        col("w_bp") % Mod
+    graft.queries.Tables.parallelismFloor(docs)
+      .join(broadcast(w), Seq("source"))
+      .select(col("doc_id"), col("source"), col("w_bp"),
+        (expr(s"w_bp div $Mod") + when(fracHit, 1L).otherwise(0L)).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("source"), col("w_bp"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  /** DuckDB oracle for [[resampleTemperature]]. */
+  def resampleTemperatureOracleSql: String = {
+    val hash = Hashing.hash60Sql(s"'$TempSalt' || CAST(doc_id AS VARCHAR)")
+    s"""WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+       |sq AS (SELECT source, CAST(n_s AS BIGINT) AS n_s,
+       |              CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS sq_s
+       |       FROM n),
+       |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+       |             CAST(sum(sq_s) AS BIGINT) AS s_tot FROM sq),
+       |w AS (SELECT source, (n_tot * sq_s * $Mod) // (s_tot * n_s) AS w_bp
+       |      FROM sq, t),
+       |c AS (SELECT d.doc_id, d.source, w.w_bp,
+       |             w.w_bp // $Mod +
+       |               CASE WHEN $hash % $Mod < w.w_bp % $Mod THEN 1 ELSE 0 END AS n
+       |      FROM documents d JOIN w ON d.source = w.source)
+       |SELECT doc_id, source, w_bp, unnest(range(n)) AS copy
+       |FROM c WHERE n > 0
+       |ORDER BY doc_id, copy""".stripMargin
+  }
 }

@@ -59,4 +59,33 @@ class MixtureResampleSpec extends SparkSpec {
     val b = MixtureResample.resample(docs.repartition(7)).orderBy("doc_id", "copy").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("temperature weights: flatten toward rare sources, match brute-force math") {
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val nTot = counts.values.sum
+    val sq = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val sTot = sq.values.sum
+    val expect = counts.map { case (s, n) => s -> (nTot * sq(s) * 10000L) / (sTot * n) }
+    val got = MixtureResample.temperatureWeights(docs)
+      .select("source", "w_bp").as[(String, Long)].collect().toMap
+    assert(got === expect)
+    // α = 1/2 flattening: the rarest source gets the largest weight, the
+    // most common the smallest
+    val rare = counts.minBy(_._2)._1
+    val bulk = counts.maxBy(_._2)._1
+    if (counts(rare) < counts(bulk))
+      assert(got(rare) >= got(bulk),
+        s"rare $rare (${got(rare)}bp) not up-weighted vs $bulk (${got(bulk)}bp)")
+  }
+
+  test("temperature manifest: expected size ≈ corpus size, deterministic") {
+    val out = MixtureResample.resampleTemperature(docs)
+    val n = out.count()
+    val in = docs.count()
+    // Σ w_s·n_s ≈ n_tot by normalization; hash-fraction noise + integer
+    // quantization keep it within a few percent at 500 docs
+    assert(math.abs(n - in).toDouble / in < 0.1, s"manifest $n vs corpus $in")
+    val b = MixtureResample.resampleTemperature(docs.repartition(5)).collect()
+    assert(out.collect().toSeq === b.toSeq)
+  }
 }
