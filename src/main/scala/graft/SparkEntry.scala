@@ -561,6 +561,22 @@ object SparkEntry {
       RQ.eventQuantilesApprox(Tables.events(s, dir)).orderBy("event_type")),
     "events_distinct_users_approx" -> ((s, dir) =>
       RQ.eventDistinctUsersApprox(Tables.events(s, dir)).orderBy("event_type")),
+    // KMV bottom-k distinct sketch: deterministic md5 order statistics →
+    // the approximate ANSWER itself passes the DuckDB gate (unlike HLL)
+    "events_distinct_users_kmv" -> ((s, dir) =>
+      graft.sampling.KmvSketch.distinctEstimate(
+        Tables.events(s, dir), col("event_type"), col("user_id"),
+        graft.sampling.KmvSketch.GroupK)
+        .select(col("grp").as("event_type"), col("est_distinct"))),
+    // corpus vocabulary size estimated from the 256 smallest token hashes
+    "text_vocab_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{explode, lit}
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.dedup.Hashing.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      graft.sampling.KmvSketch.distinctEstimate(
+        toks, lit("all"), col("w"), graft.sampling.KmvSketch.VocabK)
+    }),
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
         .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)),
@@ -928,6 +944,16 @@ object SparkEntry {
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_distinct_users_kmv" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
+      "SELECT event_type, user_id FROM events", "event_type",
+      "CAST(user_id AS VARCHAR)", graft.sampling.KmvSketch.GroupK,
+      groupAlias = "event_type"),
+    "text_vocab_kmv" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
+      """SELECT 'all' AS g, t AS w
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''""".stripMargin,
+      "g", "w", graft.sampling.KmvSketch.VocabK),
     "events_quantiles" ->
       """SELECT event_type,
         |       quantile_cont(value, 0.5) AS p50,

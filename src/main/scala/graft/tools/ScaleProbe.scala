@@ -131,6 +131,7 @@ object ScaleProbe {
     (0 until k).map { i =>
       emb.select(
         (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        col("label"),
         (if (i == 0) col("embedding")
          else concat(
            slice(col("embedding"), i + 1, 1 << 20),
@@ -290,7 +291,24 @@ object ScaleProbe {
             k, carry = Seq("lang")))),
       "docs_quality_deciles" -> (k =>
         graft.text.QualityDeciles.profile(
-          explodeDocs(docsS0, k, carry = Seq("source")))))
+          explodeDocs(docsS0, k, carry = Seq("source")))),
+      // the r13 round-2 additions: the three-pass bigram-LM count/join
+      // pipeline (vocab and bigram tables grow k× under the per-copy
+      // suffix — the 1:1 count joins are the shape under test), and the
+      // banded k-NN self-join. The kNN probe GROWS THE PLANE BUDGET with
+      // k (bandBits + log2(k) per band ⇒ bucket count scales with the
+      // population, bucket SIZE stays constant) — the documented LSH
+      // scale discipline (SimilaritySearch.nearDupPairs scaladoc); at a
+      // fixed plane count in-bucket candidates are quadratic in k by
+      // construction, an index-sizing artifact, not an engine one.
+      "text_lm_bigram" -> (k =>
+        graft.text.BigramLm.scores(explodeDocs(docs0, k))),
+      "simsearch_knn_graph" -> (k => {
+        val extraBits = (math.log(k.toDouble) / math.log(2.0)).round.toInt
+        graft.similarity.KnnGraph.graph(
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k),
+          numPlanes = (4 + extraBits) * 2, numBands = 2)
+      }))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall

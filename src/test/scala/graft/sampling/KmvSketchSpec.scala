@@ -1,0 +1,47 @@
+package graft.sampling
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact branch: fewer than k distinct elements reports the exact count") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L)).toDF("g", "e")
+    val out = KmvSketch.distinctEstimate(df, col("g"), col("e"), k = 16)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("estimator branch: within 4/sqrt(k) of truth on the live events") {
+    val events = Tables.events(spark, sf01)
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val k = KmvSketch.GroupK
+    assert(exact.values.forall(_ > k), "fixture too small to exercise the estimator")
+    val est = KmvSketch.distinctEstimate(events, col("event_type"), col("user_id"), k)
+      .as[(String, Long)].collect().toMap
+    val bound = 4.0 / math.sqrt(k.toDouble)
+    est.foreach { case (g, e) =>
+      val x = exact(g).toDouble
+      assert(math.abs(e - x) / x < bound, s"group $g: est $e vs exact ${exact(g)} (bound $bound)")
+    }
+  }
+
+  test("determinism: estimate is identical across repartitionings") {
+    val events = Tables.events(spark, sf01)
+    val a = KmvSketch.distinctEstimate(events, col("event_type"), col("user_id"), 32).collect()
+    val b = KmvSketch.distinctEstimate(
+      events.repartition(13), col("event_type"), col("user_id"), 32).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("plan: bottom-k runs a pre-shuffle WindowGroupLimit") {
+    val plan = KmvSketch.distinctEstimate(
+      Tables.events(spark, sf001), col("event_type"), col("user_id"), 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+}
