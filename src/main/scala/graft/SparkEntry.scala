@@ -559,6 +559,16 @@ object SparkEntry {
     // driver check); QuantilesSpec pins both against the exact twins.
     "events_quantiles_approx" -> ((s, dir) =>
       RQ.eventQuantilesApprox(Tables.events(s, dir)).orderBy("event_type")),
+    // sampled quantiles via the deterministic hash-range keep-set: the
+    // approximate percentiles themselves replay in DuckDB (unlike the
+    // t-digest twin) — quantiles need no HT scaling, just the sample
+    "events_quantiles_sampled_u10" -> ((s, dir) =>
+      RQ.eventQuantiles(graft.sampling.UniverseSampled.sample(
+        Tables.events(s, dir), col("event_id"), 10)).orderBy("event_type")),
+    // first-activity-week cohorts × return-week offsets — the retention
+    // triangle; distinct-collapsed (user, week) pairs bound all state
+    "events_retention_cohorts" -> ((s, dir) =>
+      graft.operators.RetentionCohorts.matrix(Tables.events(s, dir))),
     "events_distinct_users_approx" -> ((s, dir) =>
       RQ.eventDistinctUsersApprox(Tables.events(s, dir)).orderBy("event_type")),
     // KMV bottom-k distinct sketch: deterministic md5 order statistics →
@@ -960,6 +970,16 @@ object SparkEntry {
         |       quantile_cont(value, 0.9) AS p90,
         |       quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_quantiles_sampled_u10" ->
+      s"""SELECT event_type,
+         |       quantile_cont(value, 0.5) AS p50,
+         |       quantile_cont(value, 0.9) AS p90,
+         |       quantile_cont(value, 0.99) AS p99
+         |FROM events
+         |WHERE ${graft.sampling.UniverseSampled.keepSql("event_id", 10)}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_retention_cohorts" ->
+      graft.operators.RetentionCohorts.matrixOracleSql,
     "events_cube" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
         |FROM events GROUP BY CUBE(1, 2)
