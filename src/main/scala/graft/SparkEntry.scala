@@ -569,6 +569,14 @@ object SparkEntry {
     // triangle; distinct-collapsed (user, week) pairs bound all state
     "events_retention_cohorts" -> ((s, dir) =>
       graft.operators.RetentionCohorts.matrix(Tables.events(s, dir))),
+    // per-group p01/p99 clipping: broadcast threshold table, scan-fused
+    // greatest/least — values pass through bit-unchanged unless clipped
+    "events_winsorized" -> ((s, dir) =>
+      graft.operators.Winsorize.clipped(Tables.events(s, dir))),
+    // per-word counts of two sources FULL-OUTER joined (the engine's one
+    // declared full-outer shape) — the corpus drift report
+    "text_vocab_diff" -> ((s, dir) =>
+      graft.text.VocabDiff.diff(Tables.documents(s, dir))),
     "events_distinct_users_approx" -> ((s, dir) =>
       RQ.eventDistinctUsersApprox(Tables.events(s, dir)).orderBy("event_type")),
     // KMV bottom-k distinct sketch: deterministic md5 order statistics →
@@ -980,6 +988,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_retention_cohorts" ->
       graft.operators.RetentionCohorts.matrixOracleSql,
+    "events_winsorized" -> graft.operators.Winsorize.clippedOracleSql,
+    "text_vocab_diff" -> graft.text.VocabDiff.diffOracleSql(),
     "events_cube" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
         |FROM events GROUP BY CUBE(1, 2)
