@@ -586,6 +586,14 @@ object SparkEntry {
         Tables.events(s, dir), col("event_type"), col("user_id"),
         graft.sampling.KmvSketch.GroupK)
         .select(col("grp").as("event_type"), col("est_distinct"))),
+    // the same KMV estimate through the native bottom_k
+    // TypedImperativeAggregate — one pass, ≤ k longs per group per map
+    // task, no pre-distinct shuffle; identical rows, same oracle
+    "events_distinct_users_kmv_agg" -> ((s, dir) =>
+      graft.sampling.KmvSketch.distinctEstimateAgg(
+        Tables.events(s, dir), col("event_type"), col("user_id"),
+        graft.sampling.KmvSketch.GroupK)
+        .select(col("grp").as("event_type"), col("est_distinct"))),
     // corpus vocabulary size estimated from the 256 smallest token hashes
     "text_vocab_kmv" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{explode, lit}
@@ -963,6 +971,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_distinct_users_kmv" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
+      "SELECT event_type, user_id FROM events", "event_type",
+      "CAST(user_id AS VARCHAR)", graft.sampling.KmvSketch.GroupK,
+      groupAlias = "event_type"),
+    "events_distinct_users_kmv_agg" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
       "SELECT event_type, user_id FROM events", "event_type",
       "CAST(user_id AS VARCHAR)", graft.sampling.KmvSketch.GroupK,
       groupAlias = "event_type"),

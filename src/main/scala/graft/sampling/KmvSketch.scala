@@ -80,6 +80,32 @@ object KmvSketch {
       .orderBy("grp")
   }
 
+  /** ONE-PASS [[distinctEstimate]] via the native `bottom_k`
+    * [[graft.functions.BottomKDistinct]] aggregate: no pre-distinct
+    * shuffle, no window — each map task's partial aggregation holds a
+    * ≤ k-element ordered set per group and the exchange carries
+    * groups × k longs regardless of element cardinality (vs the window
+    * spelling's distinct-collapse of the full (group, hash) domain).
+    * Same estimator, same oracle: bottom-k is order-insensitive, so both
+    * spellings produce identical rows.
+    */
+  def distinctEstimateAgg(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 512, "k must be in [2, 512] (numerator overflow bound)")
+    df
+      .select(group.as("grp"),
+        Hashing.hash60(concat(lit(Salt), elem.cast("string"))).as("h60"))
+      .select(col("grp"), expr("h60 div 64").as("h"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("arr"))
+      .select(
+        col("grp"),
+        when(size(col("arr")) < k, size(col("arr")).cast("long"))
+          .otherwise(
+            expr(s"(${k - 1} * ${Mod54}L) div greatest(element_at(arr, $k), 1L)"))
+          .as("est_distinct"))
+      .orderBy("grp")
+  }
+
   /** Oracle SQL for [[distinctEstimate]] over a (group, elem) projection:
     * same salted hash, same bottom-k, same integer estimator.
     */

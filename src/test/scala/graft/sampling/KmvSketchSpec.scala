@@ -38,6 +38,35 @@ class KmvSketchSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("native bottom_k aggregate: identical rows to the window spelling") {
+    val events = Tables.events(spark, sf01)
+    val win = KmvSketch.distinctEstimate(events, col("event_type"), col("user_id"), 32)
+      .collect().toSeq
+    val agg = KmvSketch.distinctEstimateAgg(events, col("event_type"), col("user_id"), 32)
+      .collect().toSeq
+    assert(agg === win)
+  }
+
+  test("native bottom_k aggregate: partial (map-side) aggregation in the plan") {
+    val plan = KmvSketch.distinctEstimateAgg(
+      Tables.events(spark, sf001), col("event_type"), col("user_id"), 32)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate runs under ObjectHashAggregate with a
+    // partial_bottom_k before the exchange — the mergeable-sketch shape
+    assert(plan.contains("partial_bottom_k"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"), s"window leaked into the agg path:\n$plan")
+  }
+
+  test("bottom_k semantics: distinct, sorted, trimmed to k") {
+    import spark.implicits._
+    val df = Seq(("g", 5L), ("g", 3L), ("g", 5L), ("g", 9L), ("g", 1L), ("g", 7L))
+      .toDF("g", "v")
+    val arr = df.groupBy("g")
+      .agg(graft.functions.BottomKDistinct.bottomK(col("v"), 3).as("arr"))
+      .select("arr").head.getSeq[Long](0)
+    assert(arr === Seq(1L, 3L, 5L))
+  }
+
   test("plan: bottom-k runs a pre-shuffle WindowGroupLimit") {
     val plan = KmvSketch.distinctEstimate(
       Tables.events(spark, sf001), col("event_type"), col("user_id"), 32)
