@@ -128,6 +128,10 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(MinHashLSH.signatures(DedupCorpus.augment(Tables.documents(s, dir))))
         .orderBy("doc_a", "doc_b")),
+    // exact Levenshtein confirmation of the LSH candidates — O(n·m) DP
+    // paid only on the banding-filtered pair table, never corpus-wide
+    "dedup_pairs_editdist" -> ((s, dir) =>
+      graft.dedup.EditVerify.verifiedMinHashPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.fingerprints(DedupCorpus.augment(Tables.documents(s, dir))).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -865,6 +869,7 @@ object SparkEntry {
          |FROM corpus GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_minhash_sig" -> MinHashLSH.signaturesOracleSql,
     "dedup_minhash_pairs" -> MinHashLSH.nearDupPairsOracleSql(),
+    "dedup_pairs_editdist" -> graft.dedup.EditVerify.verifiedMinHashPairsOracleSql,
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
