@@ -577,6 +577,12 @@ object SparkEntry {
     // greatest/least — values pass through bit-unchanged unless clipped
     "events_winsorized" -> ((s, dir) =>
       graft.operators.Winsorize.clipped(Tables.events(s, dir))),
+    // reproducible 3-per-stratum examples via salted-hash rank — the
+    // rand() eyeballing query made deterministic and oracle-gateable
+    "events_examples_per_group" -> ((s, dir) =>
+      graft.operators.GroupSample.examples(
+        Tables.events(s, dir), col("event_type"), col("event_id"), 3,
+        Seq("event_id", "user_id"))),
     // per-word counts of two sources FULL-OUTER joined (the engine's one
     // declared full-outer shape) — the corpus drift report
     "text_vocab_diff" -> ((s, dir) =>
@@ -682,6 +688,10 @@ object SparkEntry {
     "docs_packed" -> ((s, dir) =>
       graft.text.SequencePacking.packs(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // per-pack member offsets — the attention document-mask manifest;
+    // one pack-keyed window over the existing prefix-sum frame
+    "docs_pack_boundaries" -> ((s, dir) =>
+      graft.text.SequencePacking.packBoundaries(Tables.documents(s, dir))),
     // per-pack fill histogram — the shard-utilization report a training-
     // data engineer reads before shipping; two aggregates over the packs
     // frame, output bounded by the fill_pct range
@@ -1006,6 +1016,9 @@ object SparkEntry {
     "events_retention_cohorts" ->
       graft.operators.RetentionCohorts.matrixOracleSql,
     "events_winsorized" -> graft.operators.Winsorize.clippedOracleSql,
+    "events_examples_per_group" -> graft.operators.GroupSample.examplesOracleSql(
+      "SELECT event_type, event_id, user_id FROM events", "event_type",
+      "CAST(event_id AS VARCHAR)", 3, Seq("event_id", "user_id")),
     "text_vocab_diff" -> graft.text.VocabDiff.diffOracleSql(),
     "events_cube" ->
       """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, count(*) AS cnt
@@ -1049,6 +1062,7 @@ object SparkEntry {
     "docs_token_budget" -> graft.sampling.TokenBudget.selectOracleSql(),
     "docs_packed" -> graft.text.SequencePacking.packsOracleSql(),
     "docs_pack_fill" -> graft.text.SequencePacking.packFillHistogramOracleSql(),
+    "docs_pack_boundaries" -> graft.text.SequencePacking.packBoundariesOracleSql(),
     "docs_packed_mixture" -> graft.text.SequencePacking.packsMixtureOracleSql(),
     "docs_derepeated" -> graft.text.Derepeat.derepeatOracleSql(),
     "dedup_paragraphs" -> graft.text.CrossDocDedup.oracleSql,

@@ -52,6 +52,51 @@ object SequencePacking {
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PER-PACK BOUNDARY MANIFEST — the attention document-mask input: a
+    * packed training sequence concatenates documents, and the trainer
+    * must know where each document starts inside its pack so attention
+    * never crosses a document boundary (the "sequence packing with
+    * document masking" detail every modern pretraining recipe carries).
+    * One row per (pack, member): the member's 1-based rank, its LOCAL
+    * token offset inside the pack (`cum − tok − pack_id·packTokens` —
+    * pure integer arithmetic off the existing prefix-sum frame), and its
+    * token length. Scalar rows rather than per-pack arrays — the loader
+    * groups by pack_id on read, and every value stays hash-gateable.
+    *
+    * Plan: the [[packs]] frame plus ONE pack-keyed window (row_number by
+    * offset) — no new corpus work.
+    */
+  def packBoundaries(
+      docs: DataFrame,
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pack_id").orderBy("local_start")
+    packs(docs, packTokens, buckets)
+      .withColumn("local_start", col("cum") - col("tok") - col("pack_id") * packTokens)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("pack_id"), col("rank"), col("doc_id"),
+        col("local_start"), col("tok"))
+      .orderBy("pack_id", "rank")
+  }
+
+  /** DuckDB oracle for [[packBoundaries]]. */
+  def packBoundariesOracleSql(
+      packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): String =
+    s"""WITH ${graft.sampling.TokenBudget.cumCteSql(buckets)},
+       |p AS (
+       |  SELECT doc_id, tok, cum,
+       |         CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id,
+       |         cum - tok - ((cum - tok) // $packTokens) * $packTokens AS local_start
+       |  FROM c
+       |)
+       |SELECT pack_id,
+       |       CAST(row_number() OVER (PARTITION BY pack_id ORDER BY local_start)
+       |            AS BIGINT) AS rank,
+       |       doc_id, local_start, tok
+       |FROM p ORDER BY pack_id, rank""".stripMargin
+
   /** Pack-utilization report: the distribution of per-pack fill — the one
     * number a training-data engineer checks before shipping shards (a doc
     * is never split across packs here, so fills hover around 100 % ±

@@ -116,4 +116,27 @@ class SequencePackingSpec extends SparkSpec {
       assert(total >= L - maxDoc, s"pack $p underfills: $total")
     }
   }
+
+  test("pack boundaries: offsets consistent with the packs frame, ranks dense") {
+    val docs = graft.queries.Tables.documents(spark, sf001)
+    val packed = SequencePacking.packs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val out = SequencePacking.packBoundaries(docs).collect()
+    assert(out.length === packed.size, "boundary manifest must cover every doc once")
+    out.foreach { r =>
+      val (tok, cum, packId) = packed(r.getLong(2))
+      assert(r.getLong(0) === packId)
+      assert(r.getLong(3) === cum - tok - packId * SequencePacking.PackTokens)
+      assert(r.getLong(3) >= 0 && r.getLong(3) < SequencePacking.PackTokens,
+        s"local offset ${r.getLong(3)} outside the pack")
+      assert(r.getLong(4) === tok)
+    }
+    // ranks are dense 1..n per pack, ordered by offset
+    out.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(1L to rs.length), s"pack $p ranks")
+      assert(sorted.map(_.getLong(3)).sameElements(sorted.map(_.getLong(3)).sorted),
+        s"pack $p offsets out of rank order")
+    }
+  }
 }
