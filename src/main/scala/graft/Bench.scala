@@ -145,7 +145,11 @@ object Bench {
       "dedup_cleaned_quality", "dedup_source_overlap_sampled_u10",
       "docs_curated", "docs_training_shard", "docs_training_shard_neardup",
       "simsearch_topk", "simsearch_ann", "mm_frames",
-      "text_quality", "text_tokens", "events_sessions", "events_rolling")
+      "text_quality", "text_tokens", "events_sessions", "events_rolling",
+      // r13 flagships: full-TPC-H completion, LM scoring, the kNN graph,
+      // and the native-aggregate sketch
+      "tpch_q21", "text_lm_bigram", "simsearch_knn_graph",
+      "events_distinct_users_kmv_agg")
     val qs = results.collect { case (k, v) if headline.contains(k) =>
       jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
