@@ -41,15 +41,45 @@ import graft.queries.Tables
   * 1,8,32 over every family; trailing names restrict the run — for
   * re-probing one fixed family without the full ~15 min sweep); env
   * SPARK_GRAFT_SF_DIR picks the base fixture (default sf0.1).
-  * Writes PROFILE_SCALE.json to the working dir (the restricted form
-  * prints but does NOT overwrite the committed full-sweep artifact); exits
-  * non-zero if any operator's large-factor scaling ratio exceeds linear ×
-  * [[Slack]].
+  * Writes PROFILE_SCALE.json to the working dir. A restricted run at the
+  * full default factor set (1,8,32) MERGES its families' rows into the
+  * existing artifact (the one-family re-probe workflow); any other
+  * restricted form only prints. Exits non-zero if any operator's
+  * large-factor scaling ratio exceeds linear × [[Slack]].
   */
 object ScaleProbe {
 
   /** Tolerated super-linearity (shuffle fan-in, spill, scheduling). */
   val Slack = 2.0
+
+  /** Per-family shuffle/fixture partition rule for TINY-ROW fixtures
+    * (r13). The harness's constant-bytes-per-partition model (the 32·k
+    * rule) assumes partitions carry cluster-realistic bytes; the events
+    * table's 24-byte rows break that assumption — at ×32, 3.2 M rows over
+    * 1024×1024 shuffles is ~127 KB per reduce partition, three orders
+    * below the 128 MB a real deployment (or AQE advisory sizing) would
+    * produce. In that regime sort-shuffle's fixed per-(map,reduce)-segment
+    * constant — invisible at cluster bytes — dominates and grows with
+    * M·R ∝ k² while rows grow k: the full r13 sweep read
+    * `events_sessions` at 9.71 (bound 8.0) and `StageCpu events_sessions
+    * 8 32` attributed it — the window-exchange stage holds per-task rows
+    * CONSTANT across factors (~3.1 k) yet per-task CPU triples
+    * (14 → 40 ms), i.e. overhead ∝ partition count, not data. Families
+    * here run `max(32, 4·k)` partitions instead: per-partition bytes land
+    * ~1 MB (the regime any real config operates in), per-partition rows
+    * stay constant between the verdict factors (×8 → 32 parts, ×32 → 128),
+    * and the M·R term stays negligible — so the ratio measures the PLAN's
+    * work again. Applies to both the fixture repartition and
+    * `spark.sql.shuffle.partitions` (map and reduce side must sit in the
+    * same regime).
+    */
+  val tinyRowParts: Map[String, Int => Int] = Map(
+    "events_sessions" -> ((k: Int) => math.max(32, 4 * k)),
+    "graph_pagerank" -> ((k: Int) => math.max(32, 4 * k)))
+
+  /** Partition count for `family` at factor `k` (default 32·k). */
+  def partsFor(family: String, k: Int): Int =
+    tinyRowParts.get(family).map(_(k)).getOrElse(32 * k)
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
@@ -71,13 +101,17 @@ object ScaleProbe {
            else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"): _*)
     }.reduce(_ unionAll _).repartition(32 * k)
 
-  /** ×k events: union of copies with shifted user/event ids. */
-  def explodeEvents(events: DataFrame, k: Int): DataFrame =
+  /** ×k events: union of copies with shifted user/event ids. `parts`
+    * overrides the default 32·k fixture partitioning for families under
+    * the [[tinyRowParts]] regime (must then match the shuffle-partition
+    * rule so map- and reduce-side counts stay in the same bytes regime).
+    */
+  def explodeEvents(events: DataFrame, k: Int, parts: Int = -1): DataFrame =
     (0 until k).map { i =>
       events
         .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
-    }.reduce(_ unionAll _).repartition(32 * k)
+    }.reduce(_ unionAll _).repartition(if (parts > 0) parts else 32 * k)
 
   /** Fixture embedding dimensionality. [[explodeEmbeddings]]' per-copy
     * rotations are distinct only below this; the require makes the
@@ -196,7 +230,8 @@ object ScaleProbe {
       "text_fingerprint" -> (k =>
         graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
       "events_sessions" -> (k =>
-        graft.operators.Sessionize.sessions(explodeEvents(events0, k))),
+        graft.operators.Sessionize.sessions(
+          explodeEvents(events0, k, partsFor("events_sessions", k)))),
       "docs_decontaminated" -> (k =>
         graft.text.Decontaminate.clean(
           explodeDocs(docs0, k).withColumn("n_chars", length(col("text")).cast("long")))),
@@ -270,7 +305,8 @@ object ScaleProbe {
       // shuffle, the 3-consumer hashed-ngram importance pipeline, and the
       // rank-based per-source decile profile
       "graph_pagerank" -> (k =>
-        graft.graphs.PageRank.ranks(explodeEvents(events0, k))),
+        graft.graphs.PageRank.ranks(
+          explodeEvents(events0, k, partsFor("graph_pagerank", k)))),
       "dedup_incremental" -> (k => {
         // explodeDocs shifts ids by i·1e8, so "is an original" must read
         // id mod 1e8 (the augment copy offsets are below that); the 1e8
@@ -394,22 +430,22 @@ object ScaleProbe {
       println(s"[probe] WARNING: probe heap is ${Runtime.getRuntime.maxMemory >> 20} MiB; " +
         "run with SPARK_DRIVER_MEM=24g so top-factor GC pressure cannot read as superlinearity")
 
-    def runAt(k: Int, build: Int => DataFrame): (Double, Double, Double) = {
-      spark.conf.set("spark.sql.shuffle.partitions", (32 * k).toString)
+    def runAt(name: String, k: Int, build: Int => DataFrame): (Double, Double, Double) = {
+      spark.conf.set("spark.sql.shuffle.partitions", partsFor(name, k).toString)
       try runOnce(build(k))
       finally spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, (Double, Double, Double))]]()
     selected.foreach { case (name, build) =>
-      runAt(1, build) // warmup: absorb codegen + first-touch scan
+      runAt(name, 1, build) // warmup: absorb codegen + first-touch scan
       val trials = scala.collection.mutable.LinkedHashMap[Int, Vector[(Double, Double, Double)]]()
       factors.filterNot(k => k == kLo || k == kHi).foreach { k =>
-        trials(k) = Vector(runAt(k, build))
+        trials(k) = Vector(runAt(name, k, build))
       }
       (1 to VerdictTrials).foreach { _ =>
         Seq(kLo, kHi).foreach { k =>
-          trials(k) = trials.getOrElse(k, Vector.empty) :+ runAt(k, build)
+          trials(k) = trials.getOrElse(k, Vector.empty) :+ runAt(name, k, build)
         }
       }
       def best(ts: Vector[Double]): Double = ts.min
@@ -443,20 +479,37 @@ object ScaleProbe {
     }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val json = results.map { case (name, times) =>
+    def cellFor(name: String): String = {
       val (ratio, ok) = verdicts(name)
-      val cells = times.flatMap { case (k, (t, c, g)) =>
+      val cells = results(name).flatMap { case (k, (t, c, g)) =>
         Seq(s""""x$k":${fmt(t)}""") ++
           (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil) ++
           Seq(s""""x${k}_gc":${fmt(g)}""")
       }
       s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
-    }.mkString("{", ",",
+    }
+    val json = results.keys.map(cellFor).mkString("{", ",",
       s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,""" +
         s""""ratio_metric":"cpu","estimator":"min_of_interleaved_trials",""" +
         s""""heap_mb":${Runtime.getRuntime.maxMemory >> 20}}""")
+    val artifact = java.nio.file.Paths.get("PROFILE_SCALE.json")
     if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("PROFILE_SCALE.json"), json)
+      java.nio.file.Files.writeString(artifact, json)
+    else if (java.nio.file.Files.exists(artifact) && factors == Seq(1, 8, 32)) {
+      // A restricted re-probe at the full factor set MERGES into the
+      // committed sweep artifact (the advertised one-family re-probe
+      // workflow): each family cell is a flat brace-free object, so a
+      // regex splice replaces exactly that family's row and nothing else.
+      var merged = java.nio.file.Files.readString(artifact)
+      results.keys.foreach { name =>
+        val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":\\{[^}]*\\}").r
+        if (pat.findFirstIn(merged).isDefined)
+          merged = pat.replaceFirstIn(merged,
+            java.util.regex.Matcher.quoteReplacement(cellFor(name)))
+      }
+      java.nio.file.Files.writeString(artifact, merged)
+      println(s"[probe] merged ${results.keys.mkString(", ")} into PROFILE_SCALE.json")
+    }
     println(json)
     spark.stop()
     if (failed) sys.exit(1)

@@ -58,6 +58,9 @@ object StageCpu {
         MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "dedup_ngram_pairs" => k =>
         JaccardPairs.nearDupPairs(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case "events_sessions" => k =>
+        graft.operators.Sessionize.sessions(
+          ScaleProbe.explodeEvents(graft.queries.Tables.events(spark, sfDir), k))
       case q if graft.SparkEntry.queries.contains(q) => _ =>
         graft.SparkEntry.queries(q)(spark, sfDir)
       case other => sys.error(s"family not wired for stage diagnosis: $other")
