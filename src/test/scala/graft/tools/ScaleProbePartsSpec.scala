@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the probe harness's partition-sizing contract (no Spark needed):
+  * default families hold constant BYTES per partition via 32·k; tiny-row
+  * (events-based) families run the bytes-regime rule `max(32, 4·k)` so
+  * per-partition bytes stay cluster-realistic (~1 MB, not ~127 KB) and
+  * sort-shuffle's per-(map,reduce)-segment constant cannot read as plan
+  * superlinearity (see the [[ScaleProbe.tinyRowParts]] scaladoc for the
+  * r13 stage-level evidence).
+  */
+class ScaleProbePartsSpec extends AnyFunSuite {
+
+  test("default families scale partitions 32·k") {
+    assert(ScaleProbe.partsFor("dedup_minhash_pairs", 1) === 32)
+    assert(ScaleProbe.partsFor("dedup_minhash_pairs", 8) === 256)
+    assert(ScaleProbe.partsFor("docs_curated", 32) === 1024)
+  }
+
+  test("tiny-row families run max(32, 4·k) — constant rows per partition between verdict factors") {
+    for (fam <- Seq("events_sessions", "graph_pagerank")) {
+      assert(ScaleProbe.partsFor(fam, 1) === 32)
+      assert(ScaleProbe.partsFor(fam, 8) === 32)
+      assert(ScaleProbe.partsFor(fam, 32) === 128)
+      // the verdict ratio compares ×8 vs ×32: rows grow 4× and partitions
+      // grow 4×, so per-partition rows are identical on both sides
+      assert(ScaleProbe.partsFor(fam, 32) === 4 * ScaleProbe.partsFor(fam, 8))
+    }
+  }
+
+  test("every tinyRowParts key is a probe family name (no dead overrides)") {
+    // the override map is consulted by name at runAt; a typo'd key would
+    // silently leave the family on 32·k — keep the keys tied to reality
+    val known = Set(
+      "events_sessions", "graph_pagerank")
+    assert(ScaleProbe.tinyRowParts.keySet === known)
+  }
+}
