@@ -257,12 +257,13 @@ object SparkEntry {
     "dedup_embedding_pairs" -> ((s, dir) =>
       SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir))
         .orderBy("vec_a", "vec_b")),
-    // the 100 TB configuration: 16 planes OR-banded 4×4 bits — oracle-gated,
-    // so the scale path computes exactly what the reference config computes
-    // where their candidate sets overlap
+    // the 100 TB configuration: 4 OR-bands whose key width is DERIVED
+    // IN-PLAN from the corpus count (PlaneBudget.bandBits — bucket
+    // occupancy stays constant at any population), oracle-gated via the
+    // dynamic count→width→signs replay
     "dedup_embedding_pairs_banded" -> ((s, dir) =>
-      SimilaritySearch.nearDupPairs(
-        Tables.embeddings(s, dir), minSim = 0.15, numPlanes = 16, numBands = 4)
+      SimilaritySearch.nearDupPairsDerived(
+        Tables.embeddings(s, dir), minSim = 0.15, numBands = 4)
         .orderBy("vec_a", "vec_b")),
     // --- LLM-data-pipeline: text analysis over documents ---
     "text_langid" -> ((s, dir) =>
@@ -911,7 +912,7 @@ object SparkEntry {
     "dedup_embedding_pairs" -> SimilaritySearch.nearDupPairsOracleSql(),
     "simsearch_centroids" -> graft.similarity.EmbeddingCentroids.centroidsOracleSql(),
     "dedup_embedding_pairs_banded" ->
-      SimilaritySearch.nearDupPairsBandedOracleSql(0.15, 16, 4),
+      SimilaritySearch.nearDupPairsDerivedOracleSql(0.15, 4),
     "text_langid" -> TextAnalysis.languageIdOracleSql,
     "text_quality" -> TextAnalysis.qualityScoreOracleSql(),
     "text_tokens" -> TextAnalysis.tokenCountsOracleSql,

@@ -40,7 +40,7 @@ object EmbeddingCentroids {
 
   def centroidsOracleSql(dims: Int = Dims): String =
     s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-       |       CAST(sum(CAST(round(embedding[i] * ${SimilaritySearch.Scale}) AS BIGINT)) AS BIGINT) AS sum_q,
+       |       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * ${SimilaritySearch.Scale}) AS BIGINT)) AS BIGINT) AS sum_q,
        |       count(*) AS n
        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) t
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

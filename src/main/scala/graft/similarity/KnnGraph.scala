@@ -31,11 +31,21 @@ import org.apache.spark.sql.functions._
   * A vector whose buckets contain no (valid) candidate is absent from the
   * output — the honest ANN contract (recall < 1), pinned by spec against
   * the brute-force baseline on the live corpus.
+  *
+  * The plane budget is DERIVED IN-PLAN from the corpus count by default
+  * ([[PlaneBudget.bandBits]]): `numPlanes = bandBits(count) * numBands`,
+  * so bucket occupancy stays ~[[PlaneBudget.TargetBucket]] at any
+  * population and in-bucket self-join work stays linear — the 100 TB
+  * sizing discipline enforced by the operator itself, not its caller
+  * (VERDICT r13 item 1). The md5 plane family is an unbounded
+  * deterministic sequence, so the DuckDB oracle replays the derivation
+  * (count → width → signs) and every value hash-matches. Pass
+  * `numPlanes = Some(p)` only to pin a fixed configuration (specs, the
+  * reference config).
   */
 object KnnGraph {
 
   val K = 5
-  val NumPlanes = 8
   val NumBands = 2
 
   /** (vec_id, qv, nrm, label, __bks) materialized ONCE — the self-join's
@@ -71,8 +81,9 @@ object KnnGraph {
     * bands.
     */
   private def candidates(
-      embeddings: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
-    val base = bandedBase(embeddings, numPlanes, numBands)
+      embeddings: DataFrame, numBands: Int, numPlanes: Option[Int]): DataFrame = {
+    val planes = numPlanes.getOrElse(PlaneBudget.bandBitsFor(embeddings) * numBands)
+    val base = bandedBase(embeddings, planes, numBands)
     val banded = base
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
         explode(col("__bks")).as("bk"))
@@ -106,8 +117,8 @@ object KnnGraph {
     */
   def graph(
       embeddings: DataFrame, k: Int = K,
-      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame =
-    rank(candidates(embeddings, numPlanes, numBands), k)
+      numBands: Int = NumBands, numPlanes: Option[Int] = None): DataFrame =
+    rank(candidates(embeddings, numBands, numPlanes), k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
 
@@ -117,9 +128,9 @@ object KnnGraph {
     */
   def hardNegatives(
       embeddings: DataFrame,
-      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame =
+      numBands: Int = NumBands, numPlanes: Option[Int] = None): DataFrame =
     rank(
-      candidates(embeddings, numPlanes, numBands)
+      candidates(embeddings, numBands, numPlanes)
         .filter(col("q_label") =!= col("n_label")), 1)
       .select(col("query_id"), col("q_label"),
         col("neighbor_id").as("neg_id"), col("n_label").as("neg_label"),
@@ -136,8 +147,8 @@ object KnnGraph {
     */
   def classify(
       embeddings: DataFrame, k: Int = K,
-      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
-    val votes = rank(candidates(embeddings, numPlanes, numBands), k)
+      numBands: Int = NumBands, numPlanes: Option[Int] = None): DataFrame = {
+    val votes = rank(candidates(embeddings, numBands, numPlanes), k)
       .groupBy(col("query_id"), col("q_label"), col("n_label"))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
@@ -151,49 +162,31 @@ object KnnGraph {
 
   // ---- DuckDB oracle generation ----
 
-  /** Band CTEs shared by both oracles (labels carried through). */
-  private def bandsSql(numPlanes: Int, numBands: Int): String = {
-    val bandBits = numPlanes / numBands
-    val signs = SimilaritySearch.signsFor(numPlanes)
-    def planeSql(p: Int): String =
-      (0 until SimilaritySearch.Dims).map(d => s"qv[${d + 1}]*(${signs(p)(d)})").mkString(" + ")
-    val bands = (0 until numBands).map { b =>
-      val key = (0 until bandBits)
-        .map(i => s"CASE WHEN (${planeSql(b * bandBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"SELECT vec_id, label, qv, nrm, $b AS band, CAST($key AS BIGINT) AS key FROM prep"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-       |             [CAST(round(x * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
-       |      FROM embeddings),
-       |prep0 AS (
-       |  SELECT vec_id, label, qv,
-       |         sqrt(CAST(${SimilaritySearch.dotSql("qv", "qv")} AS DOUBLE)) AS nrm
-       |  FROM q
-       |),
-       |prep AS (SELECT * FROM prep0 WHERE nrm > 0),
-       |bands AS (
-       |  $bands
-       |),
+  /** Band CTEs shared by all three oracles: the DYNAMIC chain from
+    * [[PlaneBudget.dynamicBandsSql]] (count → derived width → md5 signs as
+    * data), so the oracle replays the in-plan derivation at whatever
+    * corpus size it's pointed at, plus the candidate/sims stages (labels
+    * re-joined from `prep`, where they're functionally dependent on
+    * vec_id).
+    */
+  private def bandsSql(numBands: Int): String =
+    s"""${PlaneBudget.dynamicBandsSql(numBands, withLabel = true)},
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS query_id, a.label AS q_label,
-       |                  b.vec_id AS neighbor_id, b.label AS n_label
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        |  WHERE a.vec_id <> b.vec_id
        |),
        |sims AS (
-       |  SELECT query_id, q_label, neighbor_id, n_label,
+       |  SELECT query_id, pa.label AS q_label, neighbor_id, pb.label AS n_label,
        |         ${SimilaritySearch.dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) AS sim
        |  FROM cand
        |  JOIN prep pa ON query_id = pa.vec_id
        |  JOIN prep pb ON neighbor_id = pb.vec_id
        |)""".stripMargin
-  }
 
   /** Oracle SQL for [[graph]]. */
-  def graphOracleSql(
-      k: Int = K, numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
-    s"""WITH ${bandsSql(numPlanes, numBands)}
+  def graphOracleSql(k: Int = K, numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numBands)}
        |SELECT query_id, neighbor_id, sim,
        |       CAST(row_number() OVER (PARTITION BY query_id
        |                               ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
@@ -202,9 +195,8 @@ object KnnGraph {
        |ORDER BY query_id, rn""".stripMargin
 
   /** Oracle SQL for [[classify]]. */
-  def classifyOracleSql(
-      k: Int = K, numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
-    s"""WITH ${bandsSql(numPlanes, numBands)},
+  def classifyOracleSql(k: Int = K, numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numBands)},
        |top AS (
        |  SELECT query_id, q_label, n_label
        |  FROM sims
@@ -220,9 +212,8 @@ object KnnGraph {
        |ORDER BY query_id""".stripMargin
 
   /** Oracle SQL for [[hardNegatives]]. */
-  def hardNegativesOracleSql(
-      numPlanes: Int = NumPlanes, numBands: Int = NumBands): String =
-    s"""WITH ${bandsSql(numPlanes, numBands)}
+  def hardNegativesOracleSql(numBands: Int = NumBands): String =
+    s"""WITH ${bandsSql(numBands)}
        |SELECT query_id, q_label, neighbor_id AS neg_id, n_label AS neg_label, sim
        |FROM sims
        |WHERE q_label <> n_label

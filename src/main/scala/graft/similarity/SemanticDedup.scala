@@ -95,7 +95,7 @@ object SemanticDedup {
     val bucketExpr = (0 until numPlanes)
       .map(p => s"CASE WHEN (${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH q AS (SELECT vec_id, [CAST(round(x * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
+    s"""WITH q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
        |       FROM embeddings),
        |prep0 AS (
        |  SELECT vec_id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm,

@@ -202,6 +202,24 @@ object SimilaritySearch {
     deduped.filter(col("sim") >= minSim)
   }
 
+  /** [[nearDupPairs]] with the plane budget DERIVED IN-PLAN from the live
+    * corpus count ([[PlaneBudget.bandBits]]): `numPlanes =
+    * bandBits(count) * numBands`, so per-band bucket occupancy stays
+    * ~[[PlaneBudget.TargetBucket]] and self-join work stays linear at any
+    * population — the sizing discipline the scaladoc above prescribes,
+    * enforced by the operator (VERDICT r13 item 1). Oracle-replayable via
+    * [[nearDupPairsDerivedOracleSql]] (the md5 plane family is an
+    * unbounded deterministic sequence, so the oracle re-derives the same
+    * width from its own `count(*)`).
+    */
+  def nearDupPairsDerived(
+      embeddings: DataFrame,
+      minSim: Double = 0.15,
+      numBands: Int = 4): DataFrame = {
+    val planes = PlaneBudget.bandBitsFor(embeddings) * numBands
+    nearDupPairs(embeddings, minSim, planes, numBands)
+  }
+
   // ---- DuckDB oracle generation ----
 
   private[similarity] def dotSql(a: String, b: String): String =
@@ -214,7 +232,7 @@ object SimilaritySearch {
     val bucketExpr = (0 until NumPlanes)
       .map(p => s"CASE WHEN (${planeDotSql("qv", p)}) > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
-    s"""q AS (SELECT vec_id, [CAST(round(x * $Scale) AS BIGINT) for x in embedding] AS qv
+    s"""q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding] AS qv
        |       FROM embeddings),
        |prep AS (
        |  SELECT vec_id, qv,
@@ -272,7 +290,7 @@ object SimilaritySearch {
         .mkString(" + ")
       s"SELECT vec_id, qv, nrm, $b AS band, CAST($key AS BIGINT) AS key FROM prep"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH q AS (SELECT vec_id, [CAST(round(x * $Scale) AS BIGINT) for x in embedding] AS qv
+    s"""WITH q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding] AS qv
        |       FROM embeddings),
        |prep0 AS (
        |  SELECT vec_id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm FROM q
@@ -293,6 +311,25 @@ object SimilaritySearch {
        |WHERE ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) >= $minSim
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Oracle SQL for [[nearDupPairsDerived]]: the dynamic CTE chain from
+    * [[PlaneBudget.dynamicBandsSql]] replays count → width → signs, so the
+    * self-sizing plan is itself hash-gated at whatever corpus size the
+    * oracle is pointed at.
+    */
+  def nearDupPairsDerivedOracleSql(minSim: Double, numBands: Int): String =
+    s"""WITH ${PlaneBudget.dynamicBandsSql(numBands, withLabel = false)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) AS sim
+       |FROM cand
+       |JOIN prep pa ON vec_a = pa.vec_id
+       |JOIN prep pb ON vec_b = pb.vec_id
+       |WHERE ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) >= $minSim
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Oracle SQL for [[nearDupPairs]]. */
   def nearDupPairsOracleSql(minSim: Double = 0.15): String =

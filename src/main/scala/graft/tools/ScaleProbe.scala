@@ -331,20 +331,16 @@ object ScaleProbe {
       // the r13 round-2 additions: the three-pass bigram-LM count/join
       // pipeline (vocab and bigram tables grow k× under the per-copy
       // suffix — the 1:1 count joins are the shape under test), and the
-      // banded k-NN self-join. The kNN probe GROWS THE PLANE BUDGET with
-      // k (bandBits + log2(k) per band ⇒ bucket count scales with the
-      // population, bucket SIZE stays constant) — the documented LSH
-      // scale discipline (SimilaritySearch.nearDupPairs scaladoc); at a
-      // fixed plane count in-bucket candidates are quadratic in k by
-      // construction, an index-sizing artifact, not an engine one.
+      // banded k-NN self-join. The kNN probe passes NO plane override
+      // (VERDICT r13 item 1): the operator derives its band width from
+      // the live corpus count (PlaneBudget.bandBits), so bucket count
+      // scales with the population and bucket SIZE stays constant — the
+      // probe now exercises the plan doing its own scaling.
       "text_lm_bigram" -> (k =>
         graft.text.BigramLm.scores(explodeDocs(docs0, k))),
-      "simsearch_knn_graph" -> (k => {
-        val extraBits = (math.log(k.toDouble) / math.log(2.0)).round.toInt
+      "simsearch_knn_graph" -> (k =>
         graft.similarity.KnnGraph.graph(
-          explodeEmbeddings(Tables.embeddings(spark, sfDir), k),
-          numPlanes = (4 + extraBits) * 2, numBands = 2)
-      }))
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
