@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw pass-through for forked-process output: sbt's default LoggedOutput
+// re-tags every forked stdout line with "[info] " (and stderr with
+// "[error] "), which breaks the driver's json-parse of Bench's single
+// stdout summary line — BENCH_r{1..13}.json all recorded parsed:null
+// because no line in the capture ever started with '{'. StdoutOutput
+// inherits this process's raw stdout/stderr instead.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

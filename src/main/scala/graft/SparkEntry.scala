@@ -50,6 +50,19 @@ object SparkEntry {
       graft.graphs.PageRank.ranks(Tables.events(s, dir)).orderBy("node")),
     "graph_degree_hist" -> ((s, dir) =>
       graft.graphs.PageRank.degreeHistogram(Tables.events(s, dir)).orderBy("degree")),
+    // sampled twins of the graph family (edge-atomic universe sample,
+    // md5 keep-predicate → fully oracle-gated): first-order HT degree
+    // estimates, and the mixed-order 1/p,1/p² moment ladder (sum_deg,
+    // wedges). Rank itself is deliberately NOT estimated — PageRank is a
+    // nonlinear fixed point, no HT weighting unbiases it (PageRank
+    // .graphMomentsSampledU scaladoc has the decision)
+    "graph_degree_hist_sampled_u10" -> ((s, dir) =>
+      graft.graphs.PageRank.degreeHistogramSampledU(Tables.events(s, dir))
+        .orderBy("est_degree")),
+    "graph_moments" -> ((s, dir) =>
+      graft.graphs.PageRank.graphMoments(Tables.events(s, dir))),
+    "graph_moments_sampled_u10" -> ((s, dir) =>
+      graft.graphs.PageRank.graphMomentsSampledU(Tables.events(s, dir))),
     // --- approximate mode (seeded sample + HT scale-up; no SQL oracle:
     // --- an external engine can't reproduce Spark's RNG stream) ---
     "wordcount_sampled_r10" -> ((s, dir) =>
@@ -151,6 +164,18 @@ object SparkEntry {
       graft.dedup.IncrementalDedup.matches(s, dir).orderBy("doc_id")),
     "dedup_incremental_novel" -> ((s, dir) =>
       graft.dedup.IncrementalDedup.novel(s, dir).orderBy("doc_id")),
+    // BATCH REPLAY of the stream-static dedup join: the SAME
+    // nearDupsAgainstIndex call (stateless, so batch ≡ stream per
+    // micro-batch) over the base/delta split — the streaming ingest path's
+    // band-meeting + signature-similarity math, oracle-gated
+    "dedup_stream_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.StreamingDedup.nearDupsAgainstIndex(
+        graft.dedup.IncrementalDedup.deltaCorpus(docs),
+        MinHashLSH.signatures(graft.dedup.IncrementalDedup.baseCorpus(docs)),
+        minSim = 0.5)
+        .orderBy("doc_id", "index_doc", "band")
+    }),
     "dedup_clusters" -> ((s, dir) => {
       val corpus = DedupCorpus.augment(Tables.documents(s, dir))
       DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
@@ -626,6 +651,14 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(Tables.events(s, dir))
         .orderBy("user_id", "session_id")),
+    // BATCH REPLAY of the streaming sessionize sweep (the
+    // events_windowed_u10 pattern): the SAME flatMapGroupsWithState
+    // lambda over the batch frame, per-user sentinels closing each final
+    // session (batch never fires timeouts) — oracle-gated by the batch
+    // operator's SQL; StreamingSessionizeSpec pins the triggered run
+    "events_sessions_stream_replay" -> ((s, dir) =>
+      graft.streaming.StreamingSessionize.sessionsBatchReplay(s, Tables.events(s, dir))
+        .orderBy("user_id", "session_id")),
     "events_topk_group" -> ((s, dir) =>
       graft.operators.GroupTopK.topK(Tables.events(s, dir))
         .orderBy("event_type", "rn")),
@@ -874,6 +907,11 @@ object SparkEntry {
         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
     "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
+    "graph_degree_hist_sampled_u10" ->
+      graft.graphs.PageRank.degreeHistogramSampledUOracleSql(),
+    "graph_moments" -> graft.graphs.PageRank.graphMomentsOracleSql,
+    "graph_moments_sampled_u10" ->
+      graft.graphs.PageRank.graphMomentsSampledUOracleSql(),
     "dedup_exact" ->
       s"""WITH corpus AS (${DedupCorpus.augmentSql})
          |SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_cnt
@@ -887,6 +925,7 @@ object SparkEntry {
     "dedup_shared_spans" -> graft.text.SharedSpans.pairsOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
+    "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
     // same exact-reachability oracle: both CC strategies converge to the
     // same min-id representatives, so the bigstar path is gated by the
@@ -1046,6 +1085,9 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "events_sessions" -> graft.operators.Sessionize.sessionsOracleSql(),
+    // the replay emits exactly the batch operator's session set (sentinels
+    // close the finals; sentinel sessions stay open and unemitted)
+    "events_sessions_stream_replay" -> graft.operators.Sessionize.sessionsOracleSql(),
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,

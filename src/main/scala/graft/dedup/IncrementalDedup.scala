@@ -126,14 +126,15 @@ object IncrementalDedup {
   // ---- DuckDB oracle (recomputes the saved index from its derivation —
   // ---- the artifact is deterministic, the qualityModelSaved pattern) ----
 
+  private def baseSql: String =
+    s"SELECT doc_id, text FROM aug WHERE doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod <> 0"
+  private def deltaSql: String =
+    s"SELECT doc_id, text FROM aug WHERE (doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod = 0) OR doc_id >= ${DedupCorpus.ExactDupOffset}"
+
   private def corpusSplitSql: String = {
-    val base =
-      s"SELECT doc_id, text FROM aug WHERE doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod <> 0"
-    val delta =
-      s"SELECT doc_id, text FROM aug WHERE (doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod = 0) OR doc_id >= ${DedupCorpus.ExactDupOffset}"
     s"""aug AS (${DedupCorpus.augmentSql}),
-       |${MinHashLSH.sigCtes(base, "b")},
-       |${MinHashLSH.sigCtes(delta, "d")},
+       |${MinHashLSH.sigCtes(baseSql, "b")},
+       |${MinHashLSH.sigCtes(deltaSql, "d")},
        |bb AS (
        |  ${MinHashLSH.bandKeysSql("bsig")}
        |),
@@ -174,4 +175,34 @@ object IncrementalDedup {
        |SELECT doc_id FROM dcorpus
        |WHERE doc_id NOT IN (SELECT doc_id FROM best)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for the BATCH REPLAY of
+    * [[graft.streaming.StreamingDedup.nearDupsAgainstIndex]] over this
+    * object's base/delta split (VERDICT r13 §missing 3): one row per
+    * (delta doc, index doc, band) bucket meeting with sim = agreeing
+    * components / ${MinHashLSH.NumHashes} — faithfully the streaming
+    * operator's per-band append output (no bucket cap, no distinct; the
+    * cap belongs on the index side and the per-band multiplicity is the
+    * documented OR-construction behavior).
+    */
+  def streamReplayOracleSql(minSim: Double = 0.5): String = {
+    val simSql =
+      s"CAST(${MinHashLSH.simMatchesSql} AS DOUBLE) / ${MinHashLSH.NumHashes}"
+    s"""WITH aug AS (${DedupCorpus.augmentSql}),
+       |${MinHashLSH.sigCtes(baseSql, "b")},
+       |${MinHashLSH.sigCtes(deltaSql, "d")},
+       |bb AS (
+       |  ${MinHashLSH.bandKeysSql("bsig")}
+       |),
+       |db AS (
+       |  ${MinHashLSH.bandKeysSql("dsig")}
+       |)
+       |SELECT d.doc_id, b.doc_id AS index_doc, d.band, $simSql AS sim
+       |FROM db d
+       |JOIN bb b ON d.band = b.band AND d.key = b.key
+       |JOIN dsig sa ON d.doc_id = sa.doc_id
+       |JOIN bsig sb ON b.doc_id = sb.doc_id
+       |WHERE d.doc_id <> b.doc_id AND $simSql >= $minSim
+       |ORDER BY d.doc_id, index_doc, d.band""".stripMargin
+  }
 }

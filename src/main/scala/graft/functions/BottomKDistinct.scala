@@ -54,6 +54,9 @@ case class BottomKDistinct(
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BIGINT input column")
     else if (!(kExpr.foldable && kExpr.dataType == IntegerType))
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal INT k")
+    else if (kExpr.eval() == null) // CAST(NULL AS INT) is foldable; the lazy
+      // k would NPE during analysis instead of failing the type check
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must not be NULL")
     else if (k < 1 || k > (1 << 20))
       TypeCheckResult.TypeCheckFailure(s"$prettyName k out of range: $k")
     else TypeCheckResult.TypeCheckSuccess

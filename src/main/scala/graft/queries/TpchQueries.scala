@@ -950,8 +950,12 @@ object TpchQueries {
         .select(col("s_suppkey"), col("s_name"),
           round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c"),
           col("n_name")))
+    // greatest(..., 1): a quantity rounding to 0 would make Spark's div
+    // yield NULL (silently ignored by min) while DuckDB's // raises — a
+    // latent engine divergence if fixtures ever carry sub-0.5 quantities
+    // (ADVICE r13; the KmvSketch greatest(hk, 1) pattern)
     val unitCost = expr(
-      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100L) div CAST(round(l_quantity) AS BIGINT)")
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100L) div greatest(CAST(round(l_quantity) AS BIGINT), 1L)")
     val cost = lineitem
       .join(parts.select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .join(eur.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
@@ -980,7 +984,7 @@ object TpchQueries {
        |        WHERE r_name = '$Q2Region'),
        |cost AS (SELECT l_partkey, l_suppkey,
        |           min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
-       |               // CAST(round(l_quantity) AS BIGINT)) AS unit_cost_c2
+       |               // greatest(CAST(round(l_quantity) AS BIGINT), 1)) AS unit_cost_c2
        |         FROM lineitem JOIN parts ON l_partkey = p_partkey
        |         JOIN eur ON l_suppkey = s_suppkey
        |         GROUP BY 1, 2),

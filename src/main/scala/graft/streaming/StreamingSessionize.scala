@@ -95,4 +95,34 @@ object StreamingSessionize {
           closed.iterator
       }
   }
+
+  /** BATCH REPLAY of the streaming sweep (the `events_windowed_u10`
+    * pattern, VERDICT r13 item 5): the SAME [[sessions]] call — same
+    * lambda, same state machine — run over the batch events frame, so the
+    * sweep's gap/close/numbering logic gets an oracle-gated CORRECTNESS
+    * row (the batch operator's `sessionsOracleSql` — identical schema).
+    *
+    * Batch execution never fires group-state timeouts (GroupStateImpl
+    * .createForBatch has no clock; `setTimeoutTimestamp` is legal but
+    * inert), so each user's FINAL open session would be silently dropped.
+    * A per-user SENTINEL event at `max(ts) + gap + 1µs` — strictly beyond
+    * any event that could extend the last real session — forces the sweep
+    * to close it; the sentinel's own 1-event session is the only state
+    * left open at end-of-group and is never emitted. The emitted frame is
+    * therefore exactly the batch operator's full session set.
+    * StreamingSessionizeSpec separately pins the TRIGGERED streaming run
+    * (watermark-flushed) row-identical to the batch operator, closing the
+    * loop: stream ≡ batch ≡ oracle.
+    */
+  def sessionsBatchReplay(
+      spark: SparkSession,
+      events: DataFrame,
+      gapUs: Long = graft.operators.Sessionize.GapUs): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"))
+    val sentinels = ev
+      .groupBy(col("user_id"))
+      .agg(timestamp_micros(unix_micros(max(col("ts"))) + gapUs + 1L).as("ts"))
+      .select(col("user_id"), lit(-1L).as("event_id"), col("ts"))
+    sessions(spark, ev.unionByName(sentinels), gapUs).toDF()
+  }
 }

@@ -340,7 +340,21 @@ object ScaleProbe {
         graft.text.BigramLm.scores(explodeDocs(docs0, k))),
       "simsearch_knn_graph" -> (k =>
         graft.similarity.KnnGraph.graph(
-          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))))
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))),
+      // the r14 additions (VERDICT r13 item 2): the two heaviest
+      // previously-unprobed families. dedup_shared_spans was the #2 CPU
+      // consumer in BENCH_CPU_r13 — its winnowing fingerprint bucket join
+      // is exactly where a boilerplate span would go quadratic without the
+      // MaxFpDocs anti-join cap; the disjoint-vocabulary explode gives
+      // each copy its own span structure, so pairs and bucket work must
+      // grow ~k×. dedup_pairs_editdist pays O(|a|·|b|) DP per candidate —
+      // linear overall iff the LSH-filtered pair table grows k×, which is
+      // what the probe pins (per-pair DP cost is a constant of the
+      // fixture's doc lengths at every factor).
+      "dedup_shared_spans" -> (k =>
+        graft.text.SharedSpans.pairs(explodeDocs(docs0, k))),
+      "dedup_pairs_editdist" -> (k =>
+        graft.dedup.EditVerify.verifiedMinHashPairs(explodeDocs(docs0, k))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
@@ -496,15 +510,32 @@ object ScaleProbe {
       // committed sweep artifact (the advertised one-family re-probe
       // workflow): each family cell is a flat brace-free object, so a
       // regex splice replaces exactly that family's row and nothing else.
+      // Guards (ADVICE r13): the artifact's "sf" trailer must match this
+      // probe's fixture — rows measured on another fixture must never
+      // silently enter the committed sweep — and a family probed for the
+      // FIRST time via a restricted run is appended before the trailer
+      // instead of being dropped on the floor.
       var merged = java.nio.file.Files.readString(artifact)
-      results.keys.foreach { name =>
-        val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":\\{[^}]*\\}").r
-        if (pat.findFirstIn(merged).isDefined)
-          merged = pat.replaceFirstIn(merged,
-            java.util.regex.Matcher.quoteReplacement(cellFor(name)))
+      val artifactSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(merged).map(_.group(1))
+      if (!artifactSf.contains(sfDir)) {
+        println(s"[probe] NOT merging into PROFILE_SCALE.json: artifact sf=" +
+          s"${artifactSf.getOrElse("<missing>")} but this probe ran on $sfDir " +
+          "(results printed above only)")
+      } else {
+        results.keys.foreach { name =>
+          val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":\\{[^}]*\\}").r
+          if (pat.findFirstIn(merged).isDefined)
+            merged = pat.replaceFirstIn(merged,
+              java.util.regex.Matcher.quoteReplacement(cellFor(name)))
+          else {
+            val at = merged.indexOf("\"sf\":")
+            merged = merged.substring(0, at) + cellFor(name) + "," + merged.substring(at)
+            println(s"[probe] appended first-time family $name to PROFILE_SCALE.json")
+          }
+        }
+        java.nio.file.Files.writeString(artifact, merged)
+        println(s"[probe] merged ${results.keys.mkString(", ")} into PROFILE_SCALE.json")
       }
-      java.nio.file.Files.writeString(artifact, merged)
-      println(s"[probe] merged ${results.keys.mkString(", ")} into PROFILE_SCALE.json")
     }
     println(json)
     spark.stop()

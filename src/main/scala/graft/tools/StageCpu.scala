@@ -58,9 +58,15 @@ object StageCpu {
         MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "dedup_ngram_pairs" => k =>
         JaccardPairs.nearDupPairs(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
-      case "events_sessions" => k =>
+      case "events_sessions" => k => {
+        // match the probe's tiny-row partition regime (ADVICE r13): the
+        // fixture AND the shuffle run at ScaleProbe.partsFor, so a stage
+        // diagnosis reproduces the configuration the sweep actually timed
+        val parts = ScaleProbe.partsFor("events_sessions", k)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         graft.operators.Sessionize.sessions(
-          ScaleProbe.explodeEvents(graft.queries.Tables.events(spark, sfDir), k))
+          ScaleProbe.explodeEvents(graft.queries.Tables.events(spark, sfDir), k, parts))
+      }
       case q if graft.SparkEntry.queries.contains(q) => _ =>
         graft.SparkEntry.queries(q)(spark, sfDir)
       case other => sys.error(s"family not wired for stage diagnosis: $other")
