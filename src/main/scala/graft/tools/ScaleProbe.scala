@@ -75,11 +75,41 @@ object ScaleProbe {
     */
   val tinyRowParts: Map[String, Int => Int] = Map(
     "events_sessions" -> ((k: Int) => math.max(32, 4 * k)),
-    "graph_pagerank" -> ((k: Int) => math.max(32, 4 * k)))
+    "graph_pagerank" -> ((k: Int) => math.max(32, 4 * k)),
+    // r14 (VERDICT r13 item 7): the minhash pair family's SHUFFLES carry
+    // band keys and 16-long signatures — 45.6 MB over 1024 reduce
+    // partitions at ×32 (44 KB each, StageCpu run in the artifact note).
+    // Its stage CPU already scaled 4.29 vs linear 4.0; the process-CPU
+    // excess was per-task overhead (87.8 s of task DESERIALIZATION at
+    // ×32 vs 6.5 s at ×8 — ∝ task count × union-fan-in plan size, a
+    // harness term). Note the asymmetry for doc families: the FIXTURE
+    // stays at explodeDocs' 32·k (document-sized rows, the scan side is
+    // bytes-realistic); only the shuffle partitions drop to the regime.
+    "dedup_minhash_pairs" -> ((k: Int) => math.max(32, 4 * k)))
 
   /** Partition count for `family` at factor `k` (default 32·k). */
   def partsFor(family: String, k: Int): Int =
     tinyRowParts.get(family).map(_(k)).getOrElse(32 * k)
+
+  /** Stage-attribution notes carried into the artifact cell (VERDICT r13
+    * item 7): for families whose ratio sits near the bound for PINNED
+    * harness/regime reasons rather than plan reasons, the evidence lives
+    * next to the number instead of in a per-round forensic exercise.
+    * Populated from `tools/StageCpu` runs; keep each note one sentence.
+    */
+  val AttributionNotes: Map[String, String] = Map(
+    "dedup_minhash_pairs" ->
+      ("StageCpu 8/32 (r14): stage CPU 16.3->70.0s = 4.29 vs linear 4.0 — the " +
+        "plan's work is linear; the former 7.02 process-CPU ratio was task " +
+        "deserialization (6.5->87.8s, ~3000 tasks x k-branch union plan, a " +
+        "probe-fixture term) + 44KB reduce partitions, now run at the " +
+        "bytes-regime partition rule like the other tiny-row shuffles"),
+    "events_sessions" ->
+      ("StageCpu 8/32 at the bytes regime (r14): stage CPU 4.4->18.2s = 4.14 " +
+        "vs linear 4.0, map stage 3.28, window stage 3.8 — plan work linear; " +
+        "the residual over-linearity in min-of-trials process CPU is host " +
+        "noise plus the AQE-coalesced single-task final sink stage (1.6->8.5s, " +
+        "58MB fits one advisory partition at both factors)"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
@@ -496,7 +526,9 @@ object ScaleProbe {
           (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil) ++
           Seq(s""""x${k}_gc":${fmt(g)}""")
       }
-      s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok}"""
+      val note = AttributionNotes.get(name)
+        .map(n => s""","note":"${n.replace("\"", "'")}"""").getOrElse("")
+      s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok$note}"""
     }
     val json = results.keys.map(cellFor).mkString("{", ",",
       s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,""" +
