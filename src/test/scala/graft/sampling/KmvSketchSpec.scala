@@ -73,4 +73,15 @@ class KmvSketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
+
+  test("bottom_k: a foldable NULL k fails the type check, not an analysis NPE") {
+    // ADVICE r13: checkInputDataTypes evaluated the lazy k before the null
+    // check, so SQL's bottom_k(x, CAST(NULL AS INT)) threw NPE mid-analysis
+    import spark.implicits._
+    Seq(("g", 1L)).toDF("g", "v").createOrReplaceTempView("bk_null_k")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT g, bottom_k(v, CAST(NULL AS INT)) FROM bk_null_k GROUP BY g").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("null"))
+  }
 }
