@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.catalyst.plans.logical.Window
+
+/** Tripwire for ACCIDENTAL single-partition windows (VERDICT r13 §perf:
+  * the deliberate 32-256-row bucket-offset windows flood the logs with
+  * WindowExec warnings, which would mask a future accidental global
+  * window — and the bench now runs at ERROR level, silencing even that).
+  * This spec makes the masking impossible at the PLAN level: it walks the
+  * optimized plan of EVERY declared query (the SchemaContractSpec sweep
+  * pattern) and asserts the exact set of queries carrying a partition-less
+  * Window equals the documented whitelist — each member a bounded
+  * bucket-offset frame (two-level prefix sum over ≤ shuffle-partition-count
+  * offset rows; see TokenBudget/RangeRank/GlobalShuffle scaladoc), never a
+  * corpus-wide sort. A new global window anywhere else fails HERE with the
+  * query name, whatever the log level.
+  */
+class GlobalWindowTripwireSpec extends SparkSpec {
+
+  /** Queries whose optimized plans legitimately contain a partition-less
+    * Window. Every entry must trace to one of the documented bucket-offset
+    * frames; additions require the same scaladoc argument (frame bounded
+    * by partition count, not data size).
+    */
+  private val DocumentedGlobalWindows: Set[String] = Set(
+    // TokenBudget.select prefix sum over per-bucket offsets
+    "docs_token_budget", "docs_token_budget_sampled_u10",
+    // SequencePacking pack assignment rides the same offset frame
+    "docs_packed", "docs_pack_fill", "docs_pack_boundaries",
+    "docs_packed_mixture",
+    // composed pipelines embedding the packing stage (the sampled-summary
+    // twin is absent: its HT estimate ceiling-divides totals and never
+    // runs the pack-assignment window)
+    "docs_training_shard", "docs_training_shard_neardup", "docs_shard_summary",
+    // RangeRank global rank via per-partition offsets
+    "docs_global_shuffle", "docs_shuffle_manifest", "docs_quality_deciles",
+    // KMV window spelling: top-k over per-group hashes, grouped frame is
+    // the partition column set — flagged only where the group count is 1
+    "text_vocab_kmv")
+
+  test("the global-window query set is exactly the documented whitelist") {
+    assumeTestdata(sf001)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf001).queryExecution.optimizedPlan
+          catch {
+            case e: Throwable =>
+              fail(s"query $name failed to analyze: ${e.getMessage}")
+          }
+        val globals = plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        if (globals.nonEmpty) Some(name) else None
+    }.toSet
+    val undocumented = offenders -- DocumentedGlobalWindows
+    val stale = DocumentedGlobalWindows -- offenders
+    assert(undocumented.isEmpty,
+      s"UNdocumented global windows (single-partition sort risk): $undocumented")
+    assert(stale.isEmpty,
+      s"whitelist entries no longer carrying a global window (update the doc): $stale")
+  }
+}

@@ -13,13 +13,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleProbePartsSpec extends AnyFunSuite {
 
   test("default families scale partitions 32·k") {
-    assert(ScaleProbe.partsFor("dedup_minhash_pairs", 1) === 32)
-    assert(ScaleProbe.partsFor("dedup_minhash_pairs", 8) === 256)
+    assert(ScaleProbe.partsFor("dedup_ngram_pairs", 1) === 32)
+    assert(ScaleProbe.partsFor("dedup_ngram_pairs", 8) === 256)
     assert(ScaleProbe.partsFor("docs_curated", 32) === 1024)
   }
 
   test("tiny-row families run max(32, 4·k) — constant rows per partition between verdict factors") {
-    for (fam <- Seq("events_sessions", "graph_pagerank")) {
+    // dedup_minhash_pairs joined the regime in r14: its SHUFFLES carry
+    // band keys/signatures (44 KB per reduce partition at ×32 under 32·k),
+    // while its FIXTURE stays at explodeDocs' 32·k (document-sized rows)
+    for (fam <- Seq("events_sessions", "graph_pagerank", "dedup_minhash_pairs")) {
       assert(ScaleProbe.partsFor(fam, 1) === 32)
       assert(ScaleProbe.partsFor(fam, 8) === 32)
       assert(ScaleProbe.partsFor(fam, 32) === 128)
@@ -33,7 +36,7 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     // the override map is consulted by name at runAt; a typo'd key would
     // silently leave the family on 32·k — keep the keys tied to reality
     val known = Set(
-      "events_sessions", "graph_pagerank")
+      "events_sessions", "graph_pagerank", "dedup_minhash_pairs")
     assert(ScaleProbe.tinyRowParts.keySet === known)
   }
 }
