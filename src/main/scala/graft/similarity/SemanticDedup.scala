@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** Planes for the cluster bucketing: 8 → 256 buckets. */
+  /** Fixed-plane fallback for pinned configurations: 8 → 256 buckets. The
+    * DEFAULT path now derives the width from the live corpus count
+    * ([[PlaneBudget.bandBits]], r14) so cluster granularity tracks the
+    * population — with a fixed width, bucket population grows linearly
+    * and the single representative becomes an ever-coarser cluster proxy
+    * (cost stays linear either way: one rep compare per vector; this knob
+    * is about DECISION quality, not join work).
+    */
   val NumPlanes = 8
 
   /** Drop threshold: quantized cosine to the bucket representative. */
@@ -52,7 +59,8 @@ object SemanticDedup {
   def decisions(
       embeddings: DataFrame,
       minSim: Double = MinSim,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Option[Int] = None): DataFrame = {
+    val planes = numPlanes.getOrElse(PlaneBudget.bandBitsFor(embeddings))
     val qv = SimilaritySearch.quantize(col("embedding"))
     // prep feeds THREE plan branches (rep-id agg, rep-vector lookup, final
     // probe); without materialization each branch rescans the corpus and
@@ -63,7 +71,7 @@ object SemanticDedup {
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0)
-      .withColumn("bucket", bucketCol(col("qv"), numPlanes))
+      .withColumn("bucket", bucketCol(col("qv"), planes))
       .localCheckpoint(false)
     // reps keeps ONLY rep_id: the representative row's own bucket column
     // (from prep) identifies the bucket after the join, and carrying the
@@ -82,37 +90,28 @@ object SemanticDedup {
         (col("vec_id") === col("rep_id") || sim < minSim).as("keep"))
   }
 
-  /** DuckDB oracle for [[decisions]]. */
-  def decisionsOracleSql(
-      minSim: Double = MinSim,
-      numPlanes: Int = NumPlanes): String = {
-    val dims = SimilaritySearch.Dims
-    val signs = SimilaritySearch.signsFor(numPlanes)
-    def dotSql(a: String, b: String): String =
-      s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${dims + 1})]) AS BIGINT)"
-    def planeSql(p: Int): String =
-      (0 until dims).map(d => s"qv[${d + 1}]*(${signs(p)(d)})").mkString(" + ")
-    val bucketExpr = (0 until numPlanes)
-      .map(p => s"CASE WHEN (${planeSql(p)}) > 0 THEN ${1L << p} ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * ${SimilaritySearch.Scale}) AS BIGINT) for x in embedding] AS qv
-       |       FROM embeddings),
-       |prep0 AS (
-       |  SELECT vec_id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm,
-       |         CAST($bucketExpr AS BIGINT) AS bucket
-       |  FROM q
-       |),
-       |prep AS (SELECT * FROM prep0 WHERE nrm > 0),
-       |reps AS (SELECT bucket, min(vec_id) AS rep_id FROM prep GROUP BY bucket),
+  /** DuckDB oracle for [[decisions]] with the DERIVED width: the dynamic
+    * count→width→signs chain of [[PlaneBudget.dynamicBandsSql]] at
+    * `numBands = 1` — its single band's `key` IS this operator's bucket
+    * (bit i = plane i), so the self-sizing clustering replays at whatever
+    * corpus size the oracle is pointed at.
+    */
+  def decisionsOracleSql(minSim: Double = MinSim): String = {
+    def dotSql(a: String, b: String): String = SimilaritySearch.dotSql(a, b)
+    s"""WITH ${PlaneBudget.dynamicBandsSql(1, withLabel = false)},
+       |bk AS (SELECT vec_id, key AS bucket FROM bands),
+       |reps AS (SELECT bucket, min(vec_id) AS rep_id FROM bk GROUP BY bucket),
        |repv AS (
        |  SELECT r.bucket, r.rep_id, p.qv AS rep_qv, p.nrm AS rep_nrm
        |  FROM reps r JOIN prep p ON p.vec_id = r.rep_id
        |)
-       |SELECT p.vec_id, p.bucket, v.rep_id,
+       |SELECT p.vec_id, b.bucket, v.rep_id,
        |       ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) AS sim,
        |       (p.vec_id = v.rep_id
        |        OR ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) < $minSim) AS keep
-       |FROM prep p JOIN repv v ON p.bucket = v.bucket
+       |FROM prep p
+       |JOIN bk b ON b.vec_id = p.vec_id
+       |JOIN repv v ON b.bucket = v.bucket
        |ORDER BY p.vec_id""".stripMargin
   }
 }

@@ -13,7 +13,8 @@ class SemanticDedupSpec extends SparkSpec {
   test("decisions agree with a brute-force scala reimplementation") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
-    val np = SemanticDedup.NumPlanes
+    // the operator derives its width from the raw corpus count (r14)
+    val np = PlaneBudget.bandBits(vecs.length.toLong)
     val signs = SimilaritySearch.signsFor(np)
     val prep = vecs.map { case (id, e) =>
       val qv = e.map(x => math.round(x.toDouble * SimilaritySearch.Scale)).toArray
