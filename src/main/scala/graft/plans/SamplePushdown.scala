@@ -65,5 +65,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.CountInSet.descriptor)
     extensions.injectFunction(graft.functions.WordShingles.descriptor)
     extensions.injectFunction(graft.functions.BottomKDistinct.descriptor)
+    extensions.injectFunction(graft.functions.WinnowMins.descriptor)
   }
 }

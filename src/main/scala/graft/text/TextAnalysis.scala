@@ -384,48 +384,29 @@ object TextAnalysis {
     qualityModelSqlWith(s"${Hashing.hash60Sql("'q:' || f")} % $WeightMod - $half")
   }
 
-  val GramLen = 8
-  val WinnowWindow = 4
-  val PolyBase = 131L
-  val PolyMod = 2147483647L // 2^31 - 1
-  private val PolyPow: IndexedSeq[Long] =
-    (0 until GramLen).scanLeft(1L)((acc, _) => acc * PolyBase % PolyMod).take(GramLen)
-
-  /** Polynomial hash of the 8-gram starting at 1-based position `i`, over a
-    * pre-materialized char-code array: Σ code[i+j] · B^(7−j) mod P.
-    *
-    * Integer arithmetic → engine-exact. The codes array matters: hashing
-    * via `substr(text, i+j, 1)` would be O(position) per call (UTF8String
-    * scans code points), turning the whole doc quadratic — measured 13.9 s
-    * vs 3.7 s for md5 at sf0.1. One O(n) `split`+`ascii` projection per doc
-    * then O(1) `element_at` lookups makes it linear.
-    */
-  private def gramHash(codes: Column, i: Column): Column =
-    (0 until GramLen)
-      .map(j => element_at(codes, (i + j).cast("int")) * PolyPow(GramLen - 1 - j))
-      .reduce[Column](_ + _) % PolyMod
+  // Single source of truth for the winnowing parameters is the codegen'd
+  // kernel (graft.functions.WinnowMins); these aliases keep the public
+  // names the oracle SQL and the specs have always used.
+  val GramLen: Int = graft.functions.WinnowMins.GramLen
+  val WinnowWindow: Int = graft.functions.WinnowMins.WinnowWindow
+  val PolyBase: Long = graft.functions.WinnowMins.PolyBase
+  val PolyMod: Long = graft.functions.WinnowMins.PolyMod
+  private val PolyPow: IndexedSeq[Long] = graft.functions.WinnowMins.PolyPow
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
-    * 2003): hash every char 8-gram (rolling set), slide a window of 4
-    * positions, keep each window's minimum — the classic winnowing
-    * selection. Output per doc: number of distinct
-    * fingerprints and the global minimum (the doc's "sketch id").
+    * 2003): hash every char 8-gram, slide a window of 4 positions, keep
+    * each window's minimum — the classic winnowing selection. Output per
+    * doc: number of distinct fingerprints and the global minimum (the
+    * doc's "sketch id").
     *
-    * Scale shape: ENTIRELY per-row array computation — no explode, no
-    * shuffle, no window operator. Earlier rounds exploded to (doc, pos,
-    * hash) and ran a partition-by-doc window min: that shuffles and sorts
-    * every character-gram of the corpus (the 2nd-heaviest query at sf0.1).
-    * The winnowing state is one longs-array of length(text) per row —
-    * the same per-doc state the window sort held, without the exchange.
-    *
-    * Plan-shape care (the HOF lambda trap, see [[graft.dedup.Hashing]]):
-    * `__codes` is safe as a plain projection (referenced 8× in gramHash →
-    * never re-inlined), but the hash array `hs` is referenced ONCE by the
-    * window-min lambda, and CollapseProject re-inlines single-use aliases —
-    * which would recompute the full gram-hash transform PER WINDOW
-    * POSITION. The explode-of-one-struct barrier pins `hs` as a
-    * materialized attribute.
+    * Scale shape: ENTIRELY per-row computation — no explode, no shuffle,
+    * no window operator. Earlier rounds exploded to (doc, pos, hash) and
+    * ran a partition-by-doc window min: that shuffles and sorts every
+    * character-gram of the corpus (the 2nd-heaviest query at sf0.1). The
+    * r13 form kept it per-row but walked four interpreted HOF lambdas per
+    * char; since r14 the whole chain is the one codegen'd
+    * [[graft.functions.WinnowMins]] pass.
     */
   def fingerprints(docs: DataFrame): DataFrame =
     winnowed(docs)
@@ -438,27 +419,16 @@ object TextAnalysis {
     * shared by the [[fingerprints]] profile and the cross-doc
     * [[SharedSpans]] pair detector.
     */
-  private[text] def winnowed(docs: DataFrame): DataFrame = {
-    val n = length(col("text"))
-    val hs = transform(sequence(lit(1), col("__ngrams")), i => gramHash(col("__codes"), i))
-    val wmins = transform(
-      sequence(lit(0), col("__ng") - WinnowWindow),
-      p => array_min(slice(col("__hs"), p + lit(1), lit(WinnowWindow))))
+  private[text] def winnowed(docs: DataFrame): DataFrame =
     graft.queries.Tables.parallelismFloor(docs)
       // docs too short for one full window produce no output row (same
-      // row set the explode+filter pipeline produced)
-      .filter(n >= GramLen + WinnowWindow - 1)
+      // row set the explode+filter pipeline produced); the kernel returns
+      // an empty array for them, but the filter keeps the ROW SET of the
+      // original pipeline
+      .filter(length(col("text")) >= GramLen + WinnowWindow - 1)
       .select(
         col("doc_id"),
-        transform(filter(split(col("text"), ""), c => c =!= ""), c => ascii(c).cast("long"))
-          .as("__codes"),
-        (n - (GramLen - 1)).as("__ngrams"))
-      .select(
-        col("doc_id"),
-        explode(array(struct(hs.as("hs"), col("__ngrams").as("ng")))).as("__g"))
-      .select(col("doc_id"), col("__g.hs").as("__hs"), col("__g.ng").as("__ng"))
-      .select(col("doc_id"), wmins.as("__wmins"))
-  }
+        graft.functions.WinnowMins.winnowMins(col("text")).as("__wmins"))
 
   /** (doc_id, fp): each document's DISTINCT winnowing fingerprints, one
     * row per fingerprint — the exploded form the shared-span join
