@@ -37,12 +37,25 @@ object SharedSpans {
   val MinShared = 2L
 
   /** Containment floor, percent: a pair is reported only when it shares at
-    * least this fraction of the SMALLER document's fingerprint set. The
-    * absolute [[MinShared]] floor alone is vocabulary-relative — on a
-    * corpus with heavy phrase reuse, most document pairs share a couple of
-    * accidental spans (measured: 137k ≥2-fp pairs on the 600-doc fixture,
-    * an O(n²)-shaped report) — while containment is the plagiarism-
-    * detector metric that stays selective at any corpus size.
+    * least this fraction of the SMALLER document's DISTINCTIVE (sub-cap)
+    * fingerprint set. The absolute [[MinShared]] floor alone is
+    * vocabulary-relative — on a corpus with heavy phrase reuse, most
+    * document pairs share a couple of accidental spans (measured: 137k
+    * ≥2-fp pairs on the 600-doc fixture, an O(n²)-shaped report) — while
+    * containment is the plagiarism-detector metric that stays selective at
+    * any corpus size.
+    *
+    * The denominator counts SURVIVING fingerprints (post-[[MaxFpDocs]]),
+    * not the raw set: numerator pairs can only ever meet on surviving
+    * fingerprints, so a raw denominator makes the achievable containment
+    * shrink with the corpus-wide boilerplate fraction — at sf0.1 87 % of
+    * the (doc, fp) stream is over-cap and even EXACT COPIES measured ~13 %
+    * containment (the operator reported zero pairs; true duplicates were
+    * structurally unreachable, and at 100 TB virtually every span is
+    * carried by >64 docs). Over the surviving space an exact copy is
+    * containment 10⁴ bp at any scale, while boilerplate-only overlap still
+    * scores low — this is the winnowing-with-stoplist convention: judge
+    * similarity over the distinctive spans.
     */
   val MinContainmentPct = 50L
 
@@ -58,11 +71,11 @@ object SharedSpans {
       .filter(col("__c") > MaxFpDocs)
       .select("fp")
     val ok = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-    // per-doc fingerprint-set sizes (the containment denominators) come
-    // from the SAME checkpointed stream — no second winnowing pass. The
-    // min() over an UNcapped count is deliberate: capping would inflate
-    // containment of boilerplate-heavy docs.
-    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    // per-doc SURVIVING-fingerprint counts (the containment denominators):
+    // same checkpointed stream, post-cap — see [[MinContainmentPct]] for
+    // why the raw count would strangle true-duplicate recall as the
+    // corpus-wide boilerplate fraction grows
+    val nf = ok.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     ok.as("a")
       .join(ok.as("b"), Seq("fp"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -82,7 +95,7 @@ object SharedSpans {
        |${TextAnalysis.winnowCtes("corpus")},
        |hot AS (SELECT wmin FROM sel GROUP BY wmin HAVING count(*) > $MaxFpDocs),
        |ok AS (SELECT doc_id, wmin FROM sel WHERE wmin NOT IN (SELECT wmin FROM hot)),
-       |nf AS (SELECT doc_id, count(*) AS nf FROM sel GROUP BY doc_id),
+       |nf AS (SELECT doc_id, count(*) AS nf FROM ok GROUP BY doc_id),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        |  FROM ok a JOIN ok b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
