@@ -157,15 +157,7 @@ object PageRank {
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
   def degreeHistogramOracleSql: String =
-    s"""WITH base AS (
-       |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
-       |  FROM events
-       |), pairs AS (SELECT a, b FROM base WHERE b IS NOT NULL),
-       |edges AS (
-       |  SELECT a AS src, b AS dst FROM pairs
-       |  UNION
-       |  SELECT b AS src, a AS dst FROM pairs
-       |),
+    s"""WITH $edgesCteSql,
        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
        |SELECT degree, count(*) AS nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
@@ -216,15 +208,7 @@ object PageRank {
 
   def degreeHistogramSampledUOracleSql(pct: Int = 10): String = {
     val m = 100L / pct
-    s"""WITH base AS (
-       |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
-       |  FROM events
-       |), pairs AS (SELECT a, b FROM base WHERE b IS NOT NULL),
-       |edges AS (
-       |  SELECT a AS src, b AS dst FROM pairs
-       |  UNION
-       |  SELECT b AS src, a AS dst FROM pairs
-       |),
+    s"""WITH $edgesCteSql,
        |s AS (SELECT * FROM edges
        |      WHERE ${graft.sampling.UniverseSampled.keepSql(edgeUnitSql, pct)}),
        |deg AS (SELECT src, CAST(count(*) * $m AS BIGINT) AS est_degree
@@ -276,7 +260,11 @@ object PageRank {
         (sum(expr("(j * (j - 1)) div 2")) * m * m).cast("long").as("est_wedges"))
   }
 
-  private def momentsEdgesSql: String =
+  /** Shared edges-CTE block (base -> pairs -> undirected edges) for every
+    * graph oracle — ONE copy so an edge-derivation change cannot silently
+    * strand one family's oracle on old text.
+    */
+  private def edgesCteSql: String =
     s"""base AS (
        |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
        |  FROM events
@@ -288,7 +276,7 @@ object PageRank {
        |)""".stripMargin
 
   def graphMomentsOracleSql: String =
-    s"""WITH $momentsEdgesSql,
+    s"""WITH $edgesCteSql,
        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
        |       CAST(sum(d) AS BIGINT) AS sum_deg,
@@ -297,7 +285,7 @@ object PageRank {
 
   def graphMomentsSampledUOracleSql(pct: Int = 10): String = {
     val m = 100L / pct
-    s"""WITH $momentsEdgesSql,
+    s"""WITH $edgesCteSql,
        |s AS (SELECT * FROM edges
        |      WHERE ${graft.sampling.UniverseSampled.keepSql(edgeUnitSql, pct)}),
        |deg AS (SELECT src, count(*) AS j FROM s GROUP BY src)

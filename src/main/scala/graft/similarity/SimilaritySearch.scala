@@ -270,48 +270,6 @@ object SimilaritySearch {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
-  /** Oracle SQL for the BANDED [[nearDupPairs]] configuration — replays the
-    * OR-construction over `numBands` sign-bit bands, so the scale path
-    * (more planes, banded buckets) is itself CORRECTNESS-gated, not just
-    * spec-bounded.
-    */
-  def nearDupPairsBandedOracleSql(
-      minSim: Double,
-      numPlanes: Int,
-      numBands: Int): String = {
-    require(numPlanes % numBands == 0)
-    val bandBits = numPlanes / numBands
-    val signs = signsFor(numPlanes)
-    def planeSql(p: Int): String =
-      (0 until Dims).map(d => s"qv[${d + 1}]*(${signs(p)(d)})").mkString(" + ")
-    val bands = (0 until numBands).map { b =>
-      val key = (0 until bandBits)
-        .map(i => s"CASE WHEN (${planeSql(b * bandBits + i)}) > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"SELECT vec_id, qv, nrm, $b AS band, CAST($key AS BIGINT) AS key FROM prep"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT) for x in embedding] AS qv
-       |       FROM embeddings),
-       |prep0 AS (
-       |  SELECT vec_id, qv, sqrt(CAST(${dotSql("qv", "qv")} AS DOUBLE)) AS nrm FROM q
-       |),
-       |prep AS (SELECT * FROM prep0 WHERE nrm > 0),
-       |bands AS (
-       |  $bands
-       |),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |  WHERE a.vec_id < b.vec_id
-       |)
-       |SELECT vec_a, vec_b, ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) AS sim
-       |FROM cand
-       |JOIN prep pa ON vec_a = pa.vec_id
-       |JOIN prep pb ON vec_b = pb.vec_id
-       |WHERE ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) >= $minSim
-       |ORDER BY vec_a, vec_b""".stripMargin
-  }
-
   /** Oracle SQL for [[nearDupPairsDerived]]: the dynamic CTE chain from
     * [[PlaneBudget.dynamicBandsSql]] replays count → width → signs, so the
     * self-sizing plan is itself hash-gated at whatever corpus size the

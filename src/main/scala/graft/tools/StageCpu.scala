@@ -98,8 +98,13 @@ object StageCpu {
 
     factors.foreach { k =>
       // warmup to absorb codegen, then one measured run per factor with
-      // the probe's scaled shuffle partitions
-      spark.conf.set("spark.sql.shuffle.partitions", (32 * k).toString)
+      // the probe's scaled shuffle partitions — partsFor, not a flat 32·k,
+      // so tiny-row-regime families (events_sessions, graph_pagerank,
+      // dedup_minhash_pairs) are diagnosed in the SAME configuration the
+      // sweep timed (ADVICE r13; the r14 minhash attribution note was
+      // measured under partsFor and a diagnosis must reproduce it)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        ScaleProbe.partsFor(family, k).toString)
       build(k).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       rows.clear()
