@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   * size, so the self-join shuffles signatures, not text. Bucket skew (a
   * degenerate band key shared by millions of boilerplate/identical docs,
   * which would make that band's self-join quadratic) is bounded by an
-  * explicit bucket-size cap: buckets over `maxBucket` members are dropped
-  * from candidate generation before the join (the over-cap key set is tiny
-  * by construction, so the guard is a broadcast anti-join, not a shuffle).
-  * Mass-identical documents that lose their LSH pairs this way are exactly
-  * the ones [[DedupCorpus.exactDedup]]'s content-hash pass already catches.
-  * The oracle SQL applies the identical cap, so semantics agree at every
-  * scale (at the test corpus the cap is a no-op).
+  * explicit bucket-size cap: buckets over `maxBucket` members don't
+  * self-join — they emit STAR candidates against the bucket's min-id
+  * representative instead (linear in bucket size; see [[nearDupPairs]]),
+  * so a near-dup mega-cluster stays connected for the downstream
+  * connected-components pass instead of silently losing every pair. The
+  * over-cap key set is tiny by construction, so both the exclusion and
+  * the star ride one broadcast, not a shuffle. The oracle SQL applies the
+  * identical cap + star, so semantics agree at every scale (at the test
+  * corpus the cap is a no-op).
   *
   * All hashes are md5-prefix based so the DuckDB oracle replays the exact
   * computation (see [[minhashOracle]]).
@@ -35,10 +37,12 @@ object MinHashLSH {
   val NumBands = 8 // → 2 rows per band
   val RowsPerBand: Int = NumHashes / NumBands
   val ShingleK = 3
-  /** Skew guard: band buckets with more members than this never generate
-    * candidates (a bucket of b docs costs b² in the join). 64 bounds any
-    * single bucket's cost at 4096 comparisons while being far above bucket
-    * sizes banding math produces on non-degenerate corpora.
+  /** Skew guard: band buckets with more members than this never SELF-join
+    * (a bucket of b docs costs b² in the join) — they fall back to O(b)
+    * star candidates via the bucket representative (see [[nearDupPairs]]).
+    * 64 bounds any single bucket's dense cost at 4096 comparisons while
+    * being far above bucket sizes banding math produces on non-degenerate
+    * corpora.
     */
   val MaxBucket = 64L
 
@@ -143,9 +147,21 @@ object MinHashLSH {
 
   /** Candidate near-duplicate pairs with the MinHash similarity estimate
     * (fraction of agreeing signature components), filtered at `minSim`.
-    * Pairs are found via band-bucket equality only — never all-pairs, and
-    * buckets larger than `maxBucket` are excluded entirely (skew guard; see
-    * the class doc).
+    * Pairs are found via band-bucket equality only — never all-pairs.
+    *
+    * Skew guard with recall fallback (r14): buckets larger than
+    * `maxBucket` do NOT self-join (a b-carrier bucket costs b² pair rows);
+    * instead each over-cap bucket emits STAR candidates — every member
+    * against the bucket's min-id representative, linear in bucket size.
+    * Dropping hot buckets outright (the pre-r14 behavior) silently
+    * deleted every pair of a near-dup MEGA-CLUSTER (>64 copies of
+    * templated text, routine at 100 TB), so connected components split
+    * exactly the clusters dedup exists to collapse; the star keeps such a
+    * cluster connected through its representative at O(b) cost while the
+    * similarity verification below still gates every emitted pair. (The
+    * incremental append path keeps drop-cap semantics: its per-batch
+    * delta buckets are bounded by the append size, and a persistent hot
+    * band key there is the boilerplate signal the audit reports.)
     */
   def nearDupPairs(
       sigsIn: DataFrame,
@@ -182,11 +198,22 @@ object MinHashLSH {
       .filter(col("__bc") > maxBucket)
       .select("band", "key")
     val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    val candidates = bounded.as("a")
+    val densePairs = bounded.as("a")
       .join(bounded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // star fallback inside over-cap buckets: member ↔ min-id representative
+    // only — O(b) rows per bucket, and rep < member by construction so the
+    // canonical (doc_a < doc_b) order is free. Both joins ride the SAME
+    // broadcast hot-key set; `banded` itself is never re-shuffled.
+    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
+    val reps = hotMembers
+      .groupBy("band", "key").agg(min(col("doc_id")).as("rep"))
+    val starPairs = hotMembers
+      .join(broadcast(reps), Seq("band", "key"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = densePairs.unionAll(starPairs).distinct()
     val matches = sigCols.map(m => when(col(s"sa.$m") === col(s"sb.$m"), 1).otherwise(0))
     candidates
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -232,8 +259,8 @@ object MinHashLSH {
       s"\nSELECT doc_id, ${sigCols.mkString(", ")} FROM sig ORDER BY doc_id"
 
   /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus —
-    * including the bucket-size cap, so Spark and the oracle agree at every
-    * scale (no-op on the test corpus).
+    * including the bucket-size cap AND the over-cap star fallback, so
+    * Spark and the oracle agree at every scale (no-op on the test corpus).
     */
   def nearDupPairsOracleSql(
       minSim: Double = 0.5,
@@ -257,11 +284,19 @@ object MinHashLSH {
          |  $bandKeys
          |),
          |ok AS (SELECT band, key FROM bands0 GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+         |hotrep AS (SELECT band, key, min(doc_id) AS rep FROM bands0
+         |           GROUP BY 1, 2 HAVING count(*) > $maxBucket),
          |bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, key)),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |  WHERE a.doc_id < b.doc_id
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |    WHERE a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT h.rep AS doc_a, m.doc_id AS doc_b
+         |    FROM bands0 m JOIN hotrep h USING (band, key)
+         |    WHERE m.doc_id <> h.rep
+         |  )
          |)
          |SELECT doc_a, doc_b, CAST(($simExpr) AS DOUBLE) / $NumHashes AS sim
          |FROM cand

@@ -9,13 +9,17 @@ import graft.queries.Tables
 /** Skew-guard specs: on a degenerate corpus (hundreds of byte-identical
   * docs — the "millions of boilerplate pages" failure mode at 100 TB) the
   * LSH band buckets go quadratic without a cap. These tests pin that
-  *  (a) the cap bounds candidate generation to ~zero on such a corpus,
+  *  (a) the cap bounds minhash candidate generation to LINEAR star pairs
+  *      on such a corpus (r14: over-cap buckets emit member↔representative
+  *      candidates instead of being dropped, so the mega-cluster stays
+  *      connected for the CC pass),
   *  (b) uncapped candidate generation really is quadratic (the guard is
-  *      guarding something), and
-  *  (c) the cap is a no-op on the oracle corpus, so CORRECTNESS parity is
-  *      untouched, and
-  *  (d) the mass-identical docs the cap silences are exactly the ones the
-  *      exact content-hash dedup already catches.
+  *      guarding something),
+  *  (c) the cap+star is a no-op on the oracle corpus, so CORRECTNESS
+  *      parity is untouched, and
+  *  (d) the mass-identical docs whose DENSE pairs the cap suppresses are
+  *      also what the exact content-hash dedup catches (defense in depth —
+  *      the star now keeps them in the LSH graph too).
   */
 class DedupSkewSpec extends SparkSpec {
   import spark.implicits._
@@ -37,12 +41,21 @@ class DedupSkewSpec extends SparkSpec {
     assert(uncapped.count() >= NIdentical * (NIdentical - 1) / 2)
   }
 
-  test("minhash: the bucket cap drops the degenerate buckets before the join") {
+  test("minhash: over-cap buckets fall back to linear star pairs, cluster stays whole") {
     val sigs = MinHashLSH.signatures(degenerate)
     val capped = MinHashLSH.nearDupPairs(sigs, minSim = 0.0)
-    // the 200-member buckets never generate candidates; only the 8 distinct
-    // docs may collide, bounding pairs at 8·7/2
-    assert(capped.count() <= 28)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the 200-member buckets emit exactly one star pair per non-rep member
+    // (identical signatures → all 8 bands produce the SAME pair, deduped);
+    // only the 8 distinct docs may add dense pairs, bounding the total at
+    // (N−1) + 8·7/2 — linear, not the ≥19 900 the dense join would cost
+    assert(capped.length <= (NIdentical - 1) + 28)
+    val star = capped.filter { case (a, _, _) => a == 0L }
+    assert(star.length === (NIdentical - 1).toInt,
+      "every identical doc must pair with the min-id representative")
+    assert(star.forall(_._3 == 1.0))
+    // the star edges alone connect the mega-cluster: one component via rep 0
+    assert(star.map(_._2).toSet === (1L until NIdentical).toSet)
   }
 
   test("simhash: cap bounds the identical-fingerprint bucket, uncapped is quadratic") {
