@@ -26,8 +26,10 @@ object SimHash {
   val BandBits: Int = Bits / NumBands // 15
   /** Skew guard, mirroring [[MinHashLSH.MaxBucket]]: a 15-bit band chunk
     * shared by masses of near-identical docs would make that bucket's
-    * self-join quadratic; buckets over the cap are dropped from candidate
-    * generation (exact copies are [[DedupCorpus.exactDedup]]'s job).
+    * self-join quadratic; buckets over the cap fall back to O(b) STAR
+    * candidates against the bucket's min-id representative (r14, same
+    * rationale as [[MinHashLSH.nearDupPairs]] — dropping them outright
+    * disconnected near-dup mega-clusters).
     */
   val MaxBucket = 64L
 
@@ -50,9 +52,10 @@ object SimHash {
   }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, via 15-bit
-    * band bucketing; buckets larger than `maxBucket` never generate
-    * candidates (skew guard — the over-cap key set is tiny, so the
-    * exclusion is a broadcast anti-join).
+    * band bucketing; buckets larger than `maxBucket` never SELF-join —
+    * they emit star candidates via the bucket representative instead
+    * (skew guard with recall fallback; the over-cap key set is tiny, so
+    * both the exclusion and the star ride one broadcast).
     */
   def nearDupPairs(
       fpsIn: DataFrame,
@@ -79,7 +82,7 @@ object SimHash {
       .filter(col("__bc") > maxBucket)
       .select("band", "key")
     val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    bounded.as("a")
+    val densePairs = bounded.as("a")
       .join(bounded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -91,7 +94,24 @@ object SimHash {
       // that fail the threshold would otherwise still pay the distinct's
       // full exchange (VERDICT r8 §wrong 1)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // star fallback inside over-cap buckets (see MaxBucket): the struct-min
+    // carries the representative's fingerprint out of the same tiny agg,
+    // and rep < member keeps the canonical pair order free
+    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
+    val reps = hotMembers
+      .groupBy("band", "key")
+      .agg(min(struct(col("doc_id"), col("simhash"))).as("__r"))
+      .select(col("band"), col("key"),
+        col("__r.doc_id").as("rep"), col("__r.simhash").as("rep_sh"))
+    val starPairs = hotMembers
+      .join(broadcast(reps), Seq("band", "key"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(
+        col("rep").as("doc_a"),
+        col("doc_id").as("doc_b"),
+        bit_count(col("rep_sh").bitwiseXOR(col("simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    densePairs.unionAll(starPairs).distinct()
   }
 
   // ---- DuckDB oracle generation ----
@@ -119,7 +139,8 @@ object SimHash {
   }
 
   /** Oracle SQL for [[nearDupPairs]] over the augmented dedup corpus —
-    * including the bucket-size cap (no-op on the test corpus).
+    * including the bucket-size cap and the over-cap star fallback (no-op
+    * on the test corpus).
     */
   def nearDupPairsOracleSql(maxHamming: Int = 3, maxBucket: Long = MaxBucket): String = {
     val bands = (0 until NumBands)
@@ -130,12 +151,23 @@ object SimHash {
        |  $bands
        |),
        |ok AS (SELECT band, key FROM bands0 GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+       |hotrep AS (SELECT band, key, min(doc_id) AS rep FROM bands0
+       |           GROUP BY 1, 2 HAVING count(*) > $maxBucket),
        |bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, key)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |  WHERE a.doc_id < b.doc_id
+       |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    WHERE a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT h.rep AS doc_a, m.doc_id AS doc_b,
+       |           CAST(bit_count(xor(r.simhash, m.simhash)) AS BIGINT) AS hamming
+       |    FROM bands0 m
+       |    JOIN hotrep h USING (band, key)
+       |    JOIN fp r ON r.doc_id = h.rep
+       |    WHERE m.doc_id <> h.rep
+       |  )
        |)
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin

@@ -150,7 +150,8 @@ object ImageDedup {
 
   /** Near-duplicate image pairs with Hamming ≤ maxHamming via 8-bit band
     * bucketing — full recall at the default threshold (pigeonhole), skew
-    * capped like [[graft.dedup.SimHash.nearDupPairs]].
+    * capped like [[graft.dedup.SimHash.nearDupPairs]] with the same
+    * over-cap star fallback (member ↔ min-id representative, O(b)).
     */
   def nearDupPairs(
       hashesIn: DataFrame,
@@ -175,7 +176,7 @@ object ImageDedup {
       .filter(col("__bc") > maxBucket)
       .select("band", "key")
     val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    bounded.as("a")
+    val densePairs = bounded.as("a")
       .join(bounded.as("b"), Seq("band", "key"))
       .filter(col("a.asset_id") < col("b.asset_id"))
       .select(
@@ -185,6 +186,22 @@ object ImageDedup {
       // filter before distinct — same exchange-shrinking swap as
       // [[graft.dedup.SimHash.nearDupPairs]] (VERDICT r8 §wrong 1)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // star fallback inside over-cap buckets — the r14 mega-cluster recall
+    // fix, same construction as SimHash/MinHashLSH
+    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
+    val reps = hotMembers
+      .groupBy("band", "key")
+      .agg(min(struct(col("asset_id"), col("ahash"))).as("__r"))
+      .select(col("band"), col("key"),
+        col("__r.asset_id").as("rep"), col("__r.ahash").as("rep_ah"))
+    val starPairs = hotMembers
+      .join(broadcast(reps), Seq("band", "key"))
+      .filter(col("asset_id") =!= col("rep"))
+      .select(
+        col("rep").as("asset_a"),
+        col("asset_id").as("asset_b"),
+        bit_count(col("rep_ah").bitwiseXOR(col("ahash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    densePairs.unionAll(starPairs).distinct()
   }
 }

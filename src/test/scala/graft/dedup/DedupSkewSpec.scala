@@ -58,12 +58,16 @@ class DedupSkewSpec extends SparkSpec {
     assert(star.map(_._2).toSet === (1L until NIdentical).toSet)
   }
 
-  test("simhash: cap bounds the identical-fingerprint bucket, uncapped is quadratic") {
+  test("simhash: over-cap bucket falls back to linear star pairs, uncapped is quadratic") {
     val fps = SimHash.fingerprints(degenerate)
     val uncapped = SimHash.nearDupPairs(fps, maxHamming = 60, maxBucket = Long.MaxValue)
     assert(uncapped.count() >= NIdentical * (NIdentical - 1) / 2)
     val capped = SimHash.nearDupPairs(fps, maxHamming = 60)
-    assert(capped.count() <= 28)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.length <= (NIdentical - 1) + 28)
+    val star = capped.filter { case (a, _, _) => a == 0L }
+    assert(star.length === (NIdentical - 1).toInt)
+    assert(star.forall(_._3 == 0L)) // identical fingerprints → hamming 0
   }
 
   test("capped-away identical docs are exactly what exact dedup catches") {
