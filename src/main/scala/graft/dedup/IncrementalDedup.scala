@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   * (band, key) — delta never sees base signatures outside shared buckets,
   * and the [[MinHashLSH.MaxBucket]] skew cap applies to the UNION of band
   * rows (a degenerate bucket is degenerate regardless of which side its
-  * members came from). Candidate pairs are distinct-ed before the
+  * members came from). Over-cap buckets fall back to STAR candidates
+  * (r14, the [[MinHashLSH.nearDupPairs]] construction adapted to the
+  * two-sided join): each delta member probes only the hot bucket's min-id
+  * BASE representative, O(delta members) instead of |delta|x|base| — so a
+  * new copy of boilerplate-templated base content still finds its index
+  * hit instead of being silently waved through as novel.
+  * Candidate pairs are distinct-ed before the
   * signature-compare joins; best-match-per-delta-doc is a
   * (m DESC, base_id) top-1 window, which Spark runs as WindowGroupLimit
   * (pre-shuffle partial top-1). The saved index is read twice (banding +
@@ -94,11 +100,20 @@ object IncrementalDedup {
       .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > MinHashLSH.MaxBucket)
       .select("band", "key")
-    val cand = dBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val denseCand = dBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
       .join(bBands.join(broadcast(hot), Seq("band", "key"), "left_anti"),
         Seq("band", "key"))
       .select("doc_id", "base_id")
-      .distinct()
+    // star fallback for over-cap buckets: delta members probe the hot
+    // bucket's min-id base representative only (no base rep in a delta-only
+    // hot bucket -> no candidates, correctly: within-batch dedup is out of
+    // scope here)
+    val bReps = bBands.join(broadcast(hot), Seq("band", "key"))
+      .groupBy("band", "key").agg(min(col("base_id")).as("base_id"))
+    val starCand = dBands.join(broadcast(hot), Seq("band", "key"))
+      .join(broadcast(bReps), Seq("band", "key"))
+      .select("doc_id", "base_id")
+    val cand = denseCand.unionAll(starCand).distinct()
     val m = (0 until MinHashLSH.NumHashes)
       .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -146,11 +161,25 @@ object IncrementalDedup {
        |  FROM (SELECT band, key FROM bb UNION ALL SELECT band, key FROM db)
        |  GROUP BY 1, 2 HAVING count(*) <= ${MinHashLSH.MaxBucket}
        |),
+       |hotk AS (
+       |  SELECT band, key
+       |  FROM (SELECT band, key FROM bb UNION ALL SELECT band, key FROM db)
+       |  GROUP BY 1, 2 HAVING count(*) > ${MinHashLSH.MaxBucket}
+       |),
+       |brep AS (
+       |  SELECT b.band, b.key, min(b.doc_id) AS base_id
+       |  FROM bb b JOIN hotk USING (band, key) GROUP BY 1, 2
+       |),
        |cand AS (
-       |  SELECT DISTINCT d.doc_id, b.doc_id AS base_id
-       |  FROM db d
-       |  JOIN ok USING (band, key)
-       |  JOIN bb b ON d.band = b.band AND d.key = b.key
+       |  SELECT DISTINCT doc_id, base_id FROM (
+       |    SELECT d.doc_id, b.doc_id AS base_id
+       |    FROM db d
+       |    JOIN ok USING (band, key)
+       |    JOIN bb b ON d.band = b.band AND d.key = b.key
+       |    UNION ALL
+       |    SELECT d.doc_id, r.base_id
+       |    FROM db d JOIN brep r ON d.band = r.band AND d.key = r.key
+       |  )
        |),
        |scored AS (
        |  SELECT cand.doc_id, cand.base_id,

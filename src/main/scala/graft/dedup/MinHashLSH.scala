@@ -159,9 +159,9 @@ object MinHashLSH {
     * exactly the clusters dedup exists to collapse; the star keeps such a
     * cluster connected through its representative at O(b) cost while the
     * similarity verification below still gates every emitted pair. (The
-    * incremental append path keeps drop-cap semantics: its per-batch
-    * delta buckets are bounded by the append size, and a persistent hot
-    * band key there is the boilerplate signal the audit reports.)
+    * incremental append path applies the same fallback adapted to its
+    * two-sided join — delta members probe the hot bucket's base
+    * representative; see [[IncrementalDedup.matchesFrom]].)
     */
   def nearDupPairs(
       sigsIn: DataFrame,

@@ -70,6 +70,23 @@ class DedupSkewSpec extends SparkSpec {
     assert(star.forall(_._3 == 0L)) // identical fingerprints → hamming 0
   }
 
+  test("incremental: a delta copy of hot-bucket base content still hits the index") {
+    // 200 identical docs IN THE INDEX make every band bucket over-cap; a
+    // new copy arriving in the delta must still match (pre-r14 it was
+    // silently waved through as novel) — via the star: one candidate
+    // against the min-id base representative, at full signature agreement
+    val boiler = degenerate.filter(col("doc_id") < NIdentical)
+    val delta = boiler.limit(1).select(lit(50000L).as("doc_id"), col("text"))
+    val hits = IncrementalDedup.matchesFrom(
+      MinHashLSH.signatures(boiler).localCheckpoint(false),
+      MinHashLSH.signatures(delta).localCheckpoint(false))
+      .collect()
+    assert(hits.length === 1)
+    assert(hits.head.getLong(0) === 50000L)
+    assert(hits.head.getLong(1) === 0L) // the min-id base representative
+    assert(hits.head.getLong(2) === MinHashLSH.NumHashes.toLong)
+  }
+
   test("capped-away identical docs are exactly what exact dedup catches") {
     val exact = DedupCorpus.exactDedup(degenerate)
     val boilerGroup = exact.filter(col("dup_cnt") === NIdentical)
