@@ -270,9 +270,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
     // deterministic-centroid IVF: fixed md5-family seeds instead of a
-    // k-means fit, so the ENTIRE inverted-file search path (seed selection,
-    // integer-L2 assignment, probing, quantized-cosine top-k) replays in
-    // DuckDB — the oracle-gated member of the IVF family
+    // k-means fit, so the ENTIRE inverted-file search path (nlist DERIVED
+    // in-plan from the corpus count — IvfIndex.nlistFor, the PlaneBudget
+    // discipline — then seed selection, codegen'd ivf_assign integer-L2
+    // assignment, probing, quantized-cosine top-k) replays in DuckDB —
+    // the oracle-gated member of the IVF family
     "simsearch_ivf_det" -> ((s, dir) =>
       graft.similarity.IvfIndex.detTopK(Tables.embeddings(s, dir))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))),

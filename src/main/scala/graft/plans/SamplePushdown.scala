@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.WordShingles.descriptor)
     extensions.injectFunction(graft.functions.BottomKDistinct.descriptor)
     extensions.injectFunction(graft.functions.WinnowMins.descriptor)
+    extensions.injectFunction(graft.functions.IvfAssign.descriptor)
   }
 }

@@ -30,9 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  val NList = 16
   val NProbe = 4
   val TrainFraction = 0.5
+
+  /** Derived-`nlist` bounds: powers of two in `[2^MinListLog, 2^MaxListLog]`. */
+  val MinListLog = 2
+  val MaxListLog = 12
+
+  /** In-plan IVF list-count derivation — the [[PlaneBudget]] discipline
+    * applied to the inverted file (closing the last fixed-size scale
+    * config): the smallest power of two `L` in `[2^MinListLog,
+    * 2^MaxListLog]` with `L² ≥ n`, i.e. `L ≈ √n` rounded up — the
+    * classical flat-IVF balance (Jégou 2011 §V uses `nlist = O(√n)`):
+    * assignment costs `n·L = n^1.5` while each probed list holds `n/L = √n`
+    * vectors, so probe cost per query is `nprobe·√n` — sublinear search
+    * bought with the one superlinear (and embarrassingly parallel,
+    * shuffle-free) assignment pass. A FIXED `nlist` instead makes per-list
+    * size grow linearly: at 100× corpus every probe scans 100× more
+    * vectors and the "index" decays toward brute force. Pure integer math
+    * (shift/multiply), replayed bit-for-bit by [[nlistSql]] over the same
+    * live `count(*)`. Beyond the cap (n > 2^24 ≈ 16.7 M vectors in one
+    * table) per-list growth resumes — raise the cap or shard the corpus.
+    */
+  def nlistFor(n: Long): Int = {
+    var l = 1L << MinListLog
+    while (l < (1L << MaxListLog) && l * l < n) l <<= 1
+    l.toInt
+  }
+
+  /** DuckDB expression replaying [[nlistFor]] over `countSql` (a scalar
+    * subquery string): min qualifying power of two from a range scan,
+    * coalesced to the cap — identical integer semantics to the Scala loop.
+    */
+  def nlistSql(countSql: String): String =
+    s"""CAST(coalesce((SELECT min(CAST(1 AS BIGINT) << j)
+       |    FROM range($MinListLog, $MaxListLog) t(j)
+       |    WHERE (CAST(1 AS BIGINT) << j) * (CAST(1 AS BIGINT) << j) >= ($countSql)),
+       |  CAST(1 AS BIGINT) << $MaxListLog) AS INT)""".stripMargin
 
   /** A fitted index: centroids (driver-side metadata, `nlist` × dims) and
     * the assigned (vec_id, list) table.
@@ -42,28 +76,30 @@ object IvfIndex {
       centroids: IndexedSeq[Array[Double]],
       assigned: DataFrame)
 
-  /** Build the index. Centroids are trained on a seeded Bernoulli sample
-    * (the engine's own sampling layer): k-means needs enough points per
-    * centroid, not the full corpus — `trainFraction` keeps ≥ ~100·nlist
-    * expected points here and would shrink toward 1e-4 at corpus scale.
-    * ASSIGNMENT covers every vector (one scan + a broadcast of `nlist`
-    * centroids).
+  /** Build the index. `nlist` defaults to the DERIVED [[nlistFor]] count
+    * (`None`), so the index sizes itself to the corpus; pass `Some(k)`
+    * only to pin a fixed configuration. Centroids are trained on a seeded
+    * Bernoulli sample (the engine's own sampling layer): k-means needs
+    * enough points per centroid, not the full corpus — at corpus scale
+    * `trainFraction` shrinks toward ~100·nlist/n. ASSIGNMENT covers every
+    * vector (one scan + a broadcast of `nlist` centroids).
     */
   def fit(
       spark: SparkSession,
       embeddings: DataFrame,
-      nlist: Int = NList,
+      nlist: Option[Int] = None,
       seed: Long = 42L,
       trainFraction: Double = TrainFraction): IvfModel = {
+    val k = nlist.getOrElse(nlistFor(embeddings.count()))
     val vecs = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     val train = graft.sampling.Sampled(vecs, trainFraction, seed).data
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list")
       .fit(train)
     IvfModel(
-      nlist,
+      k,
       model.clusterCenters.map(_.toArray).toIndexedSeq,
       model.transform(vecs).select(col("vec_id"), col("list")))
   }
@@ -179,9 +215,12 @@ object IvfIndex {
     // old vectors (ADVICE r5)
     val digest = graft.queries.Tables.contentDigest(
       graft.queries.Tables.path(dir, "embeddings"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
+    // nlist is part of the key: a derivation-rule change must rebuild, not
+    // silently serve an index with a different list layout
+    val nlist = nlistFor(embeddings.count())
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${digest}_nl$nlist"
     if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
-      save(spark, fit(spark, embeddings), path)
+      save(spark, fit(spark, embeddings, Some(nlist)), path)
     path
   }
 
@@ -199,39 +238,37 @@ object IvfIndex {
     * rows-only twin (a fit is not SQL-replayable) and typically buys
     * better list balance, not different mechanics.
     *
-    * Plan shape: seed selection is a global top-`nlist` by hash
+    * Plan shape: `nlist` is DERIVED in-plan from the live corpus count by
+    * default ([[nlistFor]] — `None`; pass `Some(k)` only to pin a fixed
+    * configuration), then seed selection is a global top-`nlist` by hash
     * (TakeOrdered — map-side partial top-k, no full sort); centroids are
     * then driver-side metadata (`nlist`×[[SimilaritySearch.Dims]] longs,
-    * the saved-quality-model-weights pattern) embedded as LITERAL arrays,
-    * so list assignment is a per-row codegen'd `least(struct(dist, id))`
-    * argmin — NO join and NO shuffle touches the corpus-wide assignment.
-    * `qv·qv` is constant per row, so distances drop it and compare
-    * `c·c − 2·qv·c` (same order, same ties). At a production `nlist`
-    * (≥ 10⁴) the literal fold would bloat codegen — the upgrade is the
-    * broadcast-join + map-side `min(struct(...))` argmin, same no-shuffle
-    * property.
+    * the saved-quality-model-weights pattern) carried into the plan as ONE
+    * reference object inside the codegen'd
+    * [[graft.functions.IvfAssign ivf_assign]] argmin — NO join and NO
+    * shuffle touches the corpus-wide assignment at ANY derived `nlist`
+    * (the original `least(struct(dist, id))` literal fold embedded
+    * `nlist × dims` literal nodes and would bloat codegen once the count
+    * is derived). `qv·qv` is constant per row, so distances drop it and
+    * compare `c·c − 2·qv·c` (same order, same ties).
     */
   def detTopK(
       embeddings: DataFrame,
       numQueries: Int = SimilaritySearch.NumQueries,
       k: Int = SimilaritySearch.TopK,
-      nlist: Int = NList,
+      nlist: Option[Int] = None,
       nprobe: Int = NProbe): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val nl = nlist.getOrElse(nlistFor(embeddings.count()))
     val prep = SimilaritySearch.prepared(embeddings)
     val cents: Array[Array[Long]] = prep
       .withColumn("hk", md5(col("vec_id").cast("string")))
-      .orderBy("hk", "vec_id").limit(nlist)
+      .orderBy("hk", "vec_id").limit(nl)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
-    require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
-    // dist surrogate to literal centroid c: c·c − 2·qv·c (qv·qv dropped)
-    def distTo(c: Array[Long]): org.apache.spark.sql.Column =
-      lit(c.map(x => x * x).sum) -
-        lit(2L) * SimilaritySearch.dotQ(col("qv"), array(c.map(lit(_)): _*))
-    val assignCol = least(cents.indices.map(i =>
-      struct(distTo(cents(i)).as("d"), lit(i).as("i"))): _*).getField("i")
-    val assigned = prep.withColumn("list", assignCol)
+    require(cents.length == nl, s"corpus smaller than nlist=$nl")
+    val assigned = prep.withColumn("list",
+      graft.functions.IvfAssign.assign(col("qv"), cents))
 
     val centsDf = cents.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
@@ -260,24 +297,29 @@ object IvfIndex {
       .select("query_id", "neighbor_id", "sim")
   }
 
-  /** DuckDB oracle for [[detTopK]] — replays seed selection, integer-L2
-    * assignment, probing, and quantized-cosine ranking verbatim.
+  /** DuckDB oracle for [[detTopK]] — replays the `nlist` derivation
+    * (count → [[nlistSql]]), seed selection, integer-L2 assignment,
+    * probing, and quantized-cosine ranking verbatim. `nlist = None`
+    * (default) replays the dynamic derivation; `Some(k)` pins it.
     */
   def detTopKOracleSql(
       numQueries: Int = SimilaritySearch.NumQueries,
       k: Int = SimilaritySearch.TopK,
-      nlist: Int = NList,
+      nlist: Option[Int] = None,
       nprobe: Int = NProbe): String = {
     val dims = SimilaritySearch.Dims
+    val nlSql = nlist.map(_.toString)
+      .getOrElse(s"(SELECT nl FROM nl)")
     def l2Sql(a: String, b: String): String =
       s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, ${dims + 1})]) AS BIGINT)"
     s"""WITH ${SimilaritySearch.preparedSql},
+       |nl AS (SELECT ${nlistSql("SELECT count(*) FROM embeddings")} AS nl),
        |cents AS (
        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
        |           AS centroid_id,
        |         qv AS cv
        |  FROM prep WHERE nrm > 0
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nlist
+       |  QUALIFY centroid_id < $nlSql
        |),
        |assign AS (
        |  SELECT p.vec_id, p.qv, p.nrm, c.centroid_id AS list
@@ -313,7 +355,7 @@ object IvfIndex {
       embeddings: DataFrame,
       numQueries: Int = SimilaritySearch.NumQueries,
       k: Int = SimilaritySearch.TopK,
-      nlist: Int = NList,
+      nlist: Option[Int] = None,
       nprobe: Int = NProbe,
       seed: Long = 42L): DataFrame =
     search(spark, fit(spark, embeddings, nlist, seed), embeddings, numQueries, k, nprobe)

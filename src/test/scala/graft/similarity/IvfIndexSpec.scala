@@ -58,9 +58,50 @@ class IvfIndexSpec extends SparkSpec {
     val ivf2 = IvfIndex.topK(spark, emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf1 === ivf2) // fixed-seed determinism
     val recall = (brute intersect ivf1).size.toDouble / brute.size
-    // probing 4/16 lists scans ~25% of the corpus; nearest lists are
-    // sim-biased, so recall beats the 25% chance floor (measured at sf0.001)
+    // derived nlist = 32 at the sf0.001 corpus (n = 500): probing 4/32
+    // lists scans ~12.5% of the corpus; nearest lists are sim-biased, so
+    // recall beats that chance floor with margin (measured at sf0.001)
     assert(recall >= 0.3, s"IVF recall@10 fell to $recall")
+  }
+
+  test("derived nlist: smallest power of two with L*L >= n, clamped") {
+    import IvfIndex.nlistFor
+    assert(nlistFor(1) === 4) // floor
+    assert(nlistFor(16) === 4)
+    assert(nlistFor(17) === 8) // minimality: (L/2)^2 < n <= L^2
+    assert(nlistFor(500) === 32) // the sf0.001/sf0.01 fixture
+    assert(nlistFor(2000) === 64) // the sf0.1 fixture
+    assert(nlistFor(1L << 24) === 4096) // exactly at the cap
+    assert(nlistFor(Long.MaxValue) === 4096) // clamped beyond it
+    // monotone non-decreasing over a sweep
+    val vals = (1L to 20).map(i => nlistFor(1L << i))
+    assert(vals === vals.sorted)
+    vals.foreach(l => assert(l.toLong * l >= 0)) // power-of-two, no overflow in range
+  }
+
+  test("ivf_assign equals the least(struct(dist, id)) literal fold it replaced") {
+    import org.apache.spark.sql.functions._
+    val prep = SimilaritySearch.prepared(emb)
+    val cents: Array[Array[Long]] = prep
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy("hk", "vec_id").limit(32)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    def distTo(c: Array[Long]) =
+      lit(c.map(x => x * x).sum) -
+        lit(2L) * SimilaritySearch.dotQ(col("qv"), array(c.map(lit(_)): _*))
+    val fold = least(cents.indices.map(i =>
+      struct(distTo(cents(i)).as("d"), lit(i).as("i"))): _*).getField("i")
+    val both = prep.select(
+      col("vec_id"),
+      graft.functions.IvfAssign.assign(col("qv"), cents).as("a"),
+      fold.as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() === 0)
+    assert(both.count() > 0)
+    // null input -> null
+    val nulled = prep.select(
+      graft.functions.IvfAssign.assign(
+        when(lit(false), col("qv")), cents).as("a"))
+    assert(nulled.filter(col("a").isNotNull).count() === 0)
   }
 
   test("deterministic IVF: k rows per query, sims exact, recall beats chance") {
