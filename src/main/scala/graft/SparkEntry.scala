@@ -687,6 +687,15 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // Bloom-filter decontamination twin: the benchmark gram set compressed
+    // 16x into a 2^mLog-bit table (width derived in-plan from the live
+    // gram count) built by the mergeable bloom_agg aggregate and probed
+    // map-side by the codegen'd bloom_might_contain — false positives drop
+    // clean docs (the conservative direction) at ~7e-4 and replay
+    // bit-for-bit in the oracle's distinct-positions arithmetic
+    "docs_decontaminated_bloom" -> ((s, dir) =>
+      graft.text.Decontaminate.cleanBloom(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // context-window chunking (the split dual of sequence packing) —
     // shuffle-free per-row explode
     "docs_chunks" -> ((s, dir) =>
@@ -1097,6 +1106,7 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_chunks" -> graft.text.Chunker.chunksOracleSql(),
     "events_seq_funnel" -> graft.operators.SequenceFunnel.funnelOracleSql,
     "docs_quality_deciles" -> graft.text.QualityDeciles.profileOracleSql,

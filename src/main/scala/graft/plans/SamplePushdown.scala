@@ -67,5 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.BottomKDistinct.descriptor)
     extensions.injectFunction(graft.functions.WinnowMins.descriptor)
     extensions.injectFunction(graft.functions.IvfAssign.descriptor)
+    extensions.injectFunction(graft.functions.BloomFilter.aggDescriptor)
+    extensions.injectFunction(graft.functions.BloomFilter.containDescriptor)
   }
 }

@@ -50,6 +50,130 @@ object Decontaminate {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Bloom bits-per-key budget: `m = 2^mLog ≥ BitsPerKey·n` with
+    * [[BloomJ]] = 7 probes gives a false-positive rate ≈ 7·10⁻⁴ —
+    * comfortably below any decontamination over-drop budget.
+    */
+  val BitsPerKey = 16L
+  val BloomJ = 7
+
+  /** Bloom table width floor/cap (log2 bits). The cap (2^30 bits =
+    * 128 MB) carries ~67 M benchmark grams at [[BitsPerKey]] — an order
+    * beyond any real eval-suite union; past it, raise the cap or shard
+    * the benchmark set.
+    */
+  val MinMLog = 10
+  val MaxMLog = 30
+
+  /** In-plan Bloom width derivation (the
+    * [[graft.similarity.PlaneBudget]] discipline): smallest `mLog` in
+    * `[MinMLog, MaxMLog]` with `2^mLog ≥ BitsPerKey·n`, pure integer
+    * shift/compare, replayed by [[mLogSql]] over the same live count.
+    */
+  def mLogFor(n: Long): Int = {
+    var m = MinMLog
+    while (m < MaxMLog && (1L << m) < BitsPerKey * n) m += 1
+    m
+  }
+
+  /** DuckDB expression replaying [[mLogFor]] over `countSql`. */
+  def mLogSql(countSql: String): String =
+    s"""CAST(coalesce((SELECT min(m) FROM range($MinMLog, $MaxMLog) t(m)
+       |    WHERE (CAST(1 AS BIGINT) << m) >= $BitsPerKey * ($countSql)), $MaxMLog) AS INT)"""
+      .stripMargin
+
+  /** BLOOM-FILTER decontamination — the 100 TB twin of [[clean]]: instead
+    * of broadcasting the benchmark's exact distinct gram-hash set (8
+    * bytes/gram — ~1 GB at a 10⁸-gram eval-suite union, past comfortable
+    * broadcast range), build a `2^mLog`-bit Bloom table over it with the
+    * mergeable [[graft.functions.BloomAgg bloom_agg]] aggregate (each map
+    * task ships `m/8` bytes, the ONE result row is driver metadata at
+    * [[BitsPerKey]]/8 bytes per gram — 16× smaller than the exact set)
+    * and probe the corpus map-side with the codegen'd
+    * `bloom_might_contain`. False positives DROP CLEAN DOCUMENTS — the
+    * conservative direction for decontamination (never keeps a
+    * contaminated doc: no false negatives, spec-pinned) at rate
+    * ≈ 7·10⁻⁴ per gram. The width is derived in-plan from the live
+    * benchmark gram count ([[mLogFor]]) and the whole filter — width
+    * derivation, double-hash positions, membership — replays in DuckDB
+    * as plain integer arithmetic over a distinct-positions table, so even
+    * the false positives hash-match.
+    */
+  def cleanBloom(docs: DataFrame, benchEvery: Long = BenchEvery, k: Int = GramK): DataFrame = {
+    val bench = docs.filter(col("doc_id") % benchEvery === 0)
+    val corpus = docs.filter(col("doc_id") % benchEvery =!= 0)
+    val benchGrams = Hashing.explodeShingles(bench, k)
+      .select(Hashing.hash60(col("shingle")).as("g"))
+      .distinct()
+      .localCheckpoint(false) // feeds the count AND the bits build
+    val mLog = mLogFor(benchGrams.count())
+    val bits = benchGrams
+      .agg(graft.functions.BloomFilter.bloomAgg(col("g"), mLog, BloomJ).as("bits"))
+      .head().getSeq[Long](0).toArray
+    val contaminated = Hashing.explodeShingles(corpus, k)
+      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("g"))
+      .filter(graft.functions.BloomFilter.mightContain(col("g"), bits, BloomJ))
+      .select("doc_id")
+      .distinct()
+    corpus
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** DuckDB oracle for [[cleanBloom]]: replays the width derivation
+    * (count → [[mLogSql]]), the Kirsch–Mitzenmacher double-hash positions
+    * (`h1 = g mod 2^30`, `h2 = 2·(g div 2^30)+1`, `p_i = (h1+i·h2) mod m`)
+    * and bit membership — set-of-positions containment over a DISTINCT
+    * positions table is exactly bit-table membership, so the Bloom's
+    * false positives reproduce bit-for-bit. A corpus gram is flagged iff
+    * ALL [[BloomJ]] of its positions are present (`HAVING count(*) = j`:
+    * the `i`-rows are distinct, so the join counts qualifying probes even
+    * when two probes land on one position).
+    */
+  def cleanBloomOracleSql(benchEvery: Long = BenchEvery, k: Int = GramK): String = {
+    val m = s"(CAST(1 AS BIGINT) << (SELECT ml FROM ml))"
+    def pos(g: String, i: String): String =
+      s"(($g % 1073741824) + $i * (2 * ($g // 1073741824) + 1)) % $m"
+    s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % $benchEvery = 0),
+       |corpus AS (SELECT * FROM documents WHERE doc_id % $benchEvery <> 0),
+       |bg AS (
+       |  SELECT DISTINCT ${Hashing.hash60Sql("shingle")} AS g
+       |  FROM (
+       |    SELECT unnest([array_to_string(w[i:i+${k - 1}], ' ')
+       |                   for i in range(1, len(w) - ${k - 2})]) AS shingle
+       |    FROM (SELECT regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |          FROM bench)
+       |  )
+       |),
+       |ml AS (SELECT ${mLogSql("SELECT count(*) FROM bg")} AS ml),
+       |bpos AS (
+       |  SELECT DISTINCT ${pos("g", "i")} AS p
+       |  FROM bg CROSS JOIN range(0, $BloomJ) t(i)
+       |),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS g
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest([array_to_string(w[i:i+${k - 1}], ' ')
+       |                   for i in range(1, len(w) - ${k - 2})]) AS shingle
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |          FROM corpus)
+       |  )
+       |),
+       |cpos AS (
+       |  SELECT doc_id, g, i, ${pos("g", "i")} AS p
+       |  FROM cg CROSS JOIN range(0, $BloomJ) t(i)
+       |),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, g FROM cpos JOIN bpos USING (p)
+       |        GROUP BY doc_id, g HAVING count(*) = $BloomJ)
+       |)
+       |SELECT doc_id, n_chars FROM corpus
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[clean]] (k = [[GramK]] grams; slice bounds follow
     * the [[graft.dedup.JaccardPairs]] oracle pattern: `w[i:i+k-1]` is the
     * inclusive 1-based k-slice, `range(1, len(w)-k+2)` is empty for docs

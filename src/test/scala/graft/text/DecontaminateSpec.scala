@@ -43,4 +43,48 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no BroadcastHashJoin in:\n$plan")
   }
+
+  test("bloom twin: no false negatives, and false positives only over-drop") {
+    val exact = Decontaminate.clean(Tables.documents(spark, sf001))
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.cleanBloom(Tables.documents(spark, sf001))
+      .collect().map(_.getLong(0)).toSet
+    // conservative direction: every doc the bloom keeps, the exact keeps —
+    // a contaminated doc can NEVER survive (bloom has no false negatives)
+    assert(bloom.subsetOf(exact))
+    // the 7e-4-per-gram fp rate over-drops at most a sliver of the corpus
+    val overDropped = exact -- bloom
+    assert(overDropped.size <= exact.size / 20,
+      s"bloom over-dropped ${overDropped.size} of ${exact.size} clean docs")
+  }
+
+  test("bloom_agg is merge-order invariant and probe-complete") {
+    import graft.functions.BloomFilter
+    val g = Tables.documents(spark, sf001)
+      .select(graft.dedup.Hashing.hash60(col("text")).as("g"))
+    val mLog = 14
+    def bitsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(BloomFilter.bloomAgg(col("g"), mLog, Decontaminate.BloomJ))
+        .head().getSeq[Long](0)
+    // partitioning must not change the bits (update/merge are an OR-lattice)
+    val b1 = bitsOf(g.repartition(1))
+    val b17 = bitsOf(g.repartition(17))
+    assert(b1 === b17)
+    assert(b1.length === (1 << (mLog - 6)))
+    // every inserted value probes positive (no false negatives by law)
+    val bits = b1.toArray
+    val misses = g.filter(!BloomFilter.mightContain(col("g"), bits, Decontaminate.BloomJ))
+    assert(misses.count() === 0)
+  }
+
+  test("bloom width derivation: minimal power of two at BitsPerKey, clamped") {
+    import Decontaminate.{mLogFor, BitsPerKey, MinMLog, MaxMLog}
+    assert(mLogFor(0) === MinMLog)
+    assert(mLogFor(64) === MinMLog) // 16*64 = 1024 = 2^10
+    assert(mLogFor(65) === 11) // minimality
+    assert(mLogFor(Long.MaxValue / BitsPerKey) === MaxMLog) // clamp
+    val vals = (0 to 24).map(i => mLogFor(1L << i))
+    assert(vals === vals.sorted) // monotone
+    vals.foreach(m => assert((1L << m) >= 0 && m >= MinMLog && m <= MaxMLog))
+  }
 }
