@@ -696,6 +696,17 @@ object SparkEntry {
     "docs_decontaminated_bloom" -> ((s, dir) =>
       graft.text.Decontaminate.cleanBloom(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // batch replay of the STREAMING per-row bloom form (exists over the
+    // in-row shingle array — stateless, append-mode-legal): same clean set
+    // as the explode path, pinned through the SAME oracle SQL, so the two
+    // spellings agree through DuckDB rather than only against each other
+    "docs_decontaminated_stream_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bits = graft.text.Decontaminate.benchBloomBits(docs)
+      graft.text.Decontaminate.cleanBloomPerRow(
+        docs.filter(col("doc_id") % graft.text.Decontaminate.BenchEvery =!= 0), bits)
+        .orderBy("doc_id")
+    }),
     // context-window chunking (the split dual of sequence packing) —
     // shuffle-free per-row explode
     "docs_chunks" -> ((s, dir) =>
@@ -1107,6 +1118,7 @@ object SparkEntry {
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
+    "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_chunks" -> graft.text.Chunker.chunksOracleSql(),
     "events_seq_funnel" -> graft.operators.SequenceFunnel.funnelOracleSql,
     "docs_quality_deciles" -> graft.text.QualityDeciles.profileOracleSql,

@@ -100,16 +100,8 @@ object Decontaminate {
     * the false positives hash-match.
     */
   def cleanBloom(docs: DataFrame, benchEvery: Long = BenchEvery, k: Int = GramK): DataFrame = {
-    val bench = docs.filter(col("doc_id") % benchEvery === 0)
     val corpus = docs.filter(col("doc_id") % benchEvery =!= 0)
-    val benchGrams = Hashing.explodeShingles(bench, k)
-      .select(Hashing.hash60(col("shingle")).as("g"))
-      .distinct()
-      .localCheckpoint(false) // feeds the count AND the bits build
-    val mLog = mLogFor(benchGrams.count())
-    val bits = benchGrams
-      .agg(graft.functions.BloomFilter.bloomAgg(col("g"), mLog, BloomJ).as("bits"))
-      .head().getSeq[Long](0).toArray
+    val bits = benchBloomBits(docs, benchEvery, k)
     val contaminated = Hashing.explodeShingles(corpus, k)
       .select(col("doc_id"), Hashing.hash60(col("shingle")).as("g"))
       .filter(graft.functions.BloomFilter.mightContain(col("g"), bits, BloomJ))
@@ -119,6 +111,39 @@ object Decontaminate {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
   }
+
+  /** The benchmark slice's Bloom bit table — the STATIC ARTIFACT half of
+    * the bloom path (built once by the batch pipeline; `m/8` bytes of
+    * driver metadata), shared by [[cleanBloom]] and the streaming twin.
+    */
+  def benchBloomBits(docs: DataFrame, benchEvery: Long = BenchEvery, k: Int = GramK): Array[Long] = {
+    val bench = docs.filter(col("doc_id") % benchEvery === 0)
+    val benchGrams = Hashing.explodeShingles(bench, k)
+      .select(Hashing.hash60(col("shingle")).as("g"))
+      .distinct()
+      .localCheckpoint(false) // feeds the count AND the bits build
+    val mLog = mLogFor(benchGrams.count())
+    benchGrams
+      .agg(graft.functions.BloomFilter.bloomAgg(col("g"), mLog, BloomJ).as("bits"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** PER-ROW bloom decontamination over a prebuilt bit table: a document
+    * is clean iff NO gram probes positive — spelled as `exists` over the
+    * in-row shingle array instead of explode+anti-join, so the whole
+    * check is ONE stateless projection+filter. This is the streaming form
+    * ([[graft.streaming.StreamingDecontaminate]]): no aggregation, no
+    * join, no state — legal in append mode at any trigger. Semantically
+    * identical to [[cleanBloom]]'s explode path (same grams, same bloom),
+    * which the shared oracle pins through DuckDB.
+    */
+  def cleanBloomPerRow(corpus: DataFrame, bits: Array[Long], k: Int = GramK): DataFrame =
+    corpus
+      .filter(!exists(
+        Hashing.shingles(Hashing.words(col("text")), k),
+        s => graft.functions.BloomFilter.mightContain(
+          Hashing.hash60(s), bits, BloomJ)))
+      .select(col("doc_id"), col("n_chars"))
 
   /** DuckDB oracle for [[cleanBloom]]: replays the width derivation
     * (count → [[mLogSql]]), the Kirsch–Mitzenmacher double-hash positions

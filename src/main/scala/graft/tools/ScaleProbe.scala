@@ -265,6 +265,12 @@ object ScaleProbe {
       "docs_decontaminated" -> (k =>
         graft.text.Decontaminate.clean(
           explodeDocs(docs0, k).withColumn("n_chars", length(col("text")).cast("long")))),
+      // the bloom twin derives its bit-table width in-plan from the
+      // exploded benchmark's gram count — the probe runs the derived path
+      // with NO width override (the PlaneBudget probe discipline)
+      "docs_decontaminated_bloom" -> (k =>
+        graft.text.Decontaminate.cleanBloom(
+          explodeDocs(docs0, k).withColumn("n_chars", length(col("text")).cast("long")))),
       "text_repetition" -> (k =>
         graft.text.TextAnalysis.repetitionSignals(explodeDocs(docs0, k))),
       "mm_dedup_pairs" -> (k =>
