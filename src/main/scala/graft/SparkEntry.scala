@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.dedup.{DedupClusters, DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
+import graft.dedup.{CosinePairs, DedupClusters, DedupCorpus, JaccardPairs, MinHashLSH, SimHash}
 import graft.similarity.SimilaritySearch
 import graft.multimodal.Multimodal
 import graft.text.TextAnalysis
@@ -152,6 +152,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_ngram_pairs" -> ((s, dir) =>
       JaccardPairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")),
+    // weighted-cosine all-pairs over sparse tf-idf word vectors (the
+    // Bayardo'07 problem): L2-prefix-filtered candidates, codegen'd
+    // merge-dot verification, integer weights so the oracle replays
+    "dedup_cosine_pairs" -> ((s, dir) =>
+      CosinePairs.nearDupPairs(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")),
     // span-granular cross-doc dedup: winnowing-fingerprint collision pairs
     // (the exact-substring-overlap layer between paragraph and whole-doc)
@@ -944,6 +950,7 @@ object SparkEntry {
     "dedup_simhash" -> SimHash.fingerprintsOracleSql,
     "dedup_simhash_pairs" -> SimHash.nearDupPairsOracleSql(),
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
+    "dedup_cosine_pairs" -> CosinePairs.nearDupPairsOracleSql(),
     "dedup_shared_spans" -> graft.text.SharedSpans.pairsOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,

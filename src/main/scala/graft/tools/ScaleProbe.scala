@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{DedupCorpus, DedupClusters, JaccardPairs, MinHashLSH}
+import graft.dedup.{CosinePairs, DedupCorpus, DedupClusters, JaccardPairs, MinHashLSH}
 import graft.queries.Tables
 
 /** Synthetic scale probe: explode the sf-dir fixtures ×k (union of
@@ -255,6 +255,11 @@ object ScaleProbe {
           MinHashLSH.signatures(DedupCorpus.augment(explodeDocs(docs0, k))))),
       "dedup_ngram_pairs" -> (k =>
         JaccardPairs.nearDupPairs(DedupCorpus.augment(explodeDocs(docs0, k)))),
+      // the weighted-cosine sibling: derived df cut scales with the
+      // exploded corpus (no probe-side override — the in-plan-derivation
+      // probe discipline), prefix join + merge-dot verification
+      "dedup_cosine_pairs" -> (k =>
+        CosinePairs.nearDupPairs(DedupCorpus.augment(explodeDocs(docs0, k)))),
       "dedup_cleaned" -> (k =>
         DedupClusters.cleaned(DedupCorpus.augment(explodeDocs(docs0, k)))),
       "text_fingerprint" -> (k =>
