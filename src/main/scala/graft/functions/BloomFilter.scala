@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.{call_function, lit, typedlit}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
 /** Cross-engine deterministic BLOOM FILTER over 60-bit gram hashes — the
   * runtime-filter/semi-join compression every 100 TB decontamination and
@@ -124,37 +124,51 @@ case class BloomAgg(
 }
 
 /** `bloom_might_contain(g, bits, j)` — true iff all `j` double-hash
-  * positions of `g` are set in the FOLDABLE `array<bigint>` bit table
-  * (whose length fixes `m`). See [[BloomAgg]] for the position scheme.
+  * positions of `g` are set in the FOLDABLE bit table (whose length fixes
+  * `m`). The bits travel as a BINARY literal — big-endian longs, the
+  * [[BloomAgg.serialize]] layout — because Catalyst stores a byte-array
+  * literal UNBOXED: a `typedlit(Seq[Long])` spelling would box all `m/64`
+  * longs in the driver's expression tree (~25× the table's size in object
+  * headers at the 2^30-bit cap), defeating the operator's own compression
+  * story. The primitive `long[]` is materialized once per expression
+  * instance, never per row. See [[BloomAgg]] for the position scheme.
   */
 case class BloomMightContain(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (LongType, ArrayType(LongType, _), IntegerType) =>
+      case (LongType, BinaryType, IntegerType) =>
         if (!(second.foldable && third.foldable))
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName requires foldable bits and j")
         else if (second.eval() == null || third.eval() == null)
           TypeCheckResult.TypeCheckFailure(s"$prettyName bits/j must not be NULL")
-        else if (java.lang.Long.bitCount(bits.length.toLong) != 1)
+        else if (second.eval().asInstanceOf[Array[Byte]].length % 8 != 0 ||
+          bits.isEmpty || java.lang.Long.bitCount(bits.length.toLong) != 1)
           TypeCheckResult.TypeCheckFailure(
-            s"$prettyName bits length must be a power of two, got ${bits.length}")
+            s"$prettyName bits must hold a power-of-two count of longs, " +
+              s"got ${second.eval().asInstanceOf[Array[Byte]].length} bytes")
         else if (j < 1 || j > 16)
           TypeCheckResult.TypeCheckFailure(s"$prettyName j out of range: $j")
         else TypeCheckResult.TypeCheckSuccess
       case (a, b, c) =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires (bigint, array<bigint>, int), got ${a.sql}, ${b.sql}, ${c.sql}")
+          s"$prettyName requires (bigint, binary, int), got ${a.sql}, ${b.sql}, ${c.sql}")
     }
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
   override def prettyName: String = "bloom_might_contain"
 
-  @transient private lazy val bits: Array[Long] =
-    second.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val bits: Array[Long] = {
+    val bytes = second.eval().asInstanceOf[Array[Byte]]
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
 
   @transient private lazy val j: Int = third.eval().asInstanceOf[Number].intValue()
 
@@ -244,9 +258,13 @@ object BloomFilter {
     call_function("bloom_agg", g, lit(mLog), lit(j))
   }
 
-  /** Column-API: probe a driver-built bit table. */
+  /** Column-API: probe a driver-built bit table (shipped as one compact
+    * binary literal — see [[BloomMightContain]]).
+    */
   def mightContain(g: Column, bits: Array[Long], j: Int): Column = {
     ensure(containDescriptor)
-    call_function("bloom_might_contain", g, typedlit(bits.toSeq), lit(j))
+    val bb = ByteBuffer.allocate(8 * bits.length)
+    bits.foreach(bb.putLong)
+    call_function("bloom_might_contain", g, lit(bb.array()), lit(j))
   }
 }

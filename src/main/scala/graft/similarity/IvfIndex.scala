@@ -215,12 +215,15 @@ object IvfIndex {
     // old vectors (ADVICE r5)
     val digest = graft.queries.Tables.contentDigest(
       graft.queries.Tables.path(dir, "embeddings"))
-    // nlist is part of the key: a derivation-rule change must rebuild, not
-    // silently serve an index with a different list layout
-    val nlist = nlistFor(embeddings.count())
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${digest}_nl$nlist"
+    // the derived nlist is a pure function of (data, sizing rule): the data
+    // is the content digest, so keying by digest + the rule's constants
+    // fully identifies the layout — a rule change rebuilds, and the HOT
+    // path (artifact exists) stays a pure filesystem check with ZERO Spark
+    // jobs (the count runs only when a build is actually needed)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${digest}" +
+      s"_r${MinListLog}_$MaxListLog"
     if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
-      save(spark, fit(spark, embeddings, Some(nlist)), path)
+      save(spark, fit(spark, embeddings), path)
     path
   }
 

@@ -139,10 +139,16 @@ object Decontaminate {
     */
   def cleanBloomPerRow(corpus: DataFrame, bits: Array[Long], k: Int = GramK): DataFrame =
     corpus
-      .filter(!exists(
-        Hashing.shingles(Hashing.words(col("text")), k),
-        s => graft.functions.BloomFilter.mightContain(
-          Hashing.hash60(s), bits, BloomJ)))
+      // coalesce: a NULL text yields a NULL shingle array and exists()
+      // returns NULL — the explode path produces no gram rows for such a
+      // doc and KEEPS it, so the per-row form must too (filter(NULL)
+      // would silently drop it and break the per-row ≡ explode law)
+      .filter(coalesce(
+        !exists(
+          Hashing.shingles(Hashing.words(col("text")), k),
+          s => graft.functions.BloomFilter.mightContain(
+            Hashing.hash60(s), bits, BloomJ)),
+        lit(true)))
       .select(col("doc_id"), col("n_chars"))
 
   /** DuckDB oracle for [[cleanBloom]]: replays the width derivation

@@ -53,4 +53,18 @@ class StreamingDecontaminateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(perRow === explodePath)
   }
+
+  test("a NULL-text doc survives the per-row form (the explode path keeps it)") {
+    // the explode path produces no gram rows for a null text, so the doc is
+    // never flagged and survives the anti-join; filter(NULL) in the per-row
+    // form would silently drop it (review finding) — coalesce keeps it
+    val docs = Tables.documents(spark, sf001)
+    val bits = Decontaminate.benchBloomBits(docs)
+    val withNull = spark.createDataFrame(Seq(
+      (900001L, null.asInstanceOf[String], 0L),
+      (900002L, "", 0L))).toDF("doc_id", "text", "n_chars")
+    val kept = Decontaminate.cleanBloomPerRow(withNull, bits)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(900001L, 900002L))
+  }
 }
