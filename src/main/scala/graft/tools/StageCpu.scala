@@ -58,6 +58,9 @@ object StageCpu {
         MinHashLSH.signatures(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "dedup_ngram_pairs" => k =>
         JaccardPairs.nearDupPairs(DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case "dedup_cosine_pairs" => k =>
+        graft.dedup.CosinePairs.nearDupPairs(
+          DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "events_sessions" => k => {
         // match the probe's tiny-row partition regime (ADVICE r13): the
         // fixture AND the shuffle run at ScaleProbe.partsFor, so a stage

@@ -77,6 +77,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(misses.count() === 0)
   }
 
+  test("the bloom gram probe is a map-side filter — no join on the gram side") {
+    // the exact path pays a BroadcastHashJoin per gram; the bloom path's
+    // grams meet only a literal bit table inside a projection, so the ONLY
+    // joins in the plan are on doc_id (the contaminated anti-join) — the
+    // plan-shape half of the 16x-smaller-broadcast claim
+    val q = Decontaminate.cleanBloom(Tables.documents(spark, sf001))
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(2000))
+    val joinKeyLines = plan.linesIterator
+      .filter(l => l.contains("Join") && !l.contains("doc_id")).toSeq
+    assert(joinKeyLines.isEmpty, s"non-doc_id join in bloom plan:\n$joinKeyLines")
+  }
+
   test("bloom width derivation: minimal power of two at BitsPerKey, clamped") {
     import Decontaminate.{mLogFor, BitsPerKey, MinMLog, MaxMLog}
     assert(mLogFor(0) === MinMLog)
