@@ -25,15 +25,33 @@ object EditVerify {
   def verifiedPairs(corpus: DataFrame, pairs: DataFrame): DataFrame = {
     val a = corpus.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = corpus.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // The DP stage is the bytes-vs-CPU mismatch case: candidate rows are
+    // few and small (ids + two texts) but each costs O(|a|·|b|), so AQE's
+    // size-based coalescing collapses the post-join stage to one task and
+    // the whole verification runs sequentially — measured at sf0.1 as TWO
+    // identical single-task ~1.4 s stages, because the final global sort's
+    // range-boundary sampling pass re-evaluates the DP child a second
+    // time. Two moves fix both: an explicit-width pair-hash repartition
+    // between text assembly and the DP projection spreads the work
+    // regardless of duplicate-id locality (explicit numPartitions opts
+    // this one shuffle out of AQE coalescing; the shuffle is proportional
+    // to the LSH-filtered pair table, not the corpus), and a lazy
+    // localCheckpoint below the sort cuts the plan so the repartition
+    // survives optimization (a bare orderBy directly above it replaces it
+    // with its own range exchange) and the sort samples ~30-byte
+    // materialized rows instead of re-running the DP.
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     pairs
       .select(col("doc_a"), col("doc_b"))
       .join(a, "doc_a")
       .join(b, "doc_b")
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
         greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         (col("edit_dist") * 5 <= col("max_len")).as("confirmed"))
+      .localCheckpoint(false)
       .orderBy("doc_a", "doc_b")
   }
 
