@@ -41,6 +41,32 @@ class EditVerifySpec extends SparkSpec {
     assert(!byPair((1L, 3L))._2)
   }
 
+  test("the DP projection materializes at shuffle width, not AQE-coalesced") {
+    // Regression guard for the single-task-Levenshtein defect: the pair
+    // rows are tiny in bytes but O(|a|·|b|) in CPU, so AQE's byte-based
+    // coalescing must NOT be allowed to collapse the verification stage.
+    // The checkpoint below the final sort is what the plan's Sort scans,
+    // so the leaf RDD's partition count IS the width the DP ran at.
+    val out = EditVerify.verifiedMinHashPairs(
+      graft.queries.Tables.documents(spark, sf001))
+    out.count() // materialize the lazy checkpoint
+    // AdaptiveSparkPlanExec is leaf-like to collectLeaves — unwrap it
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val leaves = plan.collectLeaves()
+    val rddLeaf = leaves.collectFirst {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddLeaf.nonEmpty, s"expected a checkpointed RDD leaf, got: $leaves")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    assert(rddLeaf.get.inputRDD.getNumPartitions === parts,
+      "DP stage width must equal spark.sql.shuffle.partitions (explicit " +
+        "repartition opted out of AQE coalescing)")
+  }
+
   test("live corpus: every injected exact-dup candidate pair confirms") {
     val out = EditVerify.verifiedMinHashPairs(
       graft.queries.Tables.documents(spark, sf001))
