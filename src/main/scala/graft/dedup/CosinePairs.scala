@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * sibling of [[JaccardPairs]] and the problem Bayardo et al. (WWW'07,
   * "Scaling Up All Pairs Similarity Search") actually posed: documents as
   * integer tf-idf vectors over word-[[ShingleK]]-gram features
-  * (`w = tf·1000 div df`, the [[graft.text.TfIdf]] fixed-point
-  * convention; Jaccard sees the shingle SET — this weights repeated
+  * (`w = min(tf, TfCap)·1000 div df`, the [[graft.text.TfIdf]] fixed-point
+  * convention with sublinear-tf saturation — see [[TfCap]]; Jaccard sees
+  * the shingle SET — this weights repeated
   * shingles by count and rare shingles by idf), pairs with `cos(a,b) ≥ t`
   * where the numerator is an exact integer dot product and only the final
   * norm division is IEEE double — the embedding-cosine exactness
@@ -60,8 +61,24 @@ object CosinePairs {
     */
   val MinDfCap = 16L
 
-  /** Fixed-point weight scale: `w = tf·WScale div df`. */
+  /** Fixed-point weight scale: `w = min(tf, TfCap)·WScale div df`. */
   val WScale = 1000L
+
+  /** Term-frequency saturation cap — standard sublinear-tf practice (a
+    * shingle's 10,000th repetition says nothing its 1,000th didn't; the
+    * BM25 family saturates tf for the same reason) AND the Int64-overflow
+    * guard the integer-exact discipline needs: uncapped, a pathological
+    * log-dump doc repeating a corpus-unique shingle ~10⁶ times gets
+    * `w = tf·WScale/1 ≈ 10⁹`, so a handful of `w²` terms wrap the BIGINT
+    * `norm_sq` negative and the `norm_sq > 0` filter silently drops the
+    * doc — the silent-recall-collapse failure class this round's audits
+    * kept finding, invisible on clean fixtures. Capped, `w ≤ TfCap·WScale
+    * = 10⁶`, so `norm_sq = Σw² ≤ 10¹²·|features|` stays in Int64 headroom
+    * below ~9·10⁶ distinct shingles per document (a ~9M-word document),
+    * and every pair dot is bounded by the norms via Cauchy–Schwarz. The
+    * oracle applies the identical `least` in its weight CTE.
+    */
+  val TfCap = 1000L
 
   /** The derived df cut: `max(MinDfCap, n·MaxDfPct/100)` over the live
     * corpus count — pure integer math, replayed by the oracle's
@@ -77,6 +94,11 @@ object CosinePairs {
       corpus: DataFrame,
       minCosine: Double = MinCosine): DataFrame = {
     val t2 = minCosine * minCosine
+    // one count job at plan-build time — the [[PlaneBudget.bandBitsFor]]
+    // convention for live-derived widths (column-pruned scan, the same
+    // cost class as AQE runtime statistics; an in-plan one-row cross-join
+    // would plan as the BroadcastNestedLoopJoin this operator's plan spec
+    // forbids)
     val maxDf = maxDfFor(corpus.count())
     val tf = Hashing.explodeShingles(corpus, ShingleK)
       .select(col("doc_id"), Hashing.hash60(col("shingle")).as("g"))
@@ -85,7 +107,7 @@ object CosinePairs {
       .filter(col("df") <= maxDf)
     val weighted = tf.join(df, Seq("g"))
       .select(col("doc_id"), col("g"), col("df"),
-        expr(s"tf * $WScale div df").as("w"))
+        expr(s"least(tf, $TfCap) * $WScale div df").as("w"))
     // per-doc vector, rarity-ordered; norm and prefix length from one
     // integer suffix-square scan (reversed array: the maximal initial run
     // of the COMMON end whose cumulative squared mass stays under
@@ -159,7 +181,7 @@ object CosinePairs {
        |dfq AS (SELECT g, count(*) AS df FROM tf GROUP BY 1
        |        HAVING count(*) <= (SELECT maxdf FROM mx)),
        |wt AS (
-       |  SELECT doc_id, g, tf * $WScale // df AS w
+       |  SELECT doc_id, g, least(tf, $TfCap) * $WScale // df AS w
        |  FROM tf JOIN dfq USING (g)
        |),
        |norms AS (

@@ -65,28 +65,10 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $nx = $a.numElements();
-         |int $ny = $b.numElements();
-         |int $i = 0, $j = 0, $c = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else { $c++; $i++; $j++; }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      SortedMergeGen.twoPointer(ctx, a, b, ev.value,
+        accType = "int", accInit = "0",
+        accStep = (acc, _, _) => s"$acc++"))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

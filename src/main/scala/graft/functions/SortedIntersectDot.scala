@@ -68,29 +68,10 @@ case class SortedIntersectDot(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, aw, b, bw) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $nx = $a.numElements();
-         |int $ny = $b.numElements();
-         |int $i = 0, $j = 0;
-         |long $s = 0L;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else { $s += $aw.getLong($i) * $bw.getLong($j); $i++; $j++; }
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, aw, b, bw) =>
+      SortedMergeGen.twoPointer(ctx, a, b, ev.value,
+        accType = "long", accInit = "0L",
+        accStep = (acc, i, j) => s"$acc += $aw.getLong($i) * $bw.getLong($j)"))
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,

@@ -14,12 +14,11 @@ class CosinePairsSpec extends SparkSpec {
 
   private lazy val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
 
-  /** Brute force: shingle tf vectors, derived df cut, integer weights,
-    * exact all-pairs cosine — independent of every Spark-side construct.
+  /** Brute force: shingle tf vectors, derived df cut, capped integer
+    * weights, exact all-pairs cosine — independent of every Spark-side
+    * construct.
     */
-  private lazy val bruteForce: Map[(Long, Long), Double] = {
-    val docs = corpus.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+  private def bruteForceFor(docs: Seq[(Long, String)]): Map[(Long, Long), Double] = {
     def shingles(text: String): Seq[String] = {
       val w = text.toLowerCase.split("[^a-z0-9]+", -1)
       if (w.length < CosinePairs.ShingleK) Seq.empty
@@ -32,7 +31,8 @@ class CosinePairsSpec extends SparkSpec {
       .view.mapValues(_.size.toLong).toMap
     val maxDf = CosinePairs.maxDfFor(docs.length.toLong)
     val vecs: Map[Long, Map[String, Long]] = tf.view.mapValues(_.collect {
-      case (s, c) if df(s) <= maxDf => s -> c * CosinePairs.WScale / df(s)
+      case (s, c) if df(s) <= maxDf =>
+        s -> math.min(c, CosinePairs.TfCap) * CosinePairs.WScale / df(s)
     }.toMap).toMap.filter(_._2.values.exists(_ > 0))
     val norms: Map[Long, Double] =
       vecs.view.mapValues(v => math.sqrt(v.values.map(w => (w * w).toDouble).sum)).toMap
@@ -47,6 +47,10 @@ class CosinePairsSpec extends SparkSpec {
     } yield (a, b) -> cos).toMap
   }
 
+  private lazy val bruteForce: Map[(Long, Long), Double] =
+    bruteForceFor(corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+
   test("cosine pairs equal the brute-force all-pairs result exactly") {
     val got = CosinePairs.nearDupPairs(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -55,6 +59,27 @@ class CosinePairsSpec extends SparkSpec {
         s"extra=${(got.keySet -- bruteForce.keySet).take(5)}")
     got.foreach { case (k, cos) => assert(cos === bruteForce(k)) }
     assert(got.nonEmpty) // the injected duplicates must surface
+  }
+
+  test("tf saturation: an over-cap repeat weighs as TfCap and its doc survives") {
+    import spark.implicits._
+    // doc 1/2: a shingle repeated ~1500× (above TfCap=1000) plus distinct
+    // tails that overlap between the two — the cap changes the RELATIVE
+    // weight of the repeat vs the tails, so a saturation mismatch between
+    // engine and reference shifts the cosine, and an uncapped-weight
+    // regression toward Int64 wraparound starts here
+    val spam = Array.fill(1502)("spam").mkString(" ")
+    val tail = (0 until 40).map(i => s"unique tail token t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$spam $tail"),
+      (2L, s"$spam $tail extra drift words here")) ++
+      (3L to 12L).map(i => i -> s"filler document number $i about topic ${i % 3}")
+    val got = CosinePairs.nearDupPairs(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = bruteForceFor(docs)
+    assert(ref.contains((1L, 2L)), "fixture must produce the over-cap pair")
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, cos) => assert(cos === ref(k)) }
   }
 
   test("derived df cut: fraction of corpus with a floor") {
