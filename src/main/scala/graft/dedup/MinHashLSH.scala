@@ -185,11 +185,12 @@ object MinHashLSH {
     // re-runnable batch stage, same recovery story the previous
     // MEMORY_AND_DISK persist had in practice.
     val sigs = sigsIn.localCheckpoint(false)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // ONE banding spelling for every consumer (batch, streaming,
+    // incremental): [[bandedSignatures]] — column pruning drops the
+    // carried signature columns this path doesn't read, so the plan is
+    // identical to an inline explode while the band construction can't
+    // drift between paths
+    val banded = bandedSignatures(sigs).select("doc_id", "band", "key")
     // over-cap bucket keys: one map-side-partial aggregate over the banded
     // table; the surviving key set is tiny (degenerate keys only) → the
     // exclusion is a broadcast anti-join, no extra shuffle of `banded`

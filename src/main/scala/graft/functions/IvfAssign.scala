@@ -49,7 +49,18 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
         right.eval().asInstanceOf[ArrayData].numElements() == 0)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires a non-null, non-empty centroid table")
-      else TypeCheckResult.TypeCheckSuccess
+      else {
+        // rectangularity: every centroid row must share one dimension —
+        // a ragged table would otherwise surface only as per-row errors
+        val tbl = right.eval().asInstanceOf[ArrayData]
+        val d0 = tbl.getArray(0).numElements()
+        val ragged = (1 until tbl.numElements())
+          .exists(i => tbl.getArray(i).numElements() != d0)
+        if (ragged)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a rectangular centroid table")
+        else TypeCheckResult.TypeCheckSuccess
+      }
     case (l, r) =>
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<bigint>, array<array<bigint>>) inputs, " +
@@ -72,17 +83,26 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
   @transient private lazy val cc: Array[Long] =
     cents.map(c => c.map(x => x * x).sum)
 
-  /** Shared argmin kernel (interpreted path). */
+  @transient private lazy val dims: Int = cents(0).length
+
+  /** Shared argmin kernel (interpreted path). A dimension mismatch FAILS
+    * loudly: truncating to the shorter length would subtract a full-dims
+    * `c·c` from a prefix dot — systematically biased toward small-norm
+    * centroids, silently wrong everywhere.
+    */
   private def argmin(qv: ArrayData): Int = {
+    val nq = qv.numElements()
+    if (nq != dims)
+      throw new IllegalArgumentException(
+        s"ivf_assign: query vector has $nq dims, centroids have $dims")
     var best = Long.MaxValue
     var bi = 0
     var ci = 0
     while (ci < cents.length) {
       val c = cents(ci)
-      val n = math.min(qv.numElements(), c.length)
       var dot = 0L
       var j = 0
-      while (j < n) { dot += qv.getLong(j) * c(j); j += 1 }
+      while (j < dims) { dot += qv.getLong(j) * c(j); j += 1 }
       val d = cc(ci) - 2L * dot
       if (d < best) { best = d; bi = ci }
       ci += 1
@@ -113,11 +133,16 @@ case class IvfAssign(left: Expression, right: Expression) extends BinaryExpressi
          |boolean ${ev.isNull} = ${leftGen.isNull};
          |int ${ev.value} = 0;
          |if (!${ev.isNull}) {
+         |  int $n = $qv.numElements();
+         |  if ($n != ${cents(0).length}) {
+         |    throw new IllegalArgumentException(
+         |      "ivf_assign: query vector has " + $n +
+         |      " dims, centroids have ${cents(0).length}");
+         |  }
          |  long $best = Long.MAX_VALUE;
          |  int $bi = 0;
          |  for (int $ci = 0; $ci < $centsRef.length; $ci++) {
          |    long[] $c = $centsRef[$ci];
-         |    int $n = java.lang.Math.min($qv.numElements(), $c.length);
          |    long $dot = 0L;
          |    for (int $j = 0; $j < $n; $j++) {
          |      $dot += $qv.getLong($j) * $c[$j];

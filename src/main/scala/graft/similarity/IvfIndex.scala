@@ -33,6 +33,13 @@ object IvfIndex {
   val NProbe = 4
   val TrainFraction = 0.5
 
+  /** k-means fit parameters — part of the saved-artifact identity (a
+    * change must produce a new [[ensureSaved]] key, not silently serve an
+    * index the current code can no longer build).
+    */
+  val FitSeed = 42L
+  val MaxIter = 10
+
   /** Derived-`nlist` bounds: powers of two in `[2^MinListLog, 2^MaxListLog]`. */
   val MinListLog = 2
   val MaxListLog = 12
@@ -88,14 +95,14 @@ object IvfIndex {
       spark: SparkSession,
       embeddings: DataFrame,
       nlist: Option[Int] = None,
-      seed: Long = 42L,
+      seed: Long = FitSeed,
       trainFraction: Double = TrainFraction): IvfModel = {
     val k = nlist.getOrElse(nlistFor(embeddings.count()))
     val vecs = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     val train = graft.sampling.Sampled(vecs, trainFraction, seed).data
     val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(10)
+      .setK(k).setSeed(seed).setMaxIter(MaxIter)
       .setFeaturesCol("features").setPredictionCol("list")
       .fit(train)
     IvfModel(
@@ -195,9 +202,7 @@ object IvfIndex {
         col("vec_id").as("neighbor_id"),
         (SimilaritySearch.dotQ(col("q_qv"), col("qv")).cast("double") /
           (col("q_nrm") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim")
+    SimilaritySearch.rankAndSelect(cands, k)
   }
 
   /** Digest-keyed tmpdir artifact for `dir`'s embeddings (same convention
@@ -215,13 +220,15 @@ object IvfIndex {
     // old vectors (ADVICE r5)
     val digest = graft.queries.Tables.contentDigest(
       graft.queries.Tables.path(dir, "embeddings"))
-    // the derived nlist is a pure function of (data, sizing rule): the data
-    // is the content digest, so keying by digest + the rule's constants
-    // fully identifies the layout — a rule change rebuilds, and the HOT
-    // path (artifact exists) stays a pure filesystem check with ZERO Spark
+    // the saved index is a pure function of (data, sizing rule, fit
+    // params): the data is the content digest; the sizing rule and EVERY
+    // fit parameter (seed, train fraction, iteration budget) key the path
+    // too, so changing any of them rebuilds instead of silently serving
+    // an index the current code can no longer produce. The HOT path
+    // (artifact exists) stays a pure filesystem check with ZERO Spark
     // jobs (the count runs only when a build is actually needed)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${digest}" +
-      s"_r${MinListLog}_$MaxListLog"
+      s"_r${MinListLog}_${MaxListLog}_s${FitSeed}_t${(TrainFraction * 100).toInt}_i$MaxIter"
     if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
       save(spark, fit(spark, embeddings), path)
     path
@@ -264,12 +271,20 @@ object IvfIndex {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val nl = nlist.getOrElse(nlistFor(embeddings.count()))
-    val prep = SimilaritySearch.prepared(embeddings)
+    // prep feeds THREE consumers (centroid-seed collect, corpus-wide
+    // assignment, query probes) — materialize the quantize/norm pass once
+    // (the MinHashLSH.nearDupPairs / SimilaritySearch.nearDupPairs
+    // shared-base discipline)
+    val prep = SimilaritySearch.prepared(embeddings).localCheckpoint(false)
     val cents: Array[Array[Long]] = prep
       .withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy("hk", "vec_id").limit(nl)
       .select("qv").collect().map(_.getSeq[Long](0).toArray)
-    require(cents.length == nl, s"corpus smaller than nlist=$nl")
+    // cents.length < nl is LEGAL: prepared() drops zero-norm vectors, so a
+    // corpus where quantization zeroes many rows seeds fewer lists — the
+    // oracle's `QUALIFY centroid_id < nl` degrades identically (nl sizes
+    // the layout; the seed pool is whatever survives)
+    require(cents.nonEmpty, "no non-zero-norm vectors to seed centroids")
     val assigned = prep.withColumn("list",
       graft.functions.IvfAssign.assign(col("qv"), cents))
 
@@ -295,9 +310,7 @@ object IvfIndex {
         col("vec_id").as("neighbor_id"),
         (SimilaritySearch.dotQ(col("q_qv"), col("qv")).cast("double") /
           (col("q_nrm") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim")
+    SimilaritySearch.rankAndSelect(cands, k)
   }
 
   /** DuckDB oracle for [[detTopK]] — replays the `nlist` derivation

@@ -90,7 +90,11 @@ object SimilaritySearch {
   private def simCol: Column =
     dotQ(col("q_qv"), col("qv")).cast("double") / (col("q_nrm") * col("nrm"))
 
-  private def rankAndSelect(cands: DataFrame, k: Int): DataFrame = {
+  /** Per-query top-k with the family-wide tie-break contract (sim desc,
+    * then neighbor_id) — shared across [[topK]]/[[topKAnn]] and the
+    * [[IvfIndex]] search paths so the contract has exactly one spelling.
+    */
+  private[similarity] def rankAndSelect(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands
       .withColumn("rn", row_number().over(w))

@@ -70,7 +70,15 @@ object SharedSpans {
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > MaxFpDocs)
       .select("fp")
-    val ok = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    // NO broadcast hint on the hot set: unlike degenerate-only skew keys,
+    // EVERY common-phrase fingerprint carried by >MaxFpDocs docs
+    // qualifies, a set that grows with corpus vocabulary — at web scale
+    // hundreds of millions of fps, far past any broadcast limit. The
+    // anti-join rides the fp equi-key either way; AQE still converts it
+    // to a broadcast join at runtime while the aggregated set is actually
+    // small (its post-agg size estimate is accurate), and degrades to a
+    // shuffle join when it isn't.
+    val ok = fps.join(hot, Seq("fp"), "left_anti")
     // per-doc SURVIVING-fingerprint counts (the containment denominators):
     // same checkpointed stream, post-cap — see [[MinContainmentPct]] for
     // why the raw count would strangle true-duplicate recall as the

@@ -63,6 +63,40 @@ class WinnowMinsSpec extends SparkSpec {
     assert(out.forall(_.nonEmpty))
   }
 
+  test("malformed UTF-8 never reads out of bounds and decodes one byte per invalid lead") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // parquet strings are not validated on write, so dirty corpora carry
+    // stray continuation bytes (0x80–0xBF), invalid leads (≥ 0xF8), and
+    // sequences truncated by end-of-string; each must decode as ONE code
+    // point (the unsigned byte — Spark's numBytesForFirstByte convention)
+    // instead of overrunning the byte array
+    val cases = Seq(
+      // stray continuation byte mid-ASCII
+      Array[Int](0x61, 0x80, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B),
+      // invalid lead 0xFF
+      Array[Int](0xFF, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B),
+      // truncated 2-byte sequence at end-of-string
+      Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B, 0xC3),
+      // truncated 4-byte sequence at end-of-string
+      Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0xF0, 0x9F))
+    cases.foreach { ints =>
+      val s = UTF8String.fromBytes(ints.map(_.toByte))
+      val out = WinnowMins.compute(s) // must not throw
+      // every byte decodes to exactly one code point here (singles), so
+      // the winnowing shape matches a 12-code-point document
+      assert(out.numElements() === ints.length - G - W + 2)
+      // deterministic: a second pass is identical
+      val out2 = WinnowMins.compute(UTF8String.fromBytes(ints.map(_.toByte)))
+      assert(out.toLongArray().toSeq === out2.toLongArray().toSeq)
+    }
+    // a VALID multi-byte char adjacent to a malformed byte still decodes
+    // as its full sequence (the guards only reroute genuinely invalid input)
+    val mixed = UTF8String.fromBytes(
+      (Seq(0x80) ++ "héllo wörld!".getBytes("UTF-8").map(_ & 0xFF)).map(_.toByte).toArray)
+    val o = WinnowMins.compute(mixed)
+    assert(o.numElements() === 1 + 12 - G - W + 2) // 13 code points total
+  }
+
   test("too-short yields empty array, null yields null, non-string rejected") {
     val df = Seq((0L, Some("x" * (G + W - 2))), (1L, Some("")), (2L, None))
       .toDF("doc_id", "text")

@@ -104,6 +104,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(nulled.filter(col("a").isNotNull).count() === 0)
   }
 
+  test("ivf_assign rejects dimension mismatches instead of truncating") {
+    import org.apache.spark.sql.functions._
+    val cents = Array(Array(1L, 2L, 3L, 4L), Array(4L, 3L, 2L, 1L))
+    // a short query vector against 4-dim centroids must FAIL: a truncated
+    // prefix dot against the full-dims c·c is biased toward small-norm
+    // centroids — silently wrong, never acceptable
+    val thrown = intercept[Exception] {
+      spark.range(1).select(
+        graft.functions.IvfAssign.assign(array(lit(1L), lit(2L)), cents)).collect()
+    }
+    assert(thrown.getMessage != null)
+    // a ragged centroid table is rejected at analysis, not per row
+    val ragged = Array(Array(1L, 2L), Array(3L))
+    val analysisErr = intercept[Exception] {
+      spark.range(1).select(
+        graft.functions.IvfAssign.assign(array(lit(1L), lit(2L)), ragged)).collect()
+    }
+    assert(analysisErr.getMessage.toLowerCase.contains("rectangular"))
+  }
+
   test("deterministic IVF: k rows per query, sims exact, recall beats chance") {
     val brute = SimilaritySearch.topK(emb, k = 500).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
