@@ -63,8 +63,8 @@ object DedupClusters {
     // principle fake a fixed point.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    var prevSum = labelSum(labels) // null ⇔ empty corpus (sum over no rows)
+    var converged = prevSum == null // zero nodes IS the fixed point
     var iter = 0
     while (!converged && iter < MaxIterations) {
       // lazy checkpoint: the convergence-sum action below is the job that

@@ -70,8 +70,17 @@ object IncrementalDedup {
       val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
       MinHashLSH.signatures(baseCorpus(graft.queries.Tables.documents(spark, dir)))
         .write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        // losing the publish race is fine (the winner's index is
+        // content-identical); any OTHER rename failure (cross-mount
+        // tmpdir, permissions) must fail HERE with its real cause, not
+        // later as a confusing missing-path parquet read
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          throw new java.io.IOException(
+            s"could not publish signature index: rename $tmp -> $path " +
+              "failed and no concurrent build won the race")
+      }
     }
     path
   }

@@ -88,7 +88,7 @@ object SourceOverlap {
     */
   def pairsBySourceSampled(documents: DataFrame, pct: Int = 10): DataFrame = {
     require(100 % pct == 0, s"pct must divide 100, got $pct")
-    val m = (graft.sampling.UniverseSampled.RangeMod / pct).toInt
+    val m = graft.sampling.UniverseSampled.scaleFor(pct).toInt
     val sampled = graft.sampling.UniverseSampled.sample(documents, col("doc_id"), pct)
     val corpus = DedupCorpus.augment(sampled)
     val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
@@ -112,7 +112,7 @@ object SourceOverlap {
     * augment, pair CTE, base-id weights, and weighted roll-up.
     */
   def pairsBySourceSampledOracleSql(pct: Int = 10): String = {
-    val m = (graft.sampling.UniverseSampled.RangeMod / pct).toInt
+    val m = graft.sampling.UniverseSampled.scaleFor(pct).toInt
     s"""WITH sdocs AS (SELECT * FROM documents
        |               WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}),
        |pairs AS (${MinHashLSH.nearDupPairsOracleSql(from = "sdocs")}),

@@ -185,7 +185,7 @@ object TokenBudget {
       num: Long = 2,
       den: Long = 5,
       buckets: Int = Buckets): DataFrame = {
-    val scaleN: Long = UniverseSampled.RangeMod / pct
+    val scaleN: Long = UniverseSampled.scaleFor(pct)
     val sample = UniverseSampled.sample(docs, col("doc_id"), pct)
     val (tb, cum) = withCum(sample, buckets)
     val budget = tb.agg(sum(col("tok")).as("stok"))
@@ -206,7 +206,7 @@ object TokenBudget {
       num: Long = 2,
       den: Long = 5,
       buckets: Int = Buckets): String = {
-    val scaleN = UniverseSampled.RangeMod / pct
+    val scaleN = UniverseSampled.scaleFor(pct)
     s"""WITH src AS (SELECT * FROM documents WHERE ${UniverseSampled.keepSql("doc_id", pct)}),
        |${cumCteSql(buckets, from = "src")},
        |lim AS (SELECT CAST(sum(tok) * $scaleN * $num // $den AS BIGINT) AS budget FROM tb)

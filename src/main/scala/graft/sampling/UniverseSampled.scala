@@ -58,6 +58,20 @@ object UniverseSampled {
 
   private val Salt = "u:"
 
+  /** Integer Horvitz–Thompson scale 1/p = RangeMod/pct for the
+    * integer-exact estimator paths. Valid ONLY for pct dividing
+    * [[RangeMod]]: the exactness discipline demands an integer 1/p, and
+    * an unchecked `RangeMod / pct` at, say, pct = 3 silently floors
+    * 33.33→33 — a ~1 % systematic underestimate — while pct = 0 divides
+    * by zero and pct > 100 scales by 0. Fail loudly at plan build.
+    */
+  def scaleFor(pct: Int): Long = {
+    require(pct >= 1 && pct <= RangeMod && RangeMod % pct == 0,
+      s"integer-exact HT scaling needs pct in [1, $RangeMod] dividing " +
+        s"$RangeMod (got $pct); use the double-typed scale for other rates")
+    RangeMod / pct
+  }
+
   /** Keep-predicate: hash of the salted unit in [0, pct). */
   def keep(unit: Column, pct: Int): Column =
     Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % RangeMod < pct

@@ -39,9 +39,6 @@ object GlobalShuffle {
   /** Documents per training shard. */
   val ShardSize = 64L
 
-  /** (doc_id, pos, shard): pos is the 1-based global position of doc_id in
-    * ascending (md5-hash, doc_id) order; shard = (pos−1) div [[ShardSize]].
-    */
   /** The checkpointed range-shuffle stage (exposed for the spec's range-
     * invariant pin): (doc_id, h, pid) with non-overlapping h-ranges per
     * ascending pid.
@@ -56,6 +53,10 @@ object GlobalShuffle {
       .localCheckpoint(false)
   }
 
+  /** (doc_id, pos, shard): pos is the 1-based global position of doc_id in
+    * ascending (position-hash, doc_id) order; shard =
+    * (pos−1) div `shardSize`.
+    */
   def positions(docs: DataFrame, shardSize: Long = ShardSize): DataFrame = {
     val r = ranged(docs)
     // parts-row metadata aggregate → exclusive prefix offsets (the same
@@ -90,7 +91,8 @@ object GlobalShuffle {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
 
-  private def posCteSql(shardSize: Long): String =
+  // positions-only CTE — shard arithmetic stays at the call sites
+  private def posCteSql: String =
     s"""k AS (SELECT doc_id,
        |        ${Hashing.hash60Sql(s"'$Seed:' || CAST(doc_id AS VARCHAR)")} AS h
        |      FROM documents),
@@ -103,12 +105,12 @@ object GlobalShuffle {
     * construction (ranges are non-overlapping and pid-ordered).
     */
   def positionsOracleSql(shardSize: Long = ShardSize): String =
-    s"""WITH ${posCteSql(shardSize)}
+    s"""WITH $posCteSql
        |SELECT doc_id, pos, (pos - 1) // $shardSize AS shard
        |FROM p ORDER BY doc_id""".stripMargin
 
   def shardManifestOracleSql(shardSize: Long = ShardSize): String =
-    s"""WITH ${posCteSql(shardSize)}
+    s"""WITH $posCteSql
        |SELECT (pos - 1) // $shardSize AS shard, count(*) AS n_docs,
        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin

@@ -45,7 +45,12 @@ object TrainingShard {
     // travel past the filter)
     val kept = CurationPipeline.verdicts(docs)
       .filter(col("keep")).select(col("doc_id"))
-    val curated = docs.join(kept, "doc_id")
+    // materialize once: curated feeds TWO diverging consumers (the
+    // digest-min aggregate and the winners join) whose pruned columns
+    // differ, so their canonicalized exchanges can't be reused and the
+    // whole verdict chain would otherwise run twice — the same
+    // shared-stage discipline manifestNearDup below applies
+    val curated = docs.join(kept, "doc_id").localCheckpoint(false)
     // stage 2: exact dedup — min(doc_id) per text digest is a partial+final
     // aggregate (the CrossDocDedup argument: a mega-duplicated text
     // collapses map-side), then an id join keeps the winners
@@ -268,7 +273,7 @@ object TrainingShard {
       weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
       packTokens: Long = SequencePacking.PackTokens,
       buckets: Int = TokenBudget.Buckets): DataFrame = {
-    val scaleN: Long = graft.sampling.UniverseSampled.RangeMod / pct
+    val scaleN: Long = graft.sampling.UniverseSampled.scaleFor(pct)
     val sample = graft.sampling.UniverseSampled.sample(docs, col("doc_id"), pct)
     manifest(sample, weightsBp, packTokens, buckets)
       .agg(
@@ -294,7 +299,7 @@ object TrainingShard {
       weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
       packTokens: Long = SequencePacking.PackTokens,
       buckets: Int = TokenBudget.Buckets): String = {
-    val scaleN = graft.sampling.UniverseSampled.RangeMod / pct
+    val scaleN = graft.sampling.UniverseSampled.scaleFor(pct)
     s"""WITH s AS (
        |  SELECT * FROM documents
        |  WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}

@@ -21,6 +21,17 @@ class DedupClustersSpec extends SparkSpec {
     assert(out(5L) === ((5L, true)))
   }
 
+  test("empty corpus: both CC variants return empty instead of crashing") {
+    // a corpus slice where curation rejects everything is legal; the
+    // convergence sum over zero rows is null and must read as the fixed
+    // point, not an NPE (the bigstar variant always guarded this — the
+    // min-label loop now does too)
+    val corpus = Seq.empty[Long].toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupClusters.components(corpus, pairs).count() === 0)
+    assert(DedupClusters.componentsBigStar(corpus, pairs)._1.count() === 0)
+  }
+
   test("edge shuffle width follows the session's shuffle-partition config") {
     assert(DedupClusters.edgePartitions(spark) ===
       spark.sessionState.conf.numShufflePartitions)

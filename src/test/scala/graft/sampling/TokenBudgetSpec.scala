@@ -12,6 +12,19 @@ import graft.queries.Tables
   */
 class TokenBudgetSpec extends SparkSpec {
 
+  test("HT scale: integer-exact only for pct dividing RangeMod, loud otherwise") {
+    // RangeMod/pct with unchecked integer division silently floors the
+    // scale (pct=3 -> x33 instead of x33.33, a ~1% systematic
+    // underestimate) and divides by zero at pct=0 — every estimator path
+    // goes through the checked helper instead
+    assert(UniverseSampled.scaleFor(10) === 10L)
+    assert(UniverseSampled.scaleFor(25) === 4L)
+    assert(UniverseSampled.scaleFor(100) === 1L)
+    Seq(0, 3, 8, 101, -5).foreach { bad =>
+      intercept[IllegalArgumentException](UniverseSampled.scaleFor(bad))
+    }
+  }
+
   test("selection is the maximal hash-ordered prefix within budget") {
     val base = Tables.documents(spark, sf001)
       .select(
