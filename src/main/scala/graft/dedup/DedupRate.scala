@@ -105,8 +105,7 @@ object DedupRate {
   def clusterSizeHistSampledU(corpus: DataFrame, pct: Int = 10): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(100 % pct == 0, s"pct must divide 100, got $pct")
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     val sampled = corpus.filter(graft.sampling.UniverseSampled.keep(col("doc_id"), pct))
     val wDf = histWeights(m)
       .map { case (j, k, w) => (j.toLong, k.toLong, w) }
@@ -160,7 +159,7 @@ object DedupRate {
     * observed histogram, and integer inversion weights.
     */
   def clusterSizeHistSampledUOracleSql(pct: Int = 10): String = {
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     val rows = histWeights(m)
       .map { case (j, k, w) => s"($j, $k, ${w}::BIGINT)" }
       .mkString(", ")

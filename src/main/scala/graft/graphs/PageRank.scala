@@ -199,15 +199,14 @@ object PageRank {
     * estimator against ground truth on the live fixture.
     */
   def degreeHistogramSampledU(events: DataFrame, pct: Int = 10): DataFrame = {
-    require(100 % pct == 0, s"pct must divide 100, got $pct")
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     sampledEdges(events, pct)
       .groupBy("src").agg((count(lit(1)) * m).as("est_degree"))
       .groupBy("est_degree").agg(count(lit(1)).as("nodes"))
   }
 
   def degreeHistogramSampledUOracleSql(pct: Int = 10): String = {
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     s"""WITH $edgesCteSql,
        |s AS (SELECT * FROM edges
        |      WHERE ${graft.sampling.UniverseSampled.keepSql(edgeUnitSql, pct)}),
@@ -250,8 +249,7 @@ object PageRank {
     * graph family.
     */
   def graphMomentsSampledU(events: DataFrame, pct: Int = 10): DataFrame = {
-    require(100 % pct == 0, s"pct must divide 100, got $pct")
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     sampledEdges(events, pct)
       .groupBy("src").agg(count(lit(1)).as("j"))
       .agg(
@@ -284,7 +282,7 @@ object PageRank {
        |FROM deg""".stripMargin
 
   def graphMomentsSampledUOracleSql(pct: Int = 10): String = {
-    val m = 100L / pct
+    val m = graft.sampling.UniverseSampled.scaleFor(pct)
     s"""WITH $edgesCteSql,
        |s AS (SELECT * FROM edges
        |      WHERE ${graft.sampling.UniverseSampled.keepSql(edgeUnitSql, pct)}),

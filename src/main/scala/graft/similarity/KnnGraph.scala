@@ -79,9 +79,19 @@ object KnnGraph {
   /** Directed candidate edges (query_id, q_label, neighbor_id, n_label,
     * sim): both orientations of every in-bucket meeting, deduped across
     * bands.
+    *
+    * Skew guard ([[SimilaritySearch.MaxBucket]]): a bucket of
+    * sign-identical vectors defeats the derived plane budget (identical
+    * signs at ANY width), and its in-bucket self-join is quadratic.
+    * Over-cap buckets emit STAR candidates instead — each member gains the
+    * bucket's min-id representative as a candidate and vice versa, linear
+    * in bucket size. Mega-bucket members keep ≥1 (typically near-identical)
+    * neighbor; the lost in-bucket recall is the honest-ANN contract the
+    * operator already documents, and the oracle mirrors the fallback.
     */
   private def candidates(
-      embeddings: DataFrame, numBands: Int, numPlanes: Option[Int]): DataFrame = {
+      embeddings: DataFrame, numBands: Int, numPlanes: Option[Int],
+      maxBucket: Long = SimilaritySearch.MaxBucket): DataFrame = {
     val planes = numPlanes.getOrElse(PlaneBudget.bandBitsFor(embeddings) * numBands)
     val base = bandedBase(embeddings, planes, numBands)
     val banded = base
@@ -89,10 +99,15 @@ object KnnGraph {
         explode(col("__bks")).as("bk"))
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val rhs = banded.select(
+    val hot = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val rhs = bounded.select(
       col("vec_id").as("vid_b"), col("label").as("label_b"),
       col("qv").as("qv_b"), col("nrm").as("nrm_b"), col("band"), col("key"))
-    val pairs = banded
+    val densePairs = bounded
       .join(rhs, Seq("band", "key"))
       .filter(col("vec_id") =!= col("vid_b"))
       .select(
@@ -100,8 +115,34 @@ object KnnGraph {
         col("vid_b").as("neighbor_id"), col("label_b").as("n_label"),
         (SimilaritySearch.dotQ(col("qv"), col("qv_b")).cast("double") /
           (col("nrm") * col("nrm_b"))).as("sim"))
-    // a pair meets once per shared band; sim is a deterministic function
-    // of the pair, so distinct dedupes exactly (the nearDupPairs argument)
+    // star fallback, DIRECTED: member→rep and rep→member rows, so both
+    // endpoints keep a candidate set; min_by carries the representative's
+    // vector and label so no extra join re-fetches them
+    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
+    val reps = hotMembers
+      .groupBy("band", "key")
+      .agg(min(col("vec_id")).as("rep"),
+        min_by(struct(col("qv"), col("nrm"), col("label")), col("vec_id")).as("rv"))
+    val starBoth = hotMembers
+      .join(broadcast(reps), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("rep"))
+      .withColumn("__sim",
+        SimilaritySearch.dotQ(col("rv.qv"), col("qv")).cast("double") /
+          (col("rv.nrm") * col("nrm")))
+    val starPairs = starBoth
+      .select(
+        col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("rep").as("neighbor_id"), col("rv.label").as("n_label"),
+        col("__sim").as("sim"))
+      .unionAll(starBoth.select(
+        col("rep").as("query_id"), col("rv.label").as("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("__sim").as("sim")))
+    val pairs = densePairs.unionAll(starPairs)
+    // a pair meets once per shared band (dense and star are disjoint
+    // within one band — a bucket is either capped or not); sim is a
+    // deterministic function of the pair, so distinct dedupes exactly
+    // (the nearDupPairs argument)
     if (numBands == 1) pairs else pairs.distinct()
   }
 
@@ -117,8 +158,9 @@ object KnnGraph {
     */
   def graph(
       embeddings: DataFrame, k: Int = K,
-      numBands: Int = NumBands, numPlanes: Option[Int] = None): DataFrame =
-    rank(candidates(embeddings, numBands, numPlanes), k)
+      numBands: Int = NumBands, numPlanes: Option[Int] = None,
+      maxBucket: Long = SimilaritySearch.MaxBucket): DataFrame =
+    rank(candidates(embeddings, numBands, numPlanes, maxBucket), k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
 
@@ -169,12 +211,28 @@ object KnnGraph {
     * re-joined from `prep`, where they're functionally dependent on
     * vec_id).
     */
-  private def bandsSql(numBands: Int): String =
+  private def bandsSql(
+      numBands: Int, maxBucket: Long = SimilaritySearch.MaxBucket): String =
     s"""${PlaneBudget.dynamicBandsSql(numBands, withLabel = true)},
+       |ok AS (SELECT band, key FROM bands GROUP BY 1, 2
+       |       HAVING count(*) <= $maxBucket),
+       |hotrep AS (SELECT band, key, min(vec_id) AS rep FROM bands
+       |           GROUP BY 1, 2 HAVING count(*) > $maxBucket),
+       |bok AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |  WHERE a.vec_id <> b.vec_id
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |    FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+       |    WHERE a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT m.vec_id AS query_id, h.rep AS neighbor_id
+       |    FROM bands m JOIN hotrep h USING (band, key)
+       |    WHERE m.vec_id <> h.rep
+       |    UNION ALL
+       |    SELECT h.rep AS query_id, m.vec_id AS neighbor_id
+       |    FROM bands m JOIN hotrep h USING (band, key)
+       |    WHERE m.vec_id <> h.rep
+       |  )
        |),
        |sims AS (
        |  SELECT query_id, pa.label AS q_label, neighbor_id, pb.label AS n_label,

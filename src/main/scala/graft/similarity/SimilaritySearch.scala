@@ -34,6 +34,23 @@ object SimilaritySearch {
   val NumQueries = 5
   val TopK = 10
 
+  /** Bucket-size skew cap for the banded PAIR paths ([[nearDupPairs]],
+    * [[KnnGraph]]) — the [[graft.dedup.MinHashLSH.MaxBucket]] discipline
+    * adapted to sign-LSH. The derived plane budget holds EXPECTED occupancy
+    * at [[PlaneBudget.TargetBucket]], but no plane count can split a bucket
+    * of IDENTICAL (or sign-identical) vectors — constant boilerplate
+    * embeddings, zero-information documents — so one degenerate cluster
+    * still makes the in-bucket self-join quadratic at corpus scale. Buckets
+    * above the cap fall back to STAR candidates against the bucket's min-id
+    * representative (linear in bucket size; verification below still gates
+    * every emitted pair). 8× the occupancy target: a Poisson-distributed
+    * bucket at mean 64 never reaches 512, so the fallback only ever fires
+    * on genuinely degenerate sign-clusters, never on statistical
+    * fluctuation — and it is a no-op on every test fixture, pinned instead
+    * by the over-cap specs.
+    */
+  val MaxBucket = 8L * PlaneBudget.TargetBucket
+
   /** Rademacher sign for (plane, dim): ±1 from md5 parity — deterministic,
     * engine-independent, computed in plain Scala at plan-build time.
     */
@@ -152,13 +169,17 @@ object SimilaritySearch {
     * retained through the OR over bands. The defaults (4 planes, 1 band)
     * reproduce the oracle-pinned reference configuration; the candidate-
     * growth behavior is pinned by SimilaritySearchSpec on a 16-plane
-    * config.
+    * config. Buckets over [[MaxBucket]] (sign-identical degenerate
+    * clusters no plane budget can split) fall back to star candidates
+    * against the bucket's min-id representative — linear in bucket size,
+    * mirrored in both oracles.
     */
   def nearDupPairs(
       embeddings: DataFrame,
       minSim: Double = 0.15,
       numPlanes: Int = NumPlanes,
-      numBands: Int = 1): DataFrame = {
+      numBands: Int = 1,
+      maxBucket: Long = MaxBucket): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
     val bandBits = numPlanes / numBands
     val signs = signsFor(numPlanes)
@@ -190,18 +211,47 @@ object SimilaritySearch {
       .select(col("vec_id"), col("qv"), col("nrm"), explode(col("__bks")).as("bk"))
       .select(col("vec_id"), col("qv"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val rhs = banded.select(
+    // over-cap bucket keys (degenerate sign-clusters only — see
+    // [[MaxBucket]]): one map-side-partial aggregate; the surviving key set
+    // is tiny, so exclusion is a broadcast anti-join and `banded` is never
+    // re-shuffled
+    val hot = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select("band", "key")
+    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val rhs = bounded.select(
       col("vec_id").as("vid_b"), col("qv").as("qv_b"),
       col("nrm").as("nrm_b"), col("band"), col("key"))
-    val pairs = banded
+    val densePairs = bounded
       .join(rhs, Seq("band", "key"))
       .filter(col("vec_id") < col("vid_b"))
       .select(
         col("vec_id").as("vec_a"),
         col("vid_b").as("vec_b"),
         (dotQ(col("qv"), col("qv_b")).cast("double") / (col("nrm") * col("nrm_b"))).as("sim"))
-    // pairs can meet in several bands only when numBands > 1; sim is a
-    // deterministic function of the pair, so a distinct dedupes exactly
+    // star fallback inside over-cap buckets: member vs min-id
+    // representative — O(b) rows per bucket, rep < member by construction
+    // so the canonical (vec_a < vec_b) order is free; min_by carries the
+    // representative's vector so no extra join re-fetches it
+    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
+    val reps = hotMembers
+      .groupBy("band", "key")
+      .agg(min(col("vec_id")).as("rep"),
+        min_by(struct(col("qv"), col("nrm")), col("vec_id")).as("rv"))
+    val starPairs = hotMembers
+      .join(broadcast(reps), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(
+        col("rep").as("vec_a"),
+        col("vec_id").as("vec_b"),
+        (dotQ(col("rv.qv"), col("qv")).cast("double") /
+          (col("rv.nrm") * col("nrm"))).as("sim"))
+    val pairs = densePairs.unionAll(starPairs)
+    // a pair can meet in several bands only when numBands > 1 (a bucket is
+    // either capped or not, so dense and star rows are disjoint within one
+    // band); sim is a deterministic function of the pair, so a distinct
+    // dedupes exactly
     val deduped = if (numBands == 1) pairs else pairs.distinct()
     deduped.filter(col("sim") >= minSim)
   }
@@ -279,12 +329,24 @@ object SimilaritySearch {
     * self-sizing plan is itself hash-gated at whatever corpus size the
     * oracle is pointed at.
     */
-  def nearDupPairsDerivedOracleSql(minSim: Double, numBands: Int): String =
+  def nearDupPairsDerivedOracleSql(
+      minSim: Double, numBands: Int, maxBucket: Long = MaxBucket): String =
     s"""WITH ${PlaneBudget.dynamicBandsSql(numBands, withLabel = false)},
+       |ok AS (SELECT band, key FROM bands GROUP BY 1, 2
+       |       HAVING count(*) <= $maxBucket),
+       |hotrep AS (SELECT band, key, min(vec_id) AS rep FROM bands
+       |           GROUP BY 1, 2 HAVING count(*) > $maxBucket),
+       |bok AS (SELECT b.* FROM bands b JOIN ok USING (band, key)),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |  WHERE a.vec_id < b.vec_id
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM bok a JOIN bok b ON a.band = b.band AND a.key = b.key
+       |    WHERE a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT h.rep AS vec_a, m.vec_id AS vec_b
+       |    FROM bands m JOIN hotrep h USING (band, key)
+       |    WHERE m.vec_id <> h.rep
+       |  )
        |)
        |SELECT vec_a, vec_b, ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) AS sim
        |FROM cand
@@ -293,13 +355,32 @@ object SimilaritySearch {
        |WHERE ${dotSql("pa.qv", "pb.qv")} / (pa.nrm * pb.nrm) >= $minSim
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Oracle SQL for [[nearDupPairs]]. */
-  def nearDupPairsOracleSql(minSim: Double = 0.15): String =
-    s"""WITH $preparedSql
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ${dotSql("a.qv", "b.qv")} / (a.nrm * b.nrm) AS sim
-       |FROM prep a JOIN prep b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE a.nrm > 0 AND b.nrm > 0
-       |  AND ${dotSql("a.qv", "b.qv")} / (a.nrm * b.nrm) >= $minSim
+  /** Oracle SQL for [[nearDupPairs]] — including the bucket-size cap AND
+    * the over-cap star fallback, so Spark and the oracle agree at every
+    * scale (a no-op on the test fixtures; the single pinned band's `bucket`
+    * plays the (band, key) role).
+    */
+  def nearDupPairsOracleSql(
+      minSim: Double = 0.15, maxBucket: Long = MaxBucket): String =
+    s"""WITH $preparedSql,
+       |pb AS (SELECT vec_id, qv, nrm, bucket FROM prep WHERE nrm > 0),
+       |ok AS (SELECT bucket FROM pb GROUP BY 1 HAVING count(*) <= $maxBucket),
+       |hotrep AS (SELECT bucket, min(vec_id) AS rep FROM pb
+       |           GROUP BY 1 HAVING count(*) > $maxBucket),
+       |bok AS (SELECT p.* FROM pb p JOIN ok USING (bucket)),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bok a JOIN bok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  UNION ALL
+       |  SELECT h.rep AS vec_a, m.vec_id AS vec_b
+       |  FROM pb m JOIN hotrep h USING (bucket)
+       |  WHERE m.vec_id <> h.rep
+       |)
+       |SELECT vec_a, vec_b,
+       |       ${dotSql("pa.qv", "pz.qv")} / (pa.nrm * pz.nrm) AS sim
+       |FROM cand
+       |JOIN pb pa ON vec_a = pa.vec_id
+       |JOIN pb pz ON vec_b = pz.vec_id
+       |WHERE ${dotSql("pa.qv", "pz.qv")} / (pa.nrm * pz.nrm) >= $minSim
        |ORDER BY vec_a, vec_b""".stripMargin
 }
