@@ -395,7 +395,33 @@ object ScaleProbe {
       "dedup_shared_spans" -> (k =>
         graft.text.SharedSpans.pairs(explodeDocs(docs0, k))),
       "dedup_pairs_editdist" -> (k =>
-        graft.dedup.EditVerify.verifiedMinHashPairs(explodeDocs(docs0, k))))
+        graft.dedup.EditVerify.verifiedMinHashPairs(explodeDocs(docs0, k))),
+      // the r14 round-2 additions: the three heaviest/newest families
+      // still outside the probe set, by engine shape.
+      // dedup_source_overlap layers two id-keyed provenance joins and a
+      // bounded |sources|² roll-up on the (probed) MinHash pair table —
+      // the carry keeps each copy's sources intact, so the matrix stays
+      // bounded while pair volume grows k× (what a k×-larger multi-source
+      // corpus does).
+      "dedup_source_overlap" -> (k =>
+        graft.dedup.SourceOverlap.pairsBySource(
+          explodeDocs(docsS0, k, carry = Seq("source")))),
+      // dedup_simhash_pairs: the Hamming-band bucket join with the r14
+      // over-cap star fallback — unprobed until now; the disjoint-
+      // vocabulary copies carry their own near-dup structure so bucket
+      // work must grow ~k×.
+      "dedup_simhash_pairs" -> (k =>
+        graft.dedup.SimHash.nearDupPairs(
+          graft.dedup.SimHash.fingerprints(
+            graft.dedup.DedupCorpus.augment(explodeDocs(docs0, k))))),
+      // dedup_embedding_pairs_banded: the sign-LSH embedding pair family
+      // on the DERIVED plane budget plus the newest over-cap star
+      // fallback (r14) — no probe-side plane override, the plan sizes its
+      // own buckets as the population grows (the PlaneBudget discipline).
+      "dedup_embedding_pairs_banded" -> (k =>
+        graft.similarity.SimilaritySearch.nearDupPairsDerived(
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k),
+          minSim = 0.15, numBands = 4)))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall

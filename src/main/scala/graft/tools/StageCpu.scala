@@ -61,6 +61,11 @@ object StageCpu {
       case "dedup_cosine_pairs" => k =>
         graft.dedup.CosinePairs.nearDupPairs(
           DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      case "dedup_embedding_pairs_banded" => k =>
+        graft.similarity.SimilaritySearch.nearDupPairsDerived(
+          ScaleProbe.explodeEmbeddings(
+            graft.queries.Tables.embeddings(spark, sfDir), k),
+          minSim = 0.15, numBands = 4)
       case "events_sessions" => k => {
         // match the probe's tiny-row partition regime (ADVICE r13): the
         // fixture AND the shuffle run at ScaleProbe.partsFor, so a stage
