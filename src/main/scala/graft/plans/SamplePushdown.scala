@@ -70,5 +70,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.BloomFilter.aggDescriptor)
     extensions.injectFunction(graft.functions.BloomFilter.containDescriptor)
     extensions.injectFunction(graft.functions.SortedIntersectDot.descriptor)
+    extensions.injectFunction(graft.functions.SignBandKeys.descriptor)
   }
 }

@@ -48,31 +48,25 @@ object KnnGraph {
   val K = 5
   val NumBands = 2
 
-  /** (vec_id, qv, nrm, label, __bks) materialized ONCE — the self-join's
+  /** (vec_id, qv, nrm, label, __bkeys) materialized ONCE — the self-join's
     * two sides otherwise each rescan the corpus and re-run the plane dots
     * (the [[SimilaritySearch.nearDupPairs]] checkpoint rationale).
     */
   private def bandedBase(
       embeddings: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
-    val bandBits = numPlanes / numBands
     val signs = SimilaritySearch.signsFor(numPlanes)
-    val bandStructs = (0 until numBands).map { b =>
-      val key = (0 until bandBits)
-        .map { i =>
-          when(SimilaritySearch.planeDotSigns(col("qv"), signs(b * bandBits + i)) > 0,
-            lit(1L << i)).otherwise(lit(0L))
-        }
-        .reduce[Column](_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
+    // band keys via the loop-codegen [[graft.functions.SignBandKeys]] —
+    // the per-plane unroll grew the generated method with the derived
+    // plane budget past HotSpot's huge-method JIT threshold (see the
+    // expression's scaladoc)
     graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         SimilaritySearch.quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
-        array(bandStructs: _*).as("__bks"))
+        graft.functions.SignBandKeys.bandKeys(col("qv"), signs, numBands).as("__bkeys"))
       .localCheckpoint(false)
   }
 
@@ -96,9 +90,9 @@ object KnnGraph {
     val base = bandedBase(embeddings, planes, numBands)
     val banded = base
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
-        explode(col("__bks")).as("bk"))
+        posexplode(col("__bkeys")))
       .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        col("pos").as("band"), col("col").as("key"))
     val hot = banded
       .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > maxBucket)

@@ -45,13 +45,13 @@ object SemanticDedup {
   /** Drop threshold: quantized cosine to the bucket representative. */
   val MinSim = 0.15
 
-  private def bucketCol(qv: Column, numPlanes: Int): Column = {
-    val signs = SimilaritySearch.signsFor(numPlanes)
-    (0 until numPlanes)
-      .map(p => when(SimilaritySearch.planeDotSigns(qv, signs(p)) > 0, lit(1L << p))
-        .otherwise(lit(0L)))
-      .reduce[Column](_ + _)
-  }
+  private def bucketCol(qv: Column, numPlanes: Int): Column =
+    // single-band key from the loop-codegen [[graft.functions.SignBandKeys]]
+    // — the per-plane unroll grew the generated method with the derived
+    // width past HotSpot's huge-method JIT threshold (see that scaladoc)
+    graft.functions.SignBandKeys
+      .bandKeys(qv, SimilaritySearch.signsFor(numPlanes), 1)
+      .getItem(0)
 
   /** Per-vector keep/drop decisions: vec_id, bucket, rep_id, sim (to the
     * representative), keep.

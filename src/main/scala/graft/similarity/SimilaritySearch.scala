@@ -181,18 +181,8 @@ object SimilaritySearch {
       numBands: Int = 1,
       maxBucket: Long = MaxBucket): DataFrame = {
     require(numPlanes % numBands == 0, "numBands must divide numPlanes")
-    val bandBits = numPlanes / numBands
     val signs = signsFor(numPlanes)
     val qv = quantize(col("embedding"))
-    val bandStructs = (0 until numBands).map { b =>
-      val key = (0 until bandBits)
-        .map { i =>
-          when(planeDotSigns(col("qv"), signs(b * bandBits + i)) > 0, lit(1L << i))
-            .otherwise(lit(0L))
-        }
-        .reduce[Column](_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
     // Quantize + norm + ALL band keys in one pass, materialized once via a
     // lazy localCheckpoint: the self-join's two sides otherwise each rescan
     // the corpus and re-run the numPlanes 64-dim plane dots per row
@@ -200,17 +190,23 @@ object SimilaritySearch {
     // don't canonicalize equal, so ReuseExchange can't dedupe them). The
     // checkpointed row is compact (vec_id, qv, nrm, numBands band keys);
     // the per-side explode above it is trivial. Same no-residue cleanup
-    // story as [[graft.dedup.MinHashLSH.nearDupPairs]].
+    // story as [[graft.dedup.MinHashLSH.nearDupPairs]]. The keys come from
+    // the single loop-codegen [[graft.functions.SignBandKeys]] expression —
+    // the former per-plane `when(dotQ > 0, …)` unroll grew the generated
+    // method with the DERIVED plane budget until it crossed HotSpot's
+    // huge-method JIT threshold and ran interpreted (13× per-row on the
+    // ×32 probe; see the expression's scaladoc).
     val base = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0)
-      .select(col("vec_id"), col("qv"), col("nrm"), array(bandStructs: _*).as("__bks"))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        graft.functions.SignBandKeys.bandKeys(col("qv"), signs, numBands).as("__bkeys"))
       .localCheckpoint(false)
     val banded = base
-      .select(col("vec_id"), col("qv"), col("nrm"), explode(col("__bks")).as("bk"))
+      .select(col("vec_id"), col("qv"), col("nrm"), posexplode(col("__bkeys")))
       .select(col("vec_id"), col("qv"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        col("pos").as("band"), col("col").as("key"))
     // over-cap bucket keys (degenerate sign-clusters only — see
     // [[MaxBucket]]): one map-side-partial aggregate; the surviving key set
     // is tiny, so exclusion is a broadcast anti-join and `banded` is never
