@@ -47,22 +47,42 @@ case class SignBandKeys(first: Expression, second: Expression, third: Expression
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _), IntegerType) =>
+        // bind the foldable args ONCE — analysis rules re-run this check
+        // per resolution pass, and a general foldable tree re-evals
+        val tblAny = if (second.foldable) second.eval() else null
+        val nbAny = if (third.foldable) third.eval() else null
         if (!second.foldable || !third.foldable)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName requires foldable signs and numBands arguments")
-        else if (second.eval() == null ||
-          second.eval().asInstanceOf[ArrayData].numElements() == 0)
+        else if (tblAny == null ||
+          tblAny.asInstanceOf[ArrayData].numElements() == 0)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName requires a non-null, non-empty sign table")
-        else if (third.eval() == null)
+        else if (nbAny == null)
           TypeCheckResult.TypeCheckFailure(s"$prettyName numBands must not be NULL")
         else {
-          val tbl = second.eval().asInstanceOf[ArrayData]
+          val tbl = tblAny.asInstanceOf[ArrayData]
           val planes = tbl.numElements()
-          val nb = third.eval().asInstanceOf[Number].intValue()
-          val d0 = tbl.getArray(0).numElements()
-          val ragged = (1 until planes).exists(i => tbl.getArray(i).numElements() != d0)
-          if (ragged)
+          val nb = nbAny.asInstanceOf[Number].intValue()
+          // reject null plane rows and null elements HERE — the wildcard
+          // containsNull in the type pattern admits them through analysis,
+          // and the lazy `signs` materialization would NPE on an executor
+          // instead (the table is plan metadata, so the scan is tiny)
+          val rowNull = (0 until planes).exists(tbl.isNullAt)
+          lazy val elemNull = (0 until planes).exists { i =>
+            val row = tbl.getArray(i)
+            (0 until row.numElements()).exists(row.isNullAt)
+          }
+          lazy val d0 = tbl.getArray(0).numElements()
+          lazy val ragged =
+            (1 until planes).exists(i => tbl.getArray(i).numElements() != d0)
+          if (rowNull)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName sign table must not contain NULL plane rows")
+          else if (elemNull)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName sign table must not contain NULL elements")
+          else if (ragged)
             TypeCheckResult.TypeCheckFailure(
               s"$prettyName requires a rectangular sign table")
           else if (nb < 1 || nb > 64 || planes % nb != 0)

@@ -41,7 +41,10 @@ class SignBandKeysSpec extends SparkSpec {
         SignBandKeys.bandKeys(col("qv"), signs, numBands).as("native"),
         array((0 until numBands).map(b => unrolledKey(col("qv"), signs, b, bandBits)): _*)
           .as("unrolled"))
-    assert(df.filter(not(col("native") === col("unrolled"))).count() === 0)
+    // null-SAFE inequality: a plain =!= drops null rows and would mask the
+    // one real divergence mode (native returns NULL on null qv, the
+    // unrolled otherwise(0) spelling returns zeros)
+    assert(df.filter(not(col("native") <=> col("unrolled"))).count() === 0)
     assert(df.count() > 0)
   }
 
@@ -53,7 +56,8 @@ class SignBandKeysSpec extends SparkSpec {
       .select(
         SignBandKeys.bandKeys(col("qv"), signs, 1).getItem(0).as("native"),
         unrolledKey(col("qv"), signs, 0, 20).as("unrolled"))
-    assert(df.filter(col("native") =!= col("unrolled")).count() === 0)
+    assert(df.filter(not(col("native") <=> col("unrolled"))).count() === 0)
+    assert(df.count() > 0)
   }
 
   test("null qv propagates; short qv uses the common-prefix dot like dotQ") {
@@ -77,12 +81,21 @@ class SignBandKeysSpec extends SparkSpec {
     val square = typedlit(Seq(Seq(1L, 2L), Seq(3L, 4L)))
     def analyze(c: org.apache.spark.sql.Column): Unit =
       Seq((1L, 2L)).toDF("a", "b").select(c).queryExecution.analyzed
-    intercept[Exception](analyze(call_function("sign_band_keys", qv, ragged, lit(1))))
-    intercept[Exception](analyze(call_function("sign_band_keys", qv, square, lit(3))))
-    intercept[Exception](analyze(call_function(
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function("sign_band_keys", qv, ragged, lit(1))))
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function("sign_band_keys", qv, square, lit(3))))
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function(
       "sign_band_keys", qv, typedlit(Seq.empty[Seq[Long]]), lit(1))))
-    intercept[Exception](analyze(call_function(
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function(
       "sign_band_keys", qv, square, lit(null).cast("int"))))
+    // null plane rows / null elements: the wildcard containsNull admits
+    // them through the TYPE pattern, so the value scan must reject them
+    // at analysis (a clean failure, not an executor NPE)
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function(
+      "sign_band_keys", qv,
+      typedlit(Seq(Some(Seq(1L, 2L)), None)), lit(1))))
+    intercept[org.apache.spark.sql.AnalysisException](analyze(call_function(
+      "sign_band_keys", qv,
+      typedlit(Seq(Seq(Some(1L), None), Seq(Some(3L), Some(4L)))), lit(1))))
   }
 
   test("runs inside whole-stage codegen at the derived-width shape") {
