@@ -99,6 +99,16 @@ object SparkEntry {
         TextAnalysis.tokenTotals, countCol = "total")),
     "tpch_q6_sampled_u10" -> ((s, dir) =>
       graft.queries.TpchQueries.q6SampledUniverse(Tables.lineitem(s, dir))),
+    // correlated JOIN sampling (Quickr §4): both sides universe-sampled on
+    // the JOIN KEY, so kept orders travel with ALL their lineitems and one
+    // first-order ×(1/p) HT scale unbiases the monthly roll-up —
+    // deterministic keep-sets → the multi-table estimator is oracle-gated
+    "tpch_revenue_monthly" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueMonthly(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "tpch_revenue_monthly_sampled_u10" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueMonthlySampledU(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // hash-range stratified: integer basis-point thresholds per stratum,
     // deterministic keep-set, exact HT weights (10000/500 = 20.0) → the
     // stratified estimator is oracle-gated end to end
@@ -1022,6 +1032,9 @@ object SparkEntry {
     "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),
     "tpch_q1_sampled_u10" -> graft.queries.TpchQueries.q1SampledUniverseOracleSql(),
     "tpch_q6_sampled_u10" -> graft.queries.TpchQueries.q6SampledUniverseOracleSql(),
+    "tpch_revenue_monthly" -> graft.sampling.JoinSampled.revenueMonthlyOracleSql,
+    "tpch_revenue_monthly_sampled_u10" ->
+      graft.sampling.JoinSampled.revenueMonthlySampledUOracleSql(),
     "events_stratified_sum_u" -> stratifiedSumUSql,
     "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,

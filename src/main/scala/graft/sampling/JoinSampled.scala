@@ -1,0 +1,119 @@
+package graft.sampling
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Correlated JOIN sampling — the universe sample pushed through a join
+  * (Kandula et al., "Quickr: Lazily Approximating Complex AdHoc Queries
+  * in BigData Clusters", SIGMOD 2016 §4: sample join INPUTS on the join
+  * key, not the join output). Both sides keep a row iff the SAME
+  * deterministic hash of the join key lands in the sampled range
+  * ([[UniverseSampled.keep]]), so for a kept key the join is COMPLETE —
+  * every order travels with all its lineitems — and a joined row's
+  * inclusion probability is `p`, not `p²`: one first-order
+  * Horvitz–Thompson scale `1/p` unbiases any additive aggregate. This is
+  * the multi-table face of the engine's sampling core, and the reason
+  * [[UniverseSampled]]'s unit atomicity exists at all.
+  *
+  * Contrast with the per-row samplers: Bernoulli-sampling each side
+  * independently keeps a joined row with probability `p²` (100× the
+  * variance at p = 0.1) and BREAKS per-key completeness (a kept order
+  * sees a ~p-thinned subset of its lineitems, so per-key structure is
+  * destroyed); and the deliberate no-sampled-Q3 note
+  * ([[graft.queries.TpchQueries.q6Sampled]]) still stands — per-ORDER
+  * estimates from ~4 lineitems are statistically useless. The estimator
+  * offered here aggregates COARSELY (order months, each spanning ~1/84
+  * of all orderkeys), where the per-group key population carries the
+  * usual √((1−p)/(p·n)) relative error.
+  *
+  * Scale shape: the keep-predicate is a codegen'd scan-stage filter on
+  * each side (one md5 per row, below the join's exchange on BOTH sides —
+  * spec-pinned), so 1−p of both tables never reaches the shuffle; at
+  * 100 TB the join moves 10× fewer bytes end-to-end. Determinism makes
+  * the whole estimator oracle-gated: DuckDB replays keep-set, join, and
+  * integer HT scale bit-for-bit.
+  *
+  * Fixture-scale honesty (the [[UniverseSampled]] decision rule applied
+  * to joins): at sf0.1 the post-sample orders side fits a broadcast, so
+  * the join moves no shuffle bytes either way and the md5 per row makes
+  * the sampled twin CPU-lighter (2.3 vs 3.0 s) but not wall-faster —
+  * the q6 scan-bound regime. The shuffle-side win this operator exists
+  * for appears exactly when neither side broadcasts (the 100 TB case):
+  * then the sample cuts BOTH exchanges ×(1/p), which no single-table
+  * sampler can do for a join.
+  */
+object JoinSampled {
+
+  /** Exact twin: revenue (1e4 integer units — cents × percent, the TPC-H
+    * convention of [[graft.queries.TpchQueries.q3]]) and item count per
+    * order month over orders⋈lineitem.
+    */
+  def revenueMonthly(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    orders
+      .select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      .join(
+        lineitem.select(
+          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("month"))
+      .agg(
+        sum(col("rev_e4")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("month"))
+  }
+
+  /** The correlated-sample estimator: both sides universe-sampled on the
+    * JOIN KEY (orderkey — the same salted hash string on both sides, so
+    * the keep-sets coincide), aggregated identically, HT-scaled ×(1/p)
+    * with the integer-exact [[UniverseSampled.scaleFor]]. Months whose
+    * entire key population missed the sample are absent (an estimator
+    * reports what it saw; at p = 0.1 over ~hundreds of orders per month
+    * that is a measure-zero event on real fixtures).
+    */
+  def revenueMonthlySampledU(
+      orders: DataFrame, lineitem: DataFrame, pct: Int = 10): DataFrame = {
+    val m = UniverseSampled.scaleFor(pct)
+    val o = UniverseSampled.sample(orders, col("o_orderkey"), pct)
+    val l = UniverseSampled.sample(lineitem, col("l_orderkey"), pct)
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    o.select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      .join(
+        l.select(col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("month"))
+      .agg(
+        (sum(col("rev_e4")) * m).as("est_revenue_e4"),
+        (count(lit(1)) * m).as("est_items"))
+      .orderBy(col("month"))
+  }
+
+  private val RevE4Sql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** DuckDB oracle for [[revenueMonthly]]. */
+  val revenueMonthlyOracleSql: String =
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       |       CAST(sum($RevE4Sql) AS BIGINT) AS revenue_e4,
+       |       count(*) AS n_items
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[revenueMonthlySampledU]] — keep-sets, join, and
+    * integer HT scale replayed exactly.
+    */
+  def revenueMonthlySampledUOracleSql(pct: Int = 10): String = {
+    val m = UniverseSampled.scaleFor(pct)
+    val keepO = UniverseSampled.keepSql("o_orderkey", pct)
+    val keepL = UniverseSampled.keepSql("l_orderkey", pct)
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
+       |       count(*) * $m AS est_items
+       |FROM (SELECT * FROM orders WHERE $keepO) o
+       |JOIN (SELECT * FROM lineitem WHERE $keepL) l ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

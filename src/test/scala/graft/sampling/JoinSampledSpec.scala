@@ -1,0 +1,101 @@
+package graft.sampling
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Correlated join sampling: the properties that make a universe sample
+  * pushed through a join an ESTIMATOR rather than a smaller wrong answer —
+  * per-key completeness (a kept order keeps ALL its lineitems), keep-set
+  * coincidence across the two sides, HT-unbiasedness against the exact
+  * twin, and the plan shape (both keep-filters below the join's exchange,
+  * so 1−p of both tables never reaches the shuffle).
+  */
+class JoinSampledSpec extends SparkSpec {
+
+  private def orders = Tables.orders(spark, sf001)
+  private def lineitem = Tables.lineitem(spark, sf001)
+
+  test("per-key completeness: a kept order joins ALL its lineitems (p, not p²)") {
+    val est = JoinSampled.revenueMonthlySampledU(orders, lineitem)
+    // rebuild the sampled join's per-order item counts and compare with
+    // the UNsampled lineitem table restricted to the kept keys — equality
+    // means the lineitem side lost nothing for keys the orders side kept
+    val keptOrders = UniverseSampled.sample(orders, col("o_orderkey"), 10)
+      .select(col("o_orderkey"))
+    val sampledItems = UniverseSampled.sample(lineitem, col("l_orderkey"), 10)
+      .join(keptOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val fullItems = lineitem
+      .join(keptOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_full"))
+    val mismatches = sampledItems
+      .join(fullItems, "l_orderkey", "full_outer")
+      .filter(not(col("n") <=> col("n_full")))
+    assert(mismatches.count() === 0)
+    assert(sampledItems.count() > 0)
+    assert(est.count() > 0)
+  }
+
+  test("HT estimate tracks the exact twin on the global total") {
+    val exact = JoinSampled.revenueMonthly(orders, lineitem)
+      .agg(sum(col("revenue_e4")).as("t"), sum(col("n_items")).as("n"))
+      .head()
+    val est = JoinSampled.revenueMonthlySampledU(orders, lineitem)
+      .agg(sum(col("est_revenue_e4")).as("t"), sum(col("est_items")).as("n"))
+      .head()
+    val relRev = math.abs(est.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0)
+    val relN = math.abs(est.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1)
+    // ~1.5 k orderkeys at sf0.001 → √((1−p)/(p·n)) ≈ 8 %; the sample is
+    // deterministic, so this is a fixed number, not a flaky draw
+    assert(relRev < 0.25, s"relative revenue error $relRev")
+    assert(relN < 0.25, s"relative item-count error $relN")
+  }
+
+  test("independent Bernoulli sampling of both sides would thin kept keys (the contrast)") {
+    // not a property of the operator — a pin on WHY it samples the join
+    // key: independently sampled sides disagree on ~1−p of their keys
+    val o = UniverseSampled.sample(orders, col("o_orderkey"), 10)
+      .select(col("o_orderkey").as("k"))
+    // a DIFFERENT unit spelling (salted differently by content) stands in
+    // for an independent sample: keys kept by the orders-side hash but
+    // not by a hash of a different column of the same row
+    val l = UniverseSampled.sample(lineitem, col("l_orderkey") + 1, 10)
+      .select(col("l_orderkey").as("k")).distinct()
+    val agree = o.join(l, "k").count()
+    val oCnt = o.count()
+    // ~10 % coincidence, not ~100 %: correlation comes from hashing the
+    // SAME key, not from luck
+    assert(agree < oCnt / 2)
+  }
+
+  test("plan: both keep-filters sit below the join (scan-side, pre-shuffle)") {
+    val df = JoinSampled.revenueMonthlySampledU(orders, lineitem)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // TreeNode traversal stops at AQE stage boundaries (QueryStageExec and
+    // AdaptiveSparkPlanExec hold their subplans outside `children`), so
+    // descend into them explicitly — toString descends, collect does not
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val here = p.collect { case n => n }
+      here ++ here.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          allNodes(r.child)
+        case _ => Nil
+      }
+    }
+    val join = allNodes(plan).find(_.nodeName.contains("Join"))
+    assert(join.isDefined, plan.toString.take(3000))
+    join.get.children.foreach { side =>
+      // side.toString pretty-prints THROUGH nested stage boundaries, so a
+      // keep-filter anywhere below this side is visible
+      assert(side.toString.contains("md5"),
+        s"keep-filter not below the join on side ${side.nodeName}:\n${side.toString.take(2000)}")
+    }
+  }
+}
