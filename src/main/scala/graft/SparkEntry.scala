@@ -109,6 +109,15 @@ object SparkEntry {
     "tpch_revenue_monthly_sampled_u10" -> ((s, dir) =>
       graft.sampling.JoinSampled.revenueMonthlySampledU(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // the FK-CHAIN form: sample on the FIRST join's key (custkey, both
+    // sides), lineitem rides COMPLETE through the o⋈l foreign key — one
+    // ×(1/p) scale, per-segment roll-up, fully replayable
+    "tpch_revenue_segment" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueBySegment(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "tpch_revenue_segment_sampled_u10" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueBySegmentChainSampledU(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // hash-range stratified: integer basis-point thresholds per stratum,
     // deterministic keep-set, exact HT weights (10000/500 = 20.0) → the
     // stratified estimator is oracle-gated end to end
@@ -1035,6 +1044,9 @@ object SparkEntry {
     "tpch_revenue_monthly" -> graft.sampling.JoinSampled.revenueMonthlyOracleSql,
     "tpch_revenue_monthly_sampled_u10" ->
       graft.sampling.JoinSampled.revenueMonthlySampledUOracleSql(),
+    "tpch_revenue_segment" -> graft.sampling.JoinSampled.revenueBySegmentOracleSql,
+    "tpch_revenue_segment_sampled_u10" ->
+      graft.sampling.JoinSampled.revenueBySegmentChainSampledUOracleSql(),
     "events_stratified_sum_u" -> stratifiedSumUSql,
     "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,

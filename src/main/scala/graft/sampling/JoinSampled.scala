@@ -90,6 +90,69 @@ object JoinSampled {
       .orderBy(col("month"))
   }
 
+  /** Exact twin of the CHAIN estimator: revenue and item count per market
+    * segment over customer⋈orders⋈lineitem.
+    */
+  def revenueBySegment(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(
+        orders.select(col("o_custkey"), col("o_orderkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        lineitem.select(
+          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("rev_e4")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The FK-CHAIN estimator (Quickr §4's chain rule): sample on the key of
+    * the FIRST join — customer and orders both keep by the same hash of
+    * CUSTKEY — and let the rest of the chain ride COMPLETE: every kept
+    * order joins ALL its lineitems with no hash on the lineitem side at
+    * all, because orderkeys are functionally contained in kept custkeys
+    * through the o⋈l foreign key. Inclusion probability of a joined row
+    * stays `p` (decided once, at the customer), so the same first-order
+    * ×(1/p) HT scale unbiases the per-segment roll-up (5 segments, each
+    * spanning ~1/5 of all custkeys — the coarse-aggregate discipline).
+    *
+    * Honest scale note: the sample cuts the customer⋈orders exchange
+    * ×(1/p) but NOT the lineitem scan/exchange — lineitem carries no
+    * custkey to hash. At execution Spark's own runtime row-level filter
+    * (InjectRuntimeFilter, the engine's semi-join reduction) can thin it
+    * against the sampled orderkey set, and a production layout buckets
+    * lineitem by orderkey anyway; the operator's own guarantee is
+    * correctness of the estimator, not a free third-table scan.
+    */
+  def revenueBySegmentChainSampledU(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      pct: Int = 10): DataFrame = {
+    val m = UniverseSampled.scaleFor(pct)
+    val c = UniverseSampled.sample(customer, col("c_custkey"), pct)
+    val o = UniverseSampled.sample(orders, col("o_custkey"), pct)
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    c.select(col("c_custkey"), col("c_mktsegment"))
+      .join(
+        o.select(col("o_custkey"), col("o_orderkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        lineitem.select(
+          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        (sum(col("rev_e4")) * m).as("est_revenue_e4"),
+        (count(lit(1)) * m).as("est_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   private val RevE4Sql =
     "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100) AS BIGINT))"
@@ -101,6 +164,33 @@ object JoinSampled {
        |       count(*) AS n_items
        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[revenueBySegment]]. */
+  val revenueBySegmentOracleSql: String =
+    s"""SELECT c_mktsegment,
+       |       CAST(sum($RevE4Sql) AS BIGINT) AS revenue_e4,
+       |       count(*) AS n_items
+       |FROM customer
+       |JOIN orders ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[revenueBySegmentChainSampledU]] — both custkey
+    * keep-sets, the complete lineitem ride-along, and the integer HT
+    * scale replayed exactly.
+    */
+  def revenueBySegmentChainSampledUOracleSql(pct: Int = 10): String = {
+    val m = UniverseSampled.scaleFor(pct)
+    val keepC = UniverseSampled.keepSql("c_custkey", pct)
+    val keepO = UniverseSampled.keepSql("o_custkey", pct)
+    s"""SELECT c_mktsegment,
+       |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
+       |       count(*) * $m AS est_items
+       |FROM (SELECT * FROM customer WHERE $keepC) c
+       |JOIN (SELECT * FROM orders WHERE $keepO) o ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB oracle for [[revenueMonthlySampledU]] — keep-sets, join, and
     * integer HT scale replayed exactly.

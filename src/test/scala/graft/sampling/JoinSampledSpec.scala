@@ -53,6 +53,37 @@ class JoinSampledSpec extends SparkSpec {
     assert(relN < 0.25, s"relative item-count error $relN")
   }
 
+  test("chain completeness: a kept custkey keeps ALL its orders and lineitems") {
+    val customer = Tables.customer(spark, sf001)
+    val keptCust = UniverseSampled.sample(customer, col("c_custkey"), 10)
+      .select(col("c_custkey"))
+    // the chain's sampled middle: orders kept by the SAME custkey hash —
+    // per kept customer, the sampled side must equal the unsampled side
+    val sampledCnt = UniverseSampled.sample(orders, col("o_custkey"), 10)
+      .join(keptCust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    val fullCnt = orders
+      .join(keptCust, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_full"))
+    val mismatches = sampledCnt
+      .join(fullCnt, "c_custkey", "full_outer")
+      .filter(not(col("n") <=> col("n_full")))
+    assert(mismatches.count() === 0)
+    assert(sampledCnt.count() > 0)
+  }
+
+  test("chain HT estimate tracks the exact twin on the global total") {
+    val customer = Tables.customer(spark, sf001)
+    val exact = JoinSampled.revenueBySegment(customer, orders, lineitem)
+      .agg(sum(col("revenue_e4")).as("t")).head().getLong(0)
+    val est = JoinSampled.revenueBySegmentChainSampledU(customer, orders, lineitem)
+      .agg(sum(col("est_revenue_e4")).as("t")).head().getLong(0)
+    val rel = math.abs(est - exact).toDouble / exact
+    assert(rel < 0.35, s"relative revenue error $rel") // ~150 custkeys kept at sf0.001
+  }
+
   test("independent Bernoulli sampling of both sides would thin kept keys (the contrast)") {
     // not a property of the operator — a pin on WHY it samples the join
     // key: independently sampled sides disagree on ~1−p of their keys
