@@ -206,6 +206,15 @@ object SparkEntry {
       DedupClusters.decisions(corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)))
         .orderBy("doc_id")
     }),
+    // leakage-free train/val/test split: the verdict is cluster-atomic
+    // (salted hash of the CC representative), so no near-dup pair ever
+    // straddles train/eval — deterministic, hence fully oracle-gated
+    "docs_split" -> ((s, dir) =>
+      graft.dedup.DataSplit.assign(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+    // the per-split audit roll-up a pipeline logs next to the shipped corpus
+    "docs_split_summary" -> ((s, dir) =>
+      graft.dedup.DataSplit.summary(DedupCorpus.augment(Tables.documents(s, dir)))),
     // the O(log d) large-star/small-star CC strategy over the same pairs —
     // bit-identical decisions, gated by the same reachability oracle
     "dedup_clusters_bigstar" -> ((s, dir) => {
@@ -975,6 +984,8 @@ object SparkEntry {
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
+    "docs_split" -> graft.dedup.DataSplit.assignOracleSql,
+    "docs_split_summary" -> graft.dedup.DataSplit.summaryOracleSql,
     // same exact-reachability oracle: both CC strategies converge to the
     // same min-id representatives, so the bigstar path is gated by the
     // identical SQL

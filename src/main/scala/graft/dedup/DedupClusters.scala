@@ -379,9 +379,10 @@ object DedupClusters {
   }
 
   /** Shared recursive-reachability CTE prefix (exact oracle for the
-    * iterative propagation).
+    * iterative propagation; [[DataSplit]] builds its verdict oracles on the
+    * same clusters).
     */
-  private def reachCtes: String = {
+  private[dedup] def reachCtes: String = {
     val pairsSql = MinHashLSH.nearDupPairsOracleSql()
     s"""WITH RECURSIVE pairs AS ($pairsSql),
        |corpus AS (${DedupCorpus.augmentSql}),

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class DataSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built graph: every cluster member inherits the representative's verdict") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DataSplit.assignWithPairs(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // the chain 1-2-3 is one cluster: all three share rep 1 and its verdict
+    assert(out(2L) === out(1L))
+    assert(out(3L) === out(1L))
+    // the verdict is the hash function of the rep, nothing else
+    val expected1 = spark.range(1).select(DataSplit.splitCol(lit(1L))).head().getString(0)
+    assert(out(1L)._2 === expected1)
+  }
+
+  test("no near-dup pair straddles a split boundary (live corpus, full pair table)") {
+    assumeTestdata(sf001)
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val a = DataSplit.assignWithPairs(corpus, pairs)
+      .select(col("doc_id"), col("split"))
+    val straddlers = pairs
+      .join(a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+      .join(a.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddlers === 0L)
+  }
+
+  test("assignment is total, deterministic, and roughly 90/5/5 (live corpus)") {
+    assumeTestdata(sf001)
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val a1 = DataSplit.assign(corpus).orderBy("doc_id").collect()
+    val a2 = DataSplit.assign(corpus).orderBy("doc_id").collect()
+    assert(a1.sameElements(a2)) // replayable: retries keep every verdict
+    assert(a1.length.toLong === corpus.count()) // total: every doc gets a verdict
+    val bydSplit = a1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a1.length.toDouble
+    // cluster-atomicity makes the proportions noisier than iid per-doc
+    // draws (the unit is the cluster); a wide band still catches a broken
+    // threshold or hash while staying stable across fixture regenerations
+    assert(bydSplit.getOrElse("train", 0) / n > 0.75,
+      s"train share collapsed: $bydSplit")
+    assert(bydSplit.getOrElse("val", 0) + bydSplit.getOrElse("test", 0) > 0,
+      s"no holdout rows at all: $bydSplit")
+  }
+
+  test("summary partitions the corpus exactly: doc/char mass adds up") {
+    assumeTestdata(sf001)
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val s = DataSplit.summary(corpus).collect()
+    assert(s.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val totalDocs = s.map(_.getLong(1)).sum
+    val totalChars = s.map(_.getLong(3)).sum
+    val expect = corpus.agg(
+      count(lit(1)), sum(length(col("text")).cast("long"))).head()
+    assert(totalDocs === expect.getLong(0))
+    assert(totalChars === expect.getLong(1))
+  }
+}
