@@ -44,18 +44,24 @@ import org.apache.spark.sql.functions._
   */
 object JoinSampled {
 
-  /** Exact twin: revenue (1e4 integer units — cents × percent, the TPC-H
-    * convention of [[graft.queries.TpchQueries.q3]]) and item count per
-    * order month over orders⋈lineitem.
+  /** Revenue in 1e4 integer units (cents × percent, the TPC-H convention of
+    * [[graft.queries.TpchQueries.q3]]) — the Column twin of [[RevE4Sql]];
+    * the two spellings must change in lockstep.
     */
-  def revenueMonthly(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  private def revE4: org.apache.spark.sql.Column = {
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discP = round(col("l_discount") * 100).cast("long")
+    priceC * (lit(100L) - discP)
+  }
+
+  /** Exact twin: revenue and item count per order month over
+    * orders⋈lineitem.
+    */
+  def revenueMonthly(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     orders
       .select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
       .join(
-        lineitem.select(
-          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        lineitem.select(col("l_orderkey"), revE4.as("rev_e4")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("month"))
       .agg(
@@ -77,11 +83,9 @@ object JoinSampled {
     val m = UniverseSampled.scaleFor(pct)
     val o = UniverseSampled.sample(orders, col("o_orderkey"), pct)
     val l = UniverseSampled.sample(lineitem, col("l_orderkey"), pct)
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discP = round(col("l_discount") * 100).cast("long")
     o.select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
       .join(
-        l.select(col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        l.select(col("l_orderkey"), revE4.as("rev_e4")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("month"))
       .agg(
@@ -95,15 +99,12 @@ object JoinSampled {
     */
   def revenueBySegment(
       customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discP = round(col("l_discount") * 100).cast("long")
     customer.select(col("c_custkey"), col("c_mktsegment"))
       .join(
         orders.select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(
-        lineitem.select(
-          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        lineitem.select(col("l_orderkey"), revE4.as("rev_e4")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -136,15 +137,12 @@ object JoinSampled {
     val m = UniverseSampled.scaleFor(pct)
     val c = UniverseSampled.sample(customer, col("c_custkey"), pct)
     val o = UniverseSampled.sample(orders, col("o_custkey"), pct)
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discP = round(col("l_discount") * 100).cast("long")
     c.select(col("c_custkey"), col("c_mktsegment"))
       .join(
         o.select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(
-        lineitem.select(
-          col("l_orderkey"), (priceC * (lit(100L) - discP)).as("rev_e4")),
+        lineitem.select(col("l_orderkey"), revE4.as("rev_e4")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_mktsegment"))
       .agg(

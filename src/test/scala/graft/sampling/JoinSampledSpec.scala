@@ -18,6 +18,7 @@ class JoinSampledSpec extends SparkSpec {
   private def lineitem = Tables.lineitem(spark, sf001)
 
   test("per-key completeness: a kept order joins ALL its lineitems (p, not p²)") {
+    assumeTestdata(sf001)
     val est = JoinSampled.revenueMonthlySampledU(orders, lineitem)
     // rebuild the sampled join's per-order item counts and compare with
     // the UNsampled lineitem table restricted to the kept keys — equality
@@ -39,6 +40,7 @@ class JoinSampledSpec extends SparkSpec {
   }
 
   test("HT estimate tracks the exact twin on the global total") {
+    assumeTestdata(sf001)
     val exact = JoinSampled.revenueMonthly(orders, lineitem)
       .agg(sum(col("revenue_e4")).as("t"), sum(col("n_items")).as("n"))
       .head()
@@ -54,6 +56,7 @@ class JoinSampledSpec extends SparkSpec {
   }
 
   test("chain completeness: a kept custkey keeps ALL its orders and lineitems") {
+    assumeTestdata(sf001)
     val customer = Tables.customer(spark, sf001)
     val keptCust = UniverseSampled.sample(customer, col("c_custkey"), 10)
       .select(col("c_custkey"))
@@ -75,6 +78,7 @@ class JoinSampledSpec extends SparkSpec {
   }
 
   test("chain HT estimate tracks the exact twin on the global total") {
+    assumeTestdata(sf001)
     val customer = Tables.customer(spark, sf001)
     val exact = JoinSampled.revenueBySegment(customer, orders, lineitem)
       .agg(sum(col("revenue_e4")).as("t")).head().getLong(0)
@@ -85,6 +89,7 @@ class JoinSampledSpec extends SparkSpec {
   }
 
   test("independent Bernoulli sampling of both sides would thin kept keys (the contrast)") {
+    assumeTestdata(sf001)
     // not a property of the operator — a pin on WHY it samples the join
     // key: independently sampled sides disagree on ~1−p of their keys
     val o = UniverseSampled.sample(orders, col("o_orderkey"), 10)
@@ -102,6 +107,7 @@ class JoinSampledSpec extends SparkSpec {
   }
 
   test("plan: both keep-filters sit below the join (scan-side, pre-shuffle)") {
+    assumeTestdata(sf001)
     val df = JoinSampled.revenueMonthlySampledU(orders, lineitem)
     df.collect()
     val plan = df.queryExecution.executedPlan
