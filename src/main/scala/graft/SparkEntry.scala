@@ -132,6 +132,21 @@ object SparkEntry {
       graft.sampling.StratifiedSampled.estimateCounts(sampled, "event_type", "cents")
         .orderBy("event_type")
     }),
+    // congressional allocation (Acharya et al. SIGMOD'00): per-stratum
+    // rates derived IN-PLAN from the live counts so every stratum keeps
+    // ~targetK rows — small strata ride complete (exact estimates), the
+    // bulk is sampled hard; stratum = event_type × user-id digit band
+    // (naturally skewed: 135–1205 rows per stratum at sf0.01)
+    "events_congressional_sum_u" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat, length, lit, round}
+      graft.sampling.CongressionalSampled.estimate(
+        Tables.events(s, dir),
+        stratum = concat(col("event_type"), lit(":"),
+          length(col("user_id").cast("string")).cast("string")),
+        unit = col("event_id"),
+        value = round(col("value") * 100).cast("long"),
+        targetK = 300)
+    }),
     // token-budget selection from a 10 % scan with HT-scaled budget
     // accounting ("select ~40 % of the corpus tokens, from a 10 % sample")
     "docs_token_budget_sampled_u10" -> ((s, dir) =>
@@ -1059,6 +1074,14 @@ object SparkEntry {
     "tpch_revenue_segment_sampled_u10" ->
       graft.sampling.JoinSampled.revenueBySegmentChainSampledUOracleSql(),
     "events_stratified_sum_u" -> stratifiedSumUSql,
+    "events_congressional_sum_u" ->
+      graft.sampling.CongressionalSampled.estimateOracleSql(
+        fromSql = "events",
+        stratumSql =
+          "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
+        unitSql = "event_id",
+        valueSql = "CAST(round(value * 100) AS BIGINT)",
+        targetK = 300),
     "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,
     "tpch_q3_skewjoin" -> graft.queries.TpchQueries.Q3OracleSql,

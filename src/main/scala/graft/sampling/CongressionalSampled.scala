@@ -1,0 +1,119 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Hashing
+
+/** Congressional sampling — per-stratum rates derived IN-PLAN from the live
+  * stratum counts so every group-by group keeps ~`targetK` rows (Acharya,
+  * Gibbons, Poosala, "Congressional Samples for Approximate Answering of
+  * Group-By Queries", SIGMOD 2000: the "house" allocation).
+  *
+  * The gap this closes in the AQP family: a flat-rate sampler
+  * ([[UniverseSampled]], [[StratifiedSampled]] with caller-given rates)
+  * starves small groups — at p = 0.1 a 50-row stratum expects 5 survivors
+  * (√((1−p)/(p·n)) ≈ 42 % relative error) and may vanish outright (the
+  * documented absent-month caveat on [[JoinSampled.revenueMonthlySampledU]]).
+  * Congressional allocation inverts the rate per stratum: `bp_g =
+  * ceil(targetK·Mod / n_g)` capped at [[Mod]], so EXPECTED survivors are
+  * ~targetK everywhere, strata with `n_g ≤ targetK` ride COMPLETE (their
+  * estimates are exact, not approximate), and the per-group relative error
+  * is ~1/√targetK uniformly — independent of how skewed the stratum sizes
+  * are. [[StratifiedSampled]] is the mechanism (per-stratum hash-range
+  * thresholds); this derives the thresholds from the data, the
+  * [[graft.similarity.PlaneBudget]] / `nlistFor` / `maxDfFor` discipline
+  * applied to sampling rates.
+  *
+  * Scale shape: the rate table is ONE partial-aggregated count over the
+  * column-pruned stratum projection (|strata| rows — bounded metadata, the
+  * same cost class as the derived-width count jobs), broadcast back against
+  * the fact scan; the keep-filter evaluates map-side right behind the
+  * broadcast join, so the fact table crosses ZERO exchanges before it is
+  * thinned to ~|strata|·targetK rows. No driver collect anywhere — the
+  * rates stay a DataFrame, so stratum cardinality can grow into the
+  * millions (language × source × quality band) without a driver bottleneck.
+  *
+  * Determinism/exactness contract (the oracle discipline): thresholds are
+  * INTEGER basis points out of [[Mod]] via exact long ceil-division; the
+  * keep predicate is the salted [[Hashing.hash60]] of the unit id; HT
+  * weighting happens ONCE per group row at the END — `sum_kept · Mod / bp`,
+  * two exact integers into one double division — never as a per-row double
+  * weight whose summation order an external engine couldn't replay.
+  */
+object CongressionalSampled {
+
+  /** Basis-point modulus of the keep thresholds (0.01 % granularity). */
+  val Mod = 10000L
+
+  private val Salt = "cg:"
+
+  /** The derived rate table: (stratum, n_exact, bp). `bp = Mod` (keep all)
+    * when the stratum has ≤ targetK rows, else `ceil(targetK·Mod / n)` —
+    * exact long arithmetic, and ≥ 1 for every n (a stratum is never
+    * silently zeroed, however large).
+    */
+  def rates(df: DataFrame, stratum: Column, targetK: Int): DataFrame = {
+    require(targetK >= 1, s"targetK must be >= 1, got $targetK")
+    val kMod = targetK * Mod
+    df.select(stratum.as("stratum"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn(
+        "bp",
+        when(col("n_exact") <= targetK, lit(Mod))
+          .otherwise(expr(s"(${kMod}L + n_exact - 1L) div n_exact")))
+  }
+
+  /** The congressional sample: rows surviving their stratum's derived
+    * threshold, carrying (stratum, n_exact, bp) for downstream weighting.
+    */
+  def sample(df: DataFrame, stratum: Column, unit: Column, targetK: Int): DataFrame =
+    df.withColumn("stratum", stratum)
+      .join(broadcast(rates(df, stratum, targetK)), Seq("stratum"))
+      .filter(
+        Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % Mod < col("bp"))
+
+  /** Per-stratum estimate of `count(*)` and `sum(value)`: group-end HT
+    * scaling (see object doc). Output: stratum, n_exact, bp, n_kept,
+    * est_cnt, est_sum — complete strata (bp = Mod) report est == exact.
+    */
+  def estimate(
+      df: DataFrame, stratum: Column, unit: Column, value: Column,
+      targetK: Int): DataFrame =
+    sample(df, stratum, unit, targetK)
+      .withColumn("__v", value)
+      .groupBy(col("stratum"), col("n_exact"), col("bp"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("__v")).as("kept_sum"))
+      .select(
+        col("stratum"), col("n_exact"), col("bp"), col("n_kept"),
+        ((col("n_kept") * Mod).cast("double") / col("bp")).as("est_cnt"),
+        ((col("kept_sum") * Mod).cast("double") / col("bp")).as("est_sum"))
+      .orderBy(col("stratum"))
+
+  /** DuckDB oracle for [[estimate]]: the count→ceil-div→threshold→hash-keep
+    * →group-end-scale chain replayed as SQL over `fromSql`, with
+    * `stratumSql`/`unitSql`/`valueSql` the expression spellings.
+    */
+  def estimateOracleSql(
+      fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
+      targetK: Int): String = {
+    val kMod = targetK * Mod
+    val h = Hashing.hash60Sql(s"'$Salt' || CAST($unitSql AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
+       |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
+       |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
+       |  FROM $fromSql GROUP BY 1
+       |), s AS (
+       |  SELECT $stratumSql AS stratum, $valueSql AS v, $h % $Mod AS h
+       |  FROM $fromSql
+       |)
+       |SELECT s.stratum, r.n_exact, r.bp, count(*) AS n_kept,
+       |       CAST(count(*) * $Mod AS DOUBLE) / r.bp AS est_cnt,
+       |       CAST(sum(s.v) * $Mod AS DOUBLE) / r.bp AS est_sum
+       |FROM s JOIN r ON s.stratum = r.stratum
+       |WHERE s.h < r.bp
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+}

@@ -1,0 +1,146 @@
+package graft.sampling
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Congressional sampling: the allocation guarantees that make derived
+  * per-stratum rates an ESTIMATOR with uniform per-group error — exact
+  * ceil-division thresholds, complete (exact) small strata, ~targetK
+  * survivors in sampled strata regardless of skew, never-zero rates, HT
+  * tracking of the exact twin, determinism, and the broadcast-join plan
+  * shape (the fact table crosses no exchange before it is thinned).
+  */
+class CongressionalSampledSpec extends SparkSpec {
+
+  private def skewed = {
+    // two strata with 100x size skew: 'rare' 50 rows, 'bulk' 5000 rows
+    import spark.implicits._
+    spark.range(5050).select(
+      when(col("id") < 50, "rare").otherwise("bulk").as("g"),
+      col("id").as("unit"),
+      (col("id") % 7 + 1).as("v"))
+  }
+
+  test("rates: exact ceil-division thresholds, complete small strata, never zero") {
+    val r = CongressionalSampled
+      .rates(skewed, col("g"), targetK = 300)
+      .collect()
+      .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2)))
+      .toMap
+    assert(r("rare") === ((50L, CongressionalSampled.Mod))) // n <= k -> keep all
+    // ceil(300 * 10000 / 5000) = 600
+    assert(r("bulk") === ((5000L, 600L)))
+    // a stratum (vastly) larger than k*Mod still gets bp >= 1, never 0
+    val big = spark.range(200000).select(lit("x").as("g"), col("id").as("unit"))
+    val bp = CongressionalSampled.rates(big, col("g"), targetK = 1)
+      .head().getLong(2)
+    assert(bp === 1L)
+  }
+
+  test("small strata ride complete: est == exact, n_kept == n_exact") {
+    val est = CongressionalSampled
+      .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300)
+      .filter(col("stratum") === "rare")
+      .head()
+    val exact = skewed.filter(col("g") === "rare")
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(est.getLong(3) === est.getLong(1)) // n_kept == n_exact
+    assert(est.getDouble(4) === exact.getLong(0).toDouble) // est_cnt exact
+    assert(est.getDouble(5) === exact.getLong(1).toDouble) // est_sum exact
+  }
+
+  test("sampled strata keep ~targetK rows and HT-track the exact twin") {
+    val est = CongressionalSampled
+      .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300)
+      .filter(col("stratum") === "bulk")
+      .head()
+    val exact = skewed.filter(col("g") === "bulk")
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val kept = est.getLong(3)
+    // deterministic sample, expected 5000 * 600/10000 = 300
+    assert(kept > 150 && kept < 600, s"kept $kept, expected ~300")
+    val relCnt = math.abs(est.getDouble(4) - exact.getLong(0)) / exact.getLong(0)
+    val relSum = math.abs(est.getDouble(5) - exact.getLong(1)) / exact.getLong(1)
+    // ~1/sqrt(300) = 5.8% expected relative error; fixed numbers, not flaky
+    assert(relCnt < 0.2, s"relative count error $relCnt")
+    assert(relSum < 0.2, s"relative sum error $relSum")
+  }
+
+  test("uniform per-group support under 100x skew (the congressional point)") {
+    val kept = CongressionalSampled
+      .sample(skewed, col("g"), col("unit"), targetK = 30)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both strata land near 30 survivors despite the 100x size gap
+    assert(kept("rare") > 15 && kept("rare") <= 50, s"rare ${kept("rare")}")
+    assert(kept("bulk") > 15 && kept("bulk") < 60, s"bulk ${kept("bulk")}")
+  }
+
+  test("deterministic: two runs produce identical frames") {
+    val a = CongressionalSampled
+      .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300).collect()
+    val b = CongressionalSampled
+      .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("live events: declared-query strata are exact where n <= k") {
+    assumeTestdata(sf001)
+    val events = Tables.events(spark, sf001)
+    val stratum = concat(col("event_type"), lit(":"),
+      length(col("user_id").cast("string")).cast("string"))
+    val est = CongressionalSampled.estimate(
+      events, stratum, col("event_id"),
+      round(col("value") * 100).cast("long"), targetK = 300)
+      .collect()
+    assert(est.nonEmpty)
+    val exact = events
+      .groupBy(stratum.as("stratum"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.filter(r => r.getLong(1) <= 300).foreach { r =>
+      assert(r.getDouble(5) === exact(r.getString(0)).toDouble,
+        s"complete stratum ${r.getString(0)} must be exact")
+      assert(r.getLong(3) === r.getLong(1))
+    }
+  }
+
+  test("plan: rate table broadcasts; fact side reaches the join unshuffled") {
+    val df = CongressionalSampled
+      .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300)
+    df.collect()
+    // TreeNode traversal stops at AQE stage boundaries (QueryStageExec and
+    // AdaptiveSparkPlanExec hold their subplans outside `children`), so
+    // descend into them explicitly (the JoinSampledSpec pattern)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val here = p.collect { case n => n }
+      here ++ here.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          allNodes(r.child)
+        case _ => Nil
+      }
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val bhj = nodes.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isDefined,
+      s"expected the rate table to broadcast:\n${df.queryExecution.executedPlan}")
+    // the streamed (fact) side must reach the join straight from the scan —
+    // the unsampled rows never cross a shuffle; toString pretty-prints
+    // through nested stage boundaries, so any exchange below is visible.
+    // streamedPlan is protected, so pick the non-broadcast child by shape.
+    val streamed = bhj.get.children
+      .filterNot(_.toString.contains("BroadcastExchange"))
+      .filterNot(_.toString.contains("BroadcastQueryStage"))
+    assert(streamed.size === 1, s"expected one streamed side:\n${bhj.get}")
+    assert(!streamed.head.toString.contains("ShuffleExchange"),
+      s"fact side must not shuffle before the keep-filter:\n${streamed.head}")
+  }
+}
