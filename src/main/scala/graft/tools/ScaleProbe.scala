@@ -267,6 +267,19 @@ object ScaleProbe {
       "events_sessions" -> (k =>
         graft.operators.Sessionize.sessions(
           explodeEvents(events0, k, partsFor("events_sessions", k)))),
+      // congressional sampling (r14): the derived-rate probe discipline —
+      // NO caller rate override; as the exploded population grows ×k the
+      // in-plan thresholds fall ∝1/k and kept rows per stratum stay ~300,
+      // so the linear term the probe measures is the scan + broadcast
+      // keep-filter (the operator's 100 TB cost), not the estimator tail
+      "events_congressional" -> (k =>
+        graft.sampling.CongressionalSampled.estimate(
+          explodeEvents(events0, k, partsFor("events_congressional", k)),
+          stratum = concat(col("event_type"), lit(":"),
+            length(col("user_id").cast("string")).cast("string")),
+          unit = col("event_id"),
+          value = round(col("value") * 100).cast("long"),
+          targetK = 300)),
       "docs_decontaminated" -> (k =>
         graft.text.Decontaminate.clean(
           explodeDocs(docs0, k).withColumn("n_chars", length(col("text")).cast("long")))),
