@@ -147,6 +147,20 @@ object SparkEntry {
         value = round(col("value") * 100).cast("long"),
         targetK = 300)
     }),
+    // ...plus the reference's achieved-error bound (T4,
+    // RandomSamplingUtil.java:376-378) PER STRATUM: complete strata report
+    // 0, sampled strata all ~z*sqrt(0.25/k) — uniform error across groups
+    // of any size, the allocation's point made visible as a column
+    "events_congressional_bounds_u" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat, length, lit, round}
+      graft.sampling.CongressionalSampled.estimateWithBounds(
+        Tables.events(s, dir),
+        stratum = concat(col("event_type"), lit(":"),
+          length(col("user_id").cast("string")).cast("string")),
+        unit = col("event_id"),
+        value = round(col("value") * 100).cast("long"),
+        targetK = 300)
+    }),
     // token-budget selection from a 10 % scan with HT-scaled budget
     // accounting ("select ~40 % of the corpus tokens, from a 10 % sample")
     "docs_token_budget_sampled_u10" -> ((s, dir) =>
@@ -1076,6 +1090,14 @@ object SparkEntry {
     "events_stratified_sum_u" -> stratifiedSumUSql,
     "events_congressional_sum_u" ->
       graft.sampling.CongressionalSampled.estimateOracleSql(
+        fromSql = "events",
+        stratumSql =
+          "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
+        unitSql = "event_id",
+        valueSql = "CAST(round(value * 100) AS BIGINT)",
+        targetK = 300),
+    "events_congressional_bounds_u" ->
+      graft.sampling.CongressionalSampled.estimateWithBoundsOracleSql(
         fromSql = "events",
         stratumSql =
           "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",

@@ -91,15 +91,61 @@ object CongressionalSampled {
         ((col("kept_sum") * Mod).cast("double") / col("bp")).as("est_sum"))
       .orderBy(col("stratum"))
 
+  /** [[estimate]] plus the reference's achieved-error bound PER STRATUM
+    * ([[Stats.errorBound]], RandomSamplingUtil.java:376-378 semantics with
+    * N = n_exact, n = n_kept): `err_bound = z · sqrt(0.25/n) ·
+    * sqrt((N−n)/(N−1))`. Complete strata report 0 (their estimates are
+    * exact); sampled strata all report ~z·sqrt(0.25/targetK) — the
+    * congressional allocation's whole point made visible as a column:
+    * UNIFORM error across groups of any size. Every term is a double
+    * function of two already-exact integers evaluated in one fixed
+    * order, so the bound itself replays bit-for-bit in the oracle.
+    */
+  def estimateWithBounds(
+      df: DataFrame, stratum: Column, unit: Column, value: Column,
+      targetK: Int, confidence: Double = 0.95): DataFrame =
+    estimate(df, stratum, unit, value, targetK)
+      .withColumn(
+        "err_bound",
+        when(col("n_exact") <= 1, lit(0.0)).otherwise(
+          lit(Stats.zScore(confidence))
+            * sqrt(lit(0.25) / col("n_kept"))
+            * sqrt((col("n_exact") - col("n_kept")) / (col("n_exact") - lit(1L)))))
+      .orderBy(col("stratum"))
+
   /** DuckDB oracle for [[estimate]]: the count→ceil-div→threshold→hash-keep
     * →group-end-scale chain replayed as SQL over `fromSql`, with
     * `stratumSql`/`unitSql`/`valueSql` the expression spellings.
     */
   def estimateOracleSql(
       fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
-      targetK: Int): String = {
+      targetK: Int): String =
+    oracleSqlCore(fromSql, stratumSql, unitSql, valueSql, targetK, withBounds = false)
+
+  /** DuckDB oracle for [[estimateWithBounds]] (confidence fixed at the
+    * z-table bucket the Scala side was built with).
+    */
+  def estimateWithBoundsOracleSql(
+      fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
+      targetK: Int, confidence: Double = 0.95): String =
+    oracleSqlCore(fromSql, stratumSql, unitSql, valueSql, targetK,
+      withBounds = true, confidence = confidence)
+
+  private def oracleSqlCore(
+      fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
+      targetK: Int, withBounds: Boolean, confidence: Double = 0.95): String = {
     val kMod = targetK * Mod
     val h = Hashing.hash60Sql(s"'$Salt' || CAST($unitSql AS VARCHAR)")
+    // same operation ORDER as the Column spelling — double products are
+    // evaluated left-to-right in both engines
+    val boundCol =
+      if (!withBounds) ""
+      else
+        s""",
+           |       CASE WHEN r.n_exact <= 1 THEN 0.0
+           |            ELSE ${Stats.zScore(confidence)} * sqrt(0.25 / count(*))
+           |                 * sqrt((r.n_exact - count(*)) / (r.n_exact - 1)) END
+           |         AS err_bound""".stripMargin
     s"""WITH r AS (
        |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
        |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
@@ -111,7 +157,7 @@ object CongressionalSampled {
        |)
        |SELECT s.stratum, r.n_exact, r.bp, count(*) AS n_kept,
        |       CAST(count(*) * $Mod AS DOUBLE) / r.bp AS est_cnt,
-       |       CAST(sum(s.v) * $Mod AS DOUBLE) / r.bp AS est_sum
+       |       CAST(sum(s.v) * $Mod AS DOUBLE) / r.bp AS est_sum$boundCol
        |FROM s JOIN r ON s.stratum = r.stratum
        |WHERE s.h < r.bp
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin

@@ -107,6 +107,39 @@ class CongressionalSampledSpec extends SparkSpec {
     }
   }
 
+  test("bounds: complete strata report 0; sampled strata uniform ~z*sqrt(0.25/k)") {
+    val est = CongressionalSampled
+      .estimateWithBounds(skewed, col("g"), col("unit"), col("v"), targetK = 300)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // complete stratum: exact estimate, zero error bound
+    assert(est("rare").getDouble(6) === 0.0)
+    // sampled stratum: the reference formula with N=n_exact, n=n_kept
+    val r = est("bulk")
+    val n = r.getLong(1); val kept = r.getLong(3)
+    val expected = Stats.zScore(0.95) * math.sqrt(0.25 / kept) *
+      math.sqrt((n - kept).toDouble / (n - 1))
+    assert(r.getDouble(6) === expected)
+    // ~z*sqrt(0.25/300) = 5.7% at the target support
+    assert(r.getDouble(6) > 0.02 && r.getDouble(6) < 0.12, s"bound ${r.getDouble(6)}")
+  }
+
+  test("bounds: uniform across sampled strata of very different sizes") {
+    assumeTestdata(sf001)
+    // force sampling everywhere with a small k on the live skewed strata
+    val events = Tables.events(spark, sf001)
+    val stratum = concat(col("event_type"), lit(":"),
+      length(col("user_id").cast("string")).cast("string"))
+    val bounds = CongressionalSampled.estimateWithBounds(
+      events, stratum, col("event_id"),
+      round(col("value") * 100).cast("long"), targetK = 30)
+      .collect().map(_.getDouble(6)).filter(_ > 0)
+    assert(bounds.nonEmpty)
+    // every sampled stratum's bound sits in one narrow band regardless of
+    // its population — the allocation guarantee
+    assert(bounds.max / bounds.min < 2.0,
+      s"bounds not uniform: min ${bounds.min} max ${bounds.max}")
+  }
+
   test("plan: rate table broadcasts; fact side reaches the join unshuffled") {
     val df = CongressionalSampled
       .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300)
