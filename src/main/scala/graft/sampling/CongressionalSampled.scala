@@ -46,6 +46,17 @@ object CongressionalSampled {
   /** Basis-point modulus of the keep thresholds (0.01 % granularity). */
   val Mod = 10000L
 
+  /** Null semantics (identical in Spark and the DuckDB oracle, so the gate
+    * is consistent by construction rather than by luck): a NULL stratum
+    * never matches the rate table's equi-join (null ≠ null) and a NULL
+    * unit hashes to NULL, so such rows are EXCLUDED from the sample and
+    * from n_exact-based estimates in both engines — callers with nullable
+    * stratum/unit columns should coalesce() them to a sentinel first.
+    * Overflow: `kept_sum · Mod` must fit a long — kept_sum is bounded by
+    * ~targetK·max(value) per stratum by construction, so this holds
+    * whenever per-row values stay below 2^63 / (targetK · 10⁴).
+    */
+
   private val Salt = "cg:"
 
   /** The derived rate table: (stratum, n_exact, bp). `bp = Mod` (keep all)
@@ -77,6 +88,10 @@ object CongressionalSampled {
   /** Per-stratum estimate of `count(*)` and `sum(value)`: group-end HT
     * scaling (see object doc). Output: stratum, n_exact, bp, n_kept,
     * est_cnt, est_sum — complete strata (bp = Mod) report est == exact.
+    * A stratum whose kept set comes up empty (possible only when
+    * n > targetK·Mod forces bp = 1) is ABSENT from the output — the
+    * [[JoinSampled]] absent-group convention: an estimator reports what
+    * it saw, identically in both engines.
     */
   def estimate(
       df: DataFrame, stratum: Column, unit: Column, value: Column,
