@@ -26,13 +26,15 @@ import graft.dedup.Hashing
   * applied to sampling rates.
   *
   * Scale shape: the rate table is ONE partial-aggregated count over the
-  * column-pruned stratum projection (|strata| rows — bounded metadata, the
-  * same cost class as the derived-width count jobs), broadcast back against
+  * column-pruned stratum projection (|strata| rows — bounded by the
+  * stratification SCHEME, not by corpus size), broadcast back against
   * the fact scan; the keep-filter evaluates map-side right behind the
   * broadcast join, so the fact table crosses ZERO exchanges before it is
-  * thinned to ~|strata|·targetK rows. No driver collect anywhere — the
-  * rates stay a DataFrame, so stratum cardinality can grow into the
-  * millions (language × source × quality band) without a driver bottleneck.
+  * thinned to ~|strata|·targetK rows. The rates stay a DataFrame end to
+  * end (no `.collect()` loop); the broadcast itself materializes the
+  * |strata|-row relation driver-side like any broadcast join — fine
+  * through ~10⁶ short-keyed strata, see [[sample]] for the beyond-limit
+  * trade.
   *
   * Determinism/exactness contract (the oracle discipline): thresholds are
   * INTEGER basis points out of [[Mod]] via exact long ceil-division; the
@@ -46,12 +48,14 @@ object CongressionalSampled {
   /** Basis-point modulus of the keep thresholds (0.01 % granularity). */
   val Mod = 10000L
 
-  /** Null semantics (identical in Spark and the DuckDB oracle, so the gate
-    * is consistent by construction rather than by luck): a NULL stratum
-    * never matches the rate table's equi-join (null ≠ null) and a NULL
-    * unit hashes to NULL, so such rows are EXCLUDED from the sample and
-    * from n_exact-based estimates in both engines — callers with nullable
-    * stratum/unit columns should coalesce() them to a sentinel first.
+  /** Null semantics: rows with a NULL stratum or NULL unit are filtered
+    * out at the ENTRANCE of both the rate derivation and the sample (and
+    * the oracle's two CTEs mirror the filter), so the population n_exact
+    * counts is exactly the population the keep-predicate can select from —
+    * a null unit that were counted but never sampleable would silently
+    * bias every estimate low, identically in both engines, where no gate
+    * could see it. Callers who want null-keyed rows represented should
+    * coalesce() to a sentinel first.
     * Overflow: `kept_sum · Mod` must fit a long — kept_sum is bounded by
     * ~targetK·max(value) per stratum by construction, so this holds
     * whenever per-row values stay below 2^63 / (targetK · 10⁴).
@@ -62,7 +66,9 @@ object CongressionalSampled {
   /** The derived rate table: (stratum, n_exact, bp). `bp = Mod` (keep all)
     * when the stratum has ≤ targetK rows, else `ceil(targetK·Mod / n)` —
     * exact long arithmetic, and ≥ 1 for every n (a stratum is never
-    * silently zeroed, however large).
+    * silently zeroed, however large). Callers composing manually must
+    * pre-filter rows whose unit is NULL so n_exact counts the sampleable
+    * population ([[sample]] does this for both frames).
     */
   def rates(df: DataFrame, stratum: Column, targetK: Int): DataFrame = {
     require(targetK >= 1, s"targetK must be >= 1, got $targetK")
@@ -78,20 +84,35 @@ object CongressionalSampled {
 
   /** The congressional sample: rows surviving their stratum's derived
     * threshold, carrying (stratum, n_exact, bp) for downstream weighting.
+    *
+    * The rate table rides a broadcast hint: it is |strata| rows — a
+    * function of the STRATIFICATION SCHEME, not of corpus size (unlike
+    * the vocabulary-growing sets the engine refuses to force-broadcast),
+    * so it stays within the broadcast limit through ~10⁶ short-keyed
+    * strata. The hint is what keeps the fact scan exchange-free in the
+    * STATIC plan (AQE's runtime broadcast conversion would still have
+    * written the fact table to shuffle files once before converting);
+    * a stratification finer than the limit should drop the hint and pay
+    * that one exchange.
     */
-  def sample(df: DataFrame, stratum: Column, unit: Column, targetK: Int): DataFrame =
-    df.withColumn("stratum", stratum)
-      .join(broadcast(rates(df, stratum, targetK)), Seq("stratum"))
+  def sample(df: DataFrame, stratum: Column, unit: Column, targetK: Int): DataFrame = {
+    val base = df.filter(stratum.isNotNull && unit.isNotNull)
+    base.withColumn("stratum", stratum)
+      .join(broadcast(rates(base, stratum, targetK)), Seq("stratum"))
       .filter(
         Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % Mod < col("bp"))
+  }
 
   /** Per-stratum estimate of `count(*)` and `sum(value)`: group-end HT
     * scaling (see object doc). Output: stratum, n_exact, bp, n_kept,
     * est_cnt, est_sum — complete strata (bp = Mod) report est == exact.
-    * A stratum whose kept set comes up empty (possible only when
-    * n > targetK·Mod forces bp = 1) is ABSENT from the output — the
-    * [[JoinSampled]] absent-group convention: an estimator reports what
-    * it saw, identically in both engines.
+    * A stratum whose kept set comes up empty is ABSENT from the output —
+    * the [[JoinSampled]] absent-group convention: an estimator reports
+    * what it saw, identically in both engines. Expected survivors are
+    * ~targetK, so absence probability is ≈ e^−targetK — negligible at the
+    * default 300 but REAL at small targetK (≈ 37 % of sampled strata at
+    * targetK = 1); callers joining estimates back to a dimension table
+    * should size targetK with that in mind.
     */
   def estimate(
       df: DataFrame, stratum: Column, unit: Column, value: Column,
@@ -126,7 +147,7 @@ object CongressionalSampled {
           lit(Stats.zScore(confidence))
             * sqrt(lit(0.25) / col("n_kept"))
             * sqrt((col("n_exact") - col("n_kept")) / (col("n_exact") - lit(1L)))))
-      .orderBy(col("stratum"))
+      // no re-sort: withColumn is a projection atop estimate's orderBy
 
   /** DuckDB oracle for [[estimate]]: the count→ceil-div→threshold→hash-keep
     * →group-end-scale chain replayed as SQL over `fromSql`, with
@@ -161,14 +182,18 @@ object CongressionalSampled {
            |            ELSE ${Stats.zScore(confidence)} * sqrt(0.25 / count(*))
            |                 * sqrt((r.n_exact - count(*)) / (r.n_exact - 1)) END
            |         AS err_bound""".stripMargin
+    // both CTEs mirror sample()'s null pre-filter so n_exact counts
+    // exactly the sampleable population (see the null-semantics doc)
+    val notNull =
+      s"($stratumSql) IS NOT NULL AND ($unitSql) IS NOT NULL"
     s"""WITH r AS (
        |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
        |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
        |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
-       |  FROM $fromSql GROUP BY 1
+       |  FROM $fromSql WHERE $notNull GROUP BY 1
        |), s AS (
        |  SELECT $stratumSql AS stratum, $valueSql AS v, $h % $Mod AS h
-       |  FROM $fromSql
+       |  FROM $fromSql WHERE $notNull
        |)
        |SELECT s.stratum, r.n_exact, r.bp, count(*) AS n_kept,
        |       CAST(count(*) * $Mod AS DOUBLE) / r.bp AS est_cnt,

@@ -20,6 +20,25 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def assumeTestdata(dir: String): Unit =
     assume(new java.io.File(dir).isDirectory,
       s"live testdata missing at $dir (set GRAFT_TESTDATA_ROOT) — skipping, NOT a pass")
+
+  /** Every node of an executed plan, descending through AQE stage
+    * boundaries: AdaptiveSparkPlanExec, QueryStageExec, and
+    * ReusedExchangeExec hold their subplans outside `children`, so a plain
+    * TreeNode.collect stops at them (toString descends, collect does not).
+    * Shared by the plan-pin specs.
+    */
+  def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val here = p.collect { case n => n }
+    here ++ here.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allPlanNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allPlanNodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allPlanNodes(r.child)
+      case _ => Nil
+    }
+  }
 }
 
 object SparkSpec {

@@ -78,6 +78,23 @@ class CongressionalSampledSpec extends SparkSpec {
     assert(kept("bulk") > 15 && kept("bulk") < 60, s"bulk ${kept("bulk")}")
   }
 
+  test("null units are excluded from n_exact, not just from the sample") {
+    // if null-unit rows were counted but never sampleable, every estimate
+    // would bias low (a kept fraction drawn from a smaller real population
+    // scaled as if from the bigger one) — and the oracle would mirror the
+    // bias where no gate could see it
+    val withNulls = spark.range(200).select(
+      lit("g").as("g"),
+      when(col("id") < 100, col("id")).otherwise(lit(null)).as("unit"),
+      lit(1L).as("v"))
+    val r = CongressionalSampled
+      .estimate(withNulls, col("g"), col("unit"), col("v"), targetK = 300)
+      .head()
+    assert(r.getLong(1) === 100L, "n_exact must count only sampleable rows")
+    assert(r.getLong(3) === 100L) // n <= k -> complete over the non-null population
+    assert(r.getDouble(4) === 100.0)
+  }
+
   test("deterministic: two runs produce identical frames") {
     val a = CongressionalSampled
       .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300).collect()
@@ -144,22 +161,7 @@ class CongressionalSampledSpec extends SparkSpec {
     val df = CongressionalSampled
       .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300)
     df.collect()
-    // TreeNode traversal stops at AQE stage boundaries (QueryStageExec and
-    // AdaptiveSparkPlanExec hold their subplans outside `children`), so
-    // descend into them explicitly (the JoinSampledSpec pattern)
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val here = p.collect { case n => n }
-      here ++ here.flatMap {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allNodes(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allNodes(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          allNodes(r.child)
-        case _ => Nil
-      }
-    }
-    val nodes = allNodes(df.queryExecution.executedPlan)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
     val bhj = nodes.collectFirst {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }

@@ -111,22 +111,7 @@ class JoinSampledSpec extends SparkSpec {
     val df = JoinSampled.revenueMonthlySampledU(orders, lineitem)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    // TreeNode traversal stops at AQE stage boundaries (QueryStageExec and
-    // AdaptiveSparkPlanExec hold their subplans outside `children`), so
-    // descend into them explicitly — toString descends, collect does not
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val here = p.collect { case n => n }
-      here ++ here.flatMap {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allNodes(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allNodes(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          allNodes(r.child)
-        case _ => Nil
-      }
-    }
-    val join = allNodes(plan).find(_.nodeName.contains("Join"))
+    val join = allPlanNodes(plan).find(_.nodeName.contains("Join"))
     assert(join.isDefined, plan.toString.take(3000))
     join.get.children.foreach { side =>
       // side.toString pretty-prints THROUGH nested stage boundaries, so a
