@@ -63,6 +63,16 @@ object CongressionalSampled {
 
   private val Salt = "cg:"
 
+  /** Pure-Scala twin of the threshold derivation in [[rates]]' Column
+    * expression (the two must change in lockstep; RatesSpec pins their
+    * equality on a generated grid). Invariants (property-tested):
+    * 1 ≤ bp ≤ Mod; bp = Mod iff n ≤ targetK; bp non-increasing in n; and
+    * the expected survivors n·bp/Mod land in [targetK, targetK + n/Mod).
+    */
+  def bpFor(n: Long, targetK: Int): Long =
+    if (n <= targetK) Mod
+    else (targetK * Mod + n - 1L) / n
+
   /** The derived rate table: (stratum, n_exact, bp). `bp = Mod` (keep all)
     * when the stratum has ≤ targetK rows, else `ceil(targetK·Mod / n)` —
     * exact long arithmetic, and ≥ 1 for every n (a stratum is never

@@ -78,6 +78,44 @@ class CongressionalSampledSpec extends SparkSpec {
     assert(kept("bulk") > 15 && kept("bulk") < 60, s"bulk ${kept("bulk")}")
   }
 
+  test("bpFor invariants hold on arbitrary (n, targetK) — property-tested") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(1L, 1000000000000L)
+      k <- Gen.chooseNum(1, 1000000)
+    } yield (n, k)
+    val prop = Prop.forAll(gen) { case (n, k) =>
+      val bp = CongressionalSampled.bpFor(n, k)
+      val mod = CongressionalSampled.Mod
+      val inRange = bp >= 1L && bp <= mod
+      val keepAllIff = (bp == mod) == (n <= k)
+      // expected survivors n*bp/Mod in [k, k + n/Mod) for sampled strata
+      val support = n <= k || {
+        val kept = BigInt(n) * bp
+        kept >= BigInt(k) * mod && kept < BigInt(k) * mod + n
+      }
+      val monotone = CongressionalSampled.bpFor(n + 1, k) <= bp
+      inRange && keepAllIff && support && monotone
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rates' Column derivation equals the pure bpFor on a generated grid") {
+    // the in-plan expr and the Scala twin must never drift: drive rates()
+    // with strata of known sizes spanning the regime boundaries
+    val sizes = Seq(1L, 2L, 299L, 300L, 301L, 999L, 1000L, 5000L, 54321L, 300L * 10000L + 1)
+    val df = sizes.zipWithIndex.map { case (n, i) =>
+      spark.range(n).select(lit(s"s$i").as("g"), col("id").as("unit"))
+    }.reduce(_ unionAll _)
+    val got = CongressionalSampled.rates(df, col("g"), targetK = 300)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      assert(got(s"s$i") === ((n, CongressionalSampled.bpFor(n, 300))),
+        s"drift at n=$n")
+    }
+  }
+
   test("null units are excluded from n_exact, not just from the sample") {
     // if null-unit rows were counted but never sampleable, every estimate
     // would bias low (a kept fraction drawn from a smaller real population
