@@ -95,6 +95,14 @@ object CongressionalSampled {
   /** The congressional sample: rows surviving their stratum's derived
     * threshold, carrying (stratum, n_exact, bp) for downstream weighting.
     *
+    * Unit choice sets the ATOMICITY (the [[UniverseSampled]] discipline):
+    * unit = the row id samples rows independently; unit = a parent key
+    * (user_id, doc_id, session) keeps every row of a kept parent and
+    * drops every row of a dropped one — P(row kept) is bp/Mod either
+    * way, so the per-row HT scale is unchanged and estimates stay
+    * unbiased, while per-parent structure survives for downstream
+    * session-level analyses (spec-pinned).
+    *
     * The rate table rides a broadcast hint: it is |strata| rows — a
     * function of the STRATIFICATION SCHEME, not of corpus size (unlike
     * the vocabulary-growing sets the engine refuses to force-broadcast),

@@ -133,6 +133,22 @@ class CongressionalSampledSpec extends SparkSpec {
     assert(r.getDouble(4) === 100.0)
   }
 
+  test("unit atomicity: sampling on a parent key keeps whole parents") {
+    assumeTestdata(sf001)
+    val events = Tables.events(spark, sf001)
+    val kept = CongressionalSampled.sample(
+      events, col("event_type"), col("user_id"), targetK = 100)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+    val full = events
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n_full"))
+    // every (stratum, kept user) carries ALL that user's rows in the
+    // stratum — none thinned
+    val thinned = kept.join(full, Seq("event_type", "user_id"))
+      .filter(col("n") =!= col("n_full"))
+    assert(thinned.count() === 0)
+    assert(kept.count() > 0)
+  }
+
   test("deterministic: two runs produce identical frames") {
     val a = CongressionalSampled
       .estimate(skewed, col("g"), col("unit"), col("v"), targetK = 300).collect()
