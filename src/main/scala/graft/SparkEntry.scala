@@ -161,6 +161,24 @@ object SparkEntry {
         value = round(col("value") * 100).cast("long"),
         targetK = 300)
     }),
+    // batch replay of the STREAMING congressional form (static rate table
+    // derived from the snapshot, stateless stream-static keep per row):
+    // same keep set as the batch sampler, gated by an independent keep-set
+    // oracle, so the two spellings agree through DuckDB
+    "events_congressional_stream_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{concat, length, lit}
+      val events = Tables.events(s, dir)
+      val stratum = concat(col("event_type"), lit(":"),
+        length(col("user_id").cast("string")).cast("string"))
+      val rates = graft.sampling.CongressionalSampled.rates(
+        events.filter(stratum.isNotNull && col("event_id").isNotNull),
+        stratum, targetK = 300)
+      graft.streaming.StreamingCongressional.sample(
+        events, stratum, col("event_id"), rates)
+        .select(col("event_id").as("id"), col("stratum"),
+          col("n_exact"), col("bp"))
+        .orderBy("id")
+    }),
     // token-budget selection from a 10 % scan with HT-scaled budget
     // accounting ("select ~40 % of the corpus tokens, from a 10 % sample")
     "docs_token_budget_sampled_u10" -> ((s, dir) =>
@@ -1103,6 +1121,14 @@ object SparkEntry {
           "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
         unitSql = "event_id",
         valueSql = "CAST(round(value * 100) AS BIGINT)",
+        targetK = 300),
+    "events_congressional_stream_replay" ->
+      graft.sampling.CongressionalSampled.keepSetOracleSql(
+        fromSql = "events",
+        stratumSql =
+          "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
+        unitSql = "event_id",
+        idSql = "event_id",
         targetK = 300),
     "docs_token_budget_sampled_u10" -> graft.sampling.TokenBudget.selectSampledOracleSql(),
     "tpch_q3" -> graft.queries.TpchQueries.Q3OracleSql,

@@ -115,11 +115,23 @@ object CongressionalSampled {
     */
   def sample(df: DataFrame, stratum: Column, unit: Column, targetK: Int): DataFrame = {
     val base = df.filter(stratum.isNotNull && unit.isNotNull)
-    base.withColumn("stratum", stratum)
-      .join(broadcast(rates(base, stratum, targetK)), Seq("stratum"))
+    sampleWithRates(base, stratum, unit, rates(base, stratum, targetK))
+  }
+
+  /** [[sample]] with an injected rate table — the seam the STREAMING form
+    * rides ([[graft.streaming.StreamingCongressional]]): rates derived
+    * once from a reference snapshot become the static side of a
+    * stream-static broadcast join, and each arriving row's keep decision
+    * is the same stateless hash-vs-threshold the batch path evaluates.
+    * The caller owns null pre-filtering here (sample() does it; a stream
+    * side does it in the wrapper).
+    */
+  def sampleWithRates(
+      df: DataFrame, stratum: Column, unit: Column, ratesDf: DataFrame): DataFrame =
+    df.withColumn("stratum", stratum)
+      .join(broadcast(ratesDf), Seq("stratum"))
       .filter(
         Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % Mod < col("bp"))
-  }
 
   /** Per-stratum estimate of `count(*)` and `sum(value)`: group-end HT
     * scaling (see object doc). Output: stratum, n_exact, bp, n_kept,
@@ -184,6 +196,30 @@ object CongressionalSampled {
       targetK: Int, confidence: Double = 0.95): String =
     oracleSqlCore(fromSql, stratumSql, unitSql, valueSql, targetK,
       withBounds = true, confidence = confidence)
+
+  /** DuckDB oracle for the KEEP SET itself (the [[sample]] stage —
+    * gating the streaming replay): (id, stratum, n_exact, bp) of every
+    * admitted row, ordered by id.
+    */
+  def keepSetOracleSql(
+      fromSql: String, stratumSql: String, unitSql: String, idSql: String,
+      targetK: Int): String = {
+    val kMod = targetK * Mod
+    val h = Hashing.hash60Sql(s"'$Salt' || CAST($unitSql AS VARCHAR)")
+    val notNull = s"($stratumSql) IS NOT NULL AND ($unitSql) IS NOT NULL"
+    s"""WITH r AS (
+       |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
+       |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
+       |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
+       |  FROM $fromSql WHERE $notNull GROUP BY 1
+       |), s AS (
+       |  SELECT $stratumSql AS stratum, $idSql AS id, $h % $Mod AS h
+       |  FROM $fromSql WHERE $notNull
+       |)
+       |SELECT s.id, s.stratum, r.n_exact, r.bp
+       |FROM s JOIN r ON s.stratum = r.stratum
+       |WHERE s.h < r.bp ORDER BY s.id""".stripMargin
+  }
 
   private def oracleSqlCore(
       fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
