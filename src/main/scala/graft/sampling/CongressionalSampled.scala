@@ -197,6 +197,24 @@ object CongressionalSampled {
     oracleSqlCore(fromSql, stratumSql, unitSql, valueSql, targetK,
       withBounds = true, confidence = confidence)
 
+  /** The null pre-filter both oracle CTEs apply (mirrors [[sample]]). */
+  private def notNullSql(stratumSql: String, unitSql: String): String =
+    s"($stratumSql) IS NOT NULL AND ($unitSql) IS NOT NULL"
+
+  /** The rate-derivation CTE body shared by every oracle builder — ONE
+    * SQL spelling of [[rates]]/[[bpFor]], so the keep-set and estimate
+    * oracles can never desynchronize.
+    */
+  private def ratesCteSql(
+      fromSql: String, stratumSql: String, unitSql: String,
+      targetK: Int): String = {
+    val kMod = targetK * Mod
+    s"""SELECT $stratumSql AS stratum, count(*) AS n_exact,
+       |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
+       |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
+       |  FROM $fromSql WHERE ${notNullSql(stratumSql, unitSql)} GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for the KEEP SET itself (the [[sample]] stage —
     * gating the streaming replay): (id, stratum, n_exact, bp) of every
     * admitted row, ordered by id.
@@ -204,17 +222,12 @@ object CongressionalSampled {
   def keepSetOracleSql(
       fromSql: String, stratumSql: String, unitSql: String, idSql: String,
       targetK: Int): String = {
-    val kMod = targetK * Mod
     val h = Hashing.hash60Sql(s"'$Salt' || CAST($unitSql AS VARCHAR)")
-    val notNull = s"($stratumSql) IS NOT NULL AND ($unitSql) IS NOT NULL"
     s"""WITH r AS (
-       |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
-       |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
-       |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
-       |  FROM $fromSql WHERE $notNull GROUP BY 1
+       |  ${ratesCteSql(fromSql, stratumSql, unitSql, targetK)}
        |), s AS (
        |  SELECT $stratumSql AS stratum, $idSql AS id, $h % $Mod AS h
-       |  FROM $fromSql WHERE $notNull
+       |  FROM $fromSql WHERE ${notNullSql(stratumSql, unitSql)}
        |)
        |SELECT s.id, s.stratum, r.n_exact, r.bp
        |FROM s JOIN r ON s.stratum = r.stratum
@@ -224,7 +237,6 @@ object CongressionalSampled {
   private def oracleSqlCore(
       fromSql: String, stratumSql: String, unitSql: String, valueSql: String,
       targetK: Int, withBounds: Boolean, confidence: Double = 0.95): String = {
-    val kMod = targetK * Mod
     val h = Hashing.hash60Sql(s"'$Salt' || CAST($unitSql AS VARCHAR)")
     // same operation ORDER as the Column spelling — double products are
     // evaluated left-to-right in both engines
@@ -238,16 +250,11 @@ object CongressionalSampled {
            |         AS err_bound""".stripMargin
     // both CTEs mirror sample()'s null pre-filter so n_exact counts
     // exactly the sampleable population (see the null-semantics doc)
-    val notNull =
-      s"($stratumSql) IS NOT NULL AND ($unitSql) IS NOT NULL"
     s"""WITH r AS (
-       |  SELECT $stratumSql AS stratum, count(*) AS n_exact,
-       |         CAST(CASE WHEN count(*) <= $targetK THEN $Mod
-       |              ELSE ($kMod + count(*) - 1) // count(*) END AS BIGINT) AS bp
-       |  FROM $fromSql WHERE $notNull GROUP BY 1
+       |  ${ratesCteSql(fromSql, stratumSql, unitSql, targetK)}
        |), s AS (
        |  SELECT $stratumSql AS stratum, $valueSql AS v, $h % $Mod AS h
-       |  FROM $fromSql WHERE $notNull
+       |  FROM $fromSql WHERE ${notNullSql(stratumSql, unitSql)}
        |)
        |SELECT s.stratum, r.n_exact, r.bp, count(*) AS n_kept,
        |       CAST(count(*) * $Mod AS DOUBLE) / r.bp AS est_cnt,

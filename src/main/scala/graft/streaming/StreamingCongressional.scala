@@ -12,32 +12,49 @@ import graft.sampling.CongressionalSampled
   *
   * Works because the whole decision is stateless per row given the rate
   * table: a stream-static broadcast join (legal in append mode at any
-  * trigger — the static side is re-read per micro-batch but AQE-cached as
-  * a broadcast) plus the deterministic hash-vs-threshold filter. No
+  * trigger) plus the deterministic hash-vs-threshold filter. No
   * aggregation, watermark, or state store; batch ≡ stream per micro-batch
   * (pinned by spec AND by the `events_congressional_stream_replay` oracle
   * row, which runs the SAME per-row form over the batch frame against a
   * keep-set oracle — the two spellings agree through DuckDB).
   *
-  * Semantics note (the saved-index discipline of
+  * The rate table is MATERIALIZED at stream-construction time into a
+  * local relation (the [[graft.text.Decontaminate.benchBloomBits]]
+  * artifact discipline, |strata| rows): a lazy DataFrame here would be
+  * re-executed EVERY micro-batch (per-trigger cost proportional to the
+  * reference corpus) and would silently change policy mid-stream if the
+  * snapshot files were refreshed underneath it — materializing makes the
+  * policy genuinely static and the refresh contract real.
+  *
+  * Semantics notes (the saved-index discipline of
   * [[graft.dedup.IncrementalDedup]]): `n_exact`/`bp` describe the
   * REFERENCE SNAPSHOT the rates were derived from, not the unbounded
-  * stream — the rates are an admission POLICY. As the live population
-  * drifts from the snapshot the per-stratum intake drifts with it
-  * (rate × arrivals); a re-derivation is a stream restart with a new
-  * rate table, exactly the static-side refresh contract of the streaming
-  * bloom decontaminator.
+  * stream — the rates are an admission POLICY. As the live population of
+  * a KNOWN stratum drifts from the snapshot the per-stratum intake drifts
+  * with it (rate × arrivals). A stratum ABSENT from the snapshot has no
+  * rate and is NOT admitted at all (the inner join drops it) — the
+  * conservative direction for a sampling policy, but a silent one:
+  * pipelines expecting novel strata should re-derive (a stream restart
+  * with a new table, exactly the static-side refresh contract of the
+  * streaming bloom decontaminator) or union a default-bp row set before
+  * materialization.
   */
 object StreamingCongressional {
 
   /** Rows of `stream` admitted by the static `rates` table — carrying
     * (stratum, n_exact, bp) for downstream HT weighting. `stream` rows
     * with a null stratum or unit are dropped (they could never be
-    * admitted deterministically; the batch path pre-filters identically).
+    * admitted deterministically; the batch path pre-filters identically);
+    * rows of strata unknown to the snapshot are dropped too (see object
+    * doc). `rates` is executed ONCE here and pinned as a local relation.
     */
   def sample(
       stream: DataFrame, stratum: Column, unit: Column,
-      rates: DataFrame): DataFrame =
+      rates: DataFrame): DataFrame = {
+    val spark = rates.sparkSession
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(rates.collect(): _*), rates.schema)
     CongressionalSampled.sampleWithRates(
-      stream.filter(stratum.isNotNull && unit.isNotNull), stratum, unit, rates)
+      stream.filter(stratum.isNotNull && unit.isNotNull), stratum, unit, pinned)
+  }
 }

@@ -48,6 +48,20 @@ class StreamingCongressionalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the rate table is pinned as a local relation (executed once, not per trigger)") {
+    val ref = spark.range(500).select(lit("g").as("t"), col("id").as("u"))
+    val rates = CongressionalSampled.rates(ref, col("t"), K)
+    val input = MemoryStream[(String, Long)](spark)
+    val out = StreamingCongressional.sample(
+      input.toDF().toDF("t", "u"), col("t"), col("u"), rates)
+    // a lazy rate frame would show the snapshot scan + aggregate in the
+    // stream's plan and re-run them every micro-batch; the pinned form is
+    // a LocalRelation — policy frozen at construction
+    val plan = out.queryExecution.logical.toString
+    assert(plan.contains("LocalRelation"), s"rate table not pinned:\n$plan")
+    assert(!plan.contains("Range (0, 500"), s"snapshot scan leaked into the stream plan:\n$plan")
+  }
+
   test("null-keyed arrivals are dropped, matching the batch pre-filter") {
     val ref = spark.range(500).select(lit("g").as("t"), col("id").as("u"))
     val rates = CongressionalSampled.rates(ref, col("t"), K)
@@ -60,9 +74,9 @@ class StreamingCongressionalSpec extends SparkSpec {
       input.addData((None, Some(7L)), (Some("g"), None), (Some("g"), Some(7L)))
       query.processAllAvailable()
       val got = spark.table("scongnull").collect()
-      // only the fully-keyed row can be admitted (and is, iff its hash
-      // lands in g's band — with n=500 <= K... n=500 > K=100, so it may
-      // legitimately be dropped by the hash; the null rows NEVER appear)
+      // sampled regime (n=500 > K=100, bp=2000): the fully-keyed row may
+      // or may not land in g's hash band — either is fine; the two
+      // null-keyed rows must NEVER appear
       assert(got.forall(r => !r.isNullAt(r.fieldIndex("u"))))
       assert(got.length <= 1)
     } finally query.stop()
