@@ -125,7 +125,7 @@ object SparkEntry {
       val sampled = graft.sampling.StratifiedSampled.sampleUniverse(
         Tables.events(s, dir)
           .select(col("event_type"), col("event_id"),
-            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+            Tables.cents.as("cents")),
         "event_type",
         col("event_id"),
         ratesBp = Map("view" -> 500, "click" -> 2000))
@@ -144,7 +144,7 @@ object SparkEntry {
         stratum = concat(col("event_type"), lit(":"),
           length(col("user_id").cast("string")).cast("string")),
         unit = col("event_id"),
-        value = round(col("value") * 100).cast("long"),
+        value = Tables.cents,
         targetK = 300)
     }),
     // ...plus the reference's achieved-error bound (T4,
@@ -158,7 +158,7 @@ object SparkEntry {
         stratum = concat(col("event_type"), lit(":"),
           length(col("user_id").cast("string")).cast("string")),
         unit = col("event_id"),
-        value = round(col("value") * 100).cast("long"),
+        value = Tables.cents,
         targetK = 300)
     }),
     // batch replay of the STREAMING congressional form (static rate table
@@ -191,7 +191,7 @@ object SparkEntry {
       val sampled = graft.sampling.StratifiedSampled.sample(
         Tables.events(s, dir)
           .select(col("event_type"),
-            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+            Tables.cents.as("cents")),
         "event_type",
         rates = Map("view" -> 0.05, "click" -> 0.2),
         defaultRatio = 1.0)
@@ -660,7 +660,7 @@ object SparkEntry {
       graft.operators.SaltedAggregate.sumCount(
         Tables.events(s, dir)
           .select(col("user_id"),
-            org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("cents")),
+            Tables.cents.as("cents")),
         "user_id", "cents").orderBy("user_id")),
     "events_quantiles" -> ((s, dir) =>
       RQ.eventQuantiles(Tables.events(s, dir)).orderBy("event_type")),
@@ -1112,7 +1112,7 @@ object SparkEntry {
         stratumSql =
           "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
         unitSql = "event_id",
-        valueSql = "CAST(round(value * 100) AS BIGINT)",
+        valueSql = Tables.centsSql,
         targetK = 300),
     "events_congressional_bounds_u" ->
       graft.sampling.CongressionalSampled.estimateWithBoundsOracleSql(
@@ -1120,7 +1120,7 @@ object SparkEntry {
         stratumSql =
           "event_type || ':' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)",
         unitSql = "event_id",
-        valueSql = "CAST(round(value * 100) AS BIGINT)",
+        valueSql = Tables.centsSql,
         targetK = 300),
     "events_congressional_stream_replay" ->
       graft.sampling.CongressionalSampled.keepSetOracleSql(

@@ -59,8 +59,30 @@ object Bucketing {
       new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT))
     }
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      // listFiles() is null on I/O error or if the dir vanished between
+      // the isDirectory check and the call — the vanished case is the
+      // state we wanted anyway, so treat null as empty
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(deleteRecursively)
       f.delete(): Unit
+    }
+    // a pre-existing table only counts if its bucket SPEC matches the
+    // request — reusing a table bucketed on another key or count would
+    // silently regain the exchange (or mis-co-locate) the operator exists
+    // to eliminate; a digest-keyed name pins content, not layout
+    def specMatches(): Boolean = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      meta.bucketSpec.exists(bs =>
+        bs.numBuckets == buckets &&
+          bs.bucketColumnNames.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq(key.toLowerCase(java.util.Locale.ROOT)))
+    }
+    if (spark.catalog.tableExists(table) && !specMatches()) {
+      System.err.println(
+        s"Bucketing.ensureBucketed: $table exists with a different bucket " +
+          s"spec — dropping and rewriting as ($key, $buckets)")
+      spark.sql(s"DROP TABLE `$table`")
     }
     var attempts = 0
     while (!spark.catalog.tableExists(table)) {

@@ -25,6 +25,14 @@ object GroupSample {
 
   /** The k hash-smallest rows of each group. Output: the requested
     * `carry` columns plus `rk` (1-based rank within the group).
+    *
+    * PRECONDITION (the [[RangeRank]] convention): `unit` must be unique
+    * within each group. The rank's total order is (hash, unit); rows
+    * tying on both leave `row_number` to break the tie by physical row
+    * order — which rows survive a tie straddling rank k, and which carry
+    * values ride, would then vary across runs/partitionings and diverge
+    * from the oracle's own arbitrary tie pick. With a unique unit the
+    * order is total and the sample reproducible everywhere.
     */
   def examples(
       df: DataFrame, group: Column, unit: Column, k: Int,

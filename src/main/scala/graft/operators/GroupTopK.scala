@@ -30,7 +30,7 @@ object GroupTopK {
       .select(
         col("event_type"),
         col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+        graft.queries.Tables.cents.as("cents"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("event_type"), col("rn"), col("event_id"), col("cents"))

@@ -71,7 +71,7 @@ object RangeJoin {
   def eventsByTier(spark: SparkSession, events: DataFrame, width: Long = 1000L): DataFrame = {
     import spark.implicits._
     val tiers = Tiers.toDF("tier", "lo", "hi")
-    val facts = events.select(round(col("value") * 100).cast("long").as("cents"))
+    val facts = events.select(graft.queries.Tables.cents.as("cents"))
     joinByRange(facts, "cents", tiers, width)
       .groupBy("tier")
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))

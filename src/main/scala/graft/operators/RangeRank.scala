@@ -33,6 +33,18 @@ object RangeRank {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      // row_number() is 32-bit: a range partition holding > 2^31-1 rows
+      // would wrap __rn silently (partition count is capped by the conf,
+      // so at extreme scale per-partition rows grow unbounded) — fail
+      // loudly from the already-computed per-partition counts instead of
+      // emitting wrong positions; the fix at that scale is more range
+      // partitions, not a bigger window
+      .withColumn("__n",
+        when(col("__n") > Int.MaxValue.toLong,
+          raise_error(concat(
+            lit(s"RangeRank.withPos: a range partition exceeds ${Int.MaxValue} rows "),
+            lit("(row_number would wrap); raise spark.sql.shuffle.partitions"))))
+          .otherwise(col("__n")))
       .withColumn("__off",
         coalesce(
           sum(col("__n")).over(

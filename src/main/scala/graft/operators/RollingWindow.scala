@@ -44,7 +44,7 @@ object RollingWindow {
       .select(
         col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
-        round(col("value") * 100).cast("long").as("val_c"))
+        graft.queries.Tables.cents.as("val_c"))
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
       .withColumn("roll_sum_c", sum(col("val_c")).over(frame))
       .withColumn("roll_n", count(lit(1)).over(frame))

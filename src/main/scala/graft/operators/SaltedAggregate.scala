@@ -21,9 +21,14 @@ object SaltedAggregate {
 
   val DefaultBuckets = 16
 
-  /** `SELECT key, sum(v), count(*) GROUP BY key`, salted. The salt column
-    * is a deterministic function of a uniform row id spread (monotonic id
-    * mod buckets) — no RNG, so retries are safe and results reproducible.
+  /** `SELECT key, sum(v), count(*) GROUP BY key`, salted. The salt is
+    * `monotonically_increasing_id % buckets`: uniform spread even over
+    * byte-identical duplicate rows (a content hash would collapse them
+    * onto one bucket). The expression is nondeterministic, which is safe
+    * here: the re-aggregated RESULT is identical under any salt
+    * assignment, and stage retries cannot mix assignments — Spark marks
+    * nondeterministic stages INDETERMINATE and recomputes them whole
+    * (SPARK-23207) instead of patching individual map outputs.
     */
   def sumCount(
       df: DataFrame,

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   * runtime; explicit salting still matters when the skew is in an
   * aggregation-feeding join AQE can't split or when deterministic task
   * sizing is required. The salt is `monotonically_increasing_id % buckets`
-  * (uniform spread, no RNG → retry-safe, reproducible).
+  * — uniform spread even over byte-identical duplicate rows (a content
+  * hash would collapse them onto one bucket, exactly the hot rows that
+  * need spreading). The expression is nondeterministic (values depend on
+  * partition layout), which is SAFE here on both axes: the join RESULT is
+  * salt-assignment-independent (the small side carries every (key, salt)
+  * pair, so any salt finds its match), and a stage retry cannot mix two
+  * assignments because Spark marks nondeterministic stages INDETERMINATE
+  * and rolls back/recomputes them whole (the SPARK-23207 contract) rather
+  * than patching individual map outputs.
   */
 object SkewJoin {
 

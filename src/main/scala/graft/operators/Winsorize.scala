@@ -33,7 +33,13 @@ object Winsorize {
       .join(broadcast(thr), Seq("event_type"))
       .select(
         col("event_id"), col("event_type"), col("value"),
-        greatest(col("lo"), least(col("hi"), col("value"))).as("value_w"))
+        // the null guard matters: least/greatest SKIP nulls in both
+        // engines (least(hi, NULL) = hi), so without it a NULL metric
+        // would be silently fabricated as the group's p99 — a bias no
+        // oracle gate could catch because DuckDB clips identically
+        when(col("value").isNull, lit(null))
+          .otherwise(greatest(col("lo"), least(col("hi"), col("value"))))
+          .as("value_w"))
       .orderBy(col("event_id"))
   }
 
@@ -46,7 +52,8 @@ object Winsorize {
        |  FROM events GROUP BY 1
        |)
        |SELECT event_id, e.event_type, value,
-       |       greatest(lo, least(hi, value)) AS value_w
+       |       CASE WHEN value IS NULL THEN NULL
+       |            ELSE greatest(lo, least(hi, value)) END AS value_w
        |FROM events e JOIN thr ON e.event_type = thr.event_type
        |ORDER BY event_id""".stripMargin
 }

@@ -51,19 +51,49 @@ object ZOrder {
       .mkString("(", " | ", ")")
 
   /** Grid-normalize a non-negative long coordinate into `[0, 2^bits)` by
-    * its column max: `(v << bits) / (max + 1)` — integer floor division,
-    * monotone in v, bit-exact cross-engine. (A table format keeps these
-    * maxes in metadata; here they come from a one-row broadcast aggregate,
-    * which is also what a two-pass layout job does on first write.)
+    * its column max — integer-only, monotone in v, bit-exact
+    * cross-engine, and OVERFLOW-FREE over the full non-negative long
+    * domain, by branching on the range:
+    *
+    *  - small range (`max < 2^(63−bits)`): `(v << bits) / (max+1)` — the
+    *    STRETCH form, spreading a narrow domain (a 0..100 suppkey) across
+    *    the whole grid so both dimensions contribute high Morton bits
+    *    (skipping the stretch measurably destroys 2-D locality —
+    *    ZOrderSpec's span assertion catches it);
+    *  - huge range (epoch-microsecond timestamps at the default 16 bits —
+    *    where the stretch form's `v << bits` would wrap negative and
+    *    silently destroy the layout): `v / ceil((max+1) / 2^bits)` — the
+    *    SHRINK form; the domain already exceeds the grid, so no stretch
+    *    is needed and the value itself is never shifted.
+    *
+    * Both branches are exact long arithmetic on both engines; the branch
+    * predicate reads the broadcast max, so it costs one comparison per
+    * row inside codegen. (A table format keeps these maxes in metadata;
+    * here they come from a one-row broadcast aggregate, which is also
+    * what a two-pass layout job does on first write.)
     */
-  def gridCoord(v: Column, maxV: Column, bits: Int = DefaultBits): Column =
+  def gridCoord(v: Column, maxV: Column, bits: Int = DefaultBits): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val b = 1L << bits
+    val safeMax = 1L << (63 - bits)
+    val vl = v.cast("long")
+    val ml = maxV.cast("long")
     // `div` = Catalyst IntegralDivide — true integer floor division on
     // longs (Column./ is DOUBLE division, which loses exactness past 2^53)
-    call_function("div", shiftleft(v.cast("long"), bits), maxV.cast("long") + lit(1L))
+    when(ml < safeMax, call_function("div", shiftleft(vl, bits), ml + lit(1L)))
+      .otherwise(call_function("div", vl,
+        call_function("div", ml + lit(b), lit(b))))
+  }
 
   /** SQL twin of [[gridCoord]] (DuckDB `//` is integer floor division). */
-  def gridCoordSql(v: String, maxV: String, bits: Int = DefaultBits): String =
-    s"((CAST($v AS BIGINT) << $bits) // (CAST($maxV AS BIGINT) + 1))"
+  def gridCoordSql(v: String, maxV: String, bits: Int = DefaultBits): String = {
+    val b = 1L << bits
+    val safeMax = 1L << (63 - bits)
+    val vl = s"CAST($v AS BIGINT)"
+    val ml = s"CAST($maxV AS BIGINT)"
+    s"(CASE WHEN $ml < $safeMax THEN (($vl << $bits) // ($ml + 1)) " +
+      s"ELSE ($vl // (($ml + $b) // $b)) END)"
+  }
 
   /** `df` plus a `z` column: the Morton code of (`xCol`, `yCol`) after
     * grid normalization by each column's max (attached as a one-row

@@ -298,7 +298,7 @@ object ReferenceQueries {
       .select(
         date_format(col("ts"), "EEE").as("dow"),
         col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
+        Tables.cents.as("cents"))
       .groupBy(col("dow"))
       .pivot("event_type", EventTypes)
       .agg(sum(col("cents")))

@@ -114,6 +114,20 @@ object Tables {
       case _ => raw
     }
   }
+  /** The events money convention — `value` in exact integer cents, the
+    * fixed-point projection every events oracle replays. One Column
+    * spelling and one SQL twin ([[centsSql]]), changed in lockstep (the
+    * [[graft.dedup.Hashing.hash60]]/`hash60Sql` paired-expression
+    * pattern); before this helper the pair was hand-copied at 10+ sites.
+    */
+  def cents: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, round}
+    round(col("value") * 100).cast("long")
+  }
+
+  /** DuckDB twin of [[cents]]. */
+  val centsSql: String = "CAST(round(value * 100) AS BIGINT)"
+
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")

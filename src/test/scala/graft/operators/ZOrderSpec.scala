@@ -41,6 +41,24 @@ class ZOrderSpec extends SparkSpec {
     assert(perKey === 1L)
   }
 
+  test("gridCoord survives epoch-microsecond magnitudes (the shrink branch)") {
+    import spark.implicits._
+    // v up to ~1.8e15 > 2^(63-16): the stretch form's (v << 16) would wrap
+    // negative here — the shrink branch must keep coords in [0, 2^16)
+    val maxV = 1800000000000000L
+    val df = Seq(0L, 1L, maxV / 3, maxV / 2, maxV - 1, maxV).toDF("v")
+      .withColumn("__m", lit(maxV))
+      .select(col("v"), ZOrder.gridCoord(col("v"), col("__m")).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    rows.foreach { case (v, c) =>
+      assert(c >= 0L && c < (1L << 16), s"coord $c out of grid for v=$v")
+    }
+    // monotone
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    // and it actually uses the grid, not just low cells
+    assert(rows.last._2 > (1L << 14))
+  }
+
   test("z layout bounds BOTH dimensions' per-file spans; single-column sort leaves one unbounded") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toFile
     dir.deleteOnExit()
