@@ -387,7 +387,7 @@ object SparkEntry {
     // corpus-trained bigram LM likelihood (the CCNet perplexity-filter
     // shape) in integer fixed-point — two count aggregates + 1:1 joins
     "text_lm_bigram" -> ((s, dir) =>
-      graft.text.BigramLm.scores(Tables.documents(s, dir))),
+      graft.text.BigramLm.scores(Tables.documents(s, dir)).orderBy("doc_id")),
     // distributed BPE vocabulary induction: corpus-scale work is ONE
     // word-count shuffle; 8 merge rounds run on the frequency dict
     // (pair partial-agg + TakeOrdered(1) + broadcast 1-row merge apply)

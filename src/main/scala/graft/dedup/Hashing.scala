@@ -25,6 +25,20 @@ object Hashing {
   def hash60Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
+  /** Explicit whitespace character class shared by every tokenizer that
+    * must agree with the DuckDB oracle: Java regex `\s` is
+    * `[ \t\n\x0B\f\r]` but RE2's `\s` (DuckDB) EXCLUDES vertical tab
+    * `\x0B` — a byte dirty scraped text does carry — so the shorthand
+    * silently breaks the bit-exact contract on exactly the inputs parquet
+    * never validates. The same fragment interpolates into both spellings
+    * (RE2 accepts the `\xhh` escape; verified splitting `a\x0Bb` in
+    * DuckDB).
+    */
+  val Ws = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** [[Ws]] complement fragment for negated classes (`[^a-z0-9<this>]`). */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+
   /** Word tokenization shared with the reference word-count pipeline:
     * lower-case, split on non-alphanumerics. DuckDB equivalent:
     * `regexp_split_to_array(lower(text), '[^a-z0-9]+')`.

@@ -42,11 +42,11 @@ object TokenBudget {
     * [[graft.text.TextAnalysis.tokenCounts]]).
     */
   private[graft] def tokOfText: org.apache.spark.sql.Column =
-    size(split(trim(col("text")), "\\s+")).cast("long")
+    size(split(trim(col("text")), graft.dedup.Hashing.Ws + "+")).cast("long")
 
   /** DuckDB spelling of [[tokOfText]]. */
   private[graft] val TokOfTextSql =
-    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+    s"CAST(len(regexp_split_to_array(trim(text), '${graft.dedup.Hashing.Ws}+')) AS BIGINT)"
 
   /** The shared core: per-doc stats (`tb`, materialized once) and the
     * cumulative frame (`doc_id, tok, cum` with `cum` = global running token

@@ -90,8 +90,11 @@ object BigramLm {
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("num div n_bigrams"), lit(0L)).as("lm_score_e6"))
-      .orderBy(col("doc_id"))
   }
+  // presentation ordering stays at the call site (the qualityScore /
+  // tokenCounts convention) — an inline corpus-wide orderBy would bake a
+  // global range sort into the operator the scale story says it must not
+  // have
 
   /** DuckDB oracle: the same strip-edges split, the same two count
     * tables, the same integer fixed-point score.

@@ -87,17 +87,21 @@ object BpeVocab {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("cnt").as("c"))
 
-  /** Learn [[Rounds]] merges. Returns (merges, finalDict):
-    * merges = (round, left_sym, right_sym, merged, pair_count), one row per
-    * round; finalDict = (word, cnt, s) with s the fully-merged symbol
-    * string (the trained segmenter, applied by [[tokenCounts]]).
+  /** Learn up to [[Rounds]] merges. Returns (merges, finalDict):
+    * merges = (round, left_sym, right_sym, merged, pair_count), one row
+    * per LEARNED round — fewer than [[Rounds]] when the corpus runs out
+    * of adjacent pairs first; finalDict = (word, cnt, s) with s the
+    * fully-merged symbol string (the trained segmenter, applied by
+    * [[tokenCounts]]).
     */
   def learn(docs: DataFrame): (DataFrame, DataFrame) = {
     var words = wordCounts(docs)
       .select(col("word"), col("cnt"), initSymbols(col("word")).as("s"))
       .localCheckpoint(false)
     var merges = Vector.empty[DataFrame]
-    for (round <- 1 to Rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= Rounds && !exhausted) {
       // top-1 by (count desc, byte-order pair asc): per-partition top-1 +
       // driver merge (TakeOrderedAndProject), never a global sort
       val best = pairCounts(words)
@@ -110,12 +114,22 @@ object BpeVocab {
         col("r").as("right_sym"),
         concat(col("l"), col("r")).as("merged"),
         col("c").as("pair_count"))
-      words = words
-        .crossJoin(broadcast(best))
-        .withColumn("s", expr(
-          "replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
-        .drop("l", "r", "c")
-        .localCheckpoint(false)
+      if (best.isEmpty) {
+        // no adjacent pair remains anywhere (every word fully merged):
+        // stop learning — without this, the crossJoin with the EMPTY
+        // best frame would annihilate the dict itself, losing the
+        // trained segmenter (review finding). isEmpty is free here: best
+        // is already localCheckpoint-materialized.
+        exhausted = true
+      } else {
+        words = words
+          .crossJoin(broadcast(best))
+          .withColumn("s", expr(
+            "replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|')"))
+          .drop("l", "r", "c")
+          .localCheckpoint(false)
+      }
+      round += 1
     }
     (merges.reduce(_ unionAll _), words)
   }

@@ -57,32 +57,19 @@ object CurationPipeline {
   private def verdictsWith(docs: DataFrame, extraCols: Seq[String]): DataFrame = {
     val extras = extraCols.map(col)
     val w = col("__w")
-    val nChars = length(col("text")).cast("long")
-    // codegen'd set probes, not interpreted HOF filters — see
-    // [[TextAnalysis.langScoreCols]]'s note and [[graft.functions.CountInSet]]
-    val nWords = size(w).cast("long") - graft.functions.CountInSet.countInSet(w, Seq(""))
-    val stop = TextAnalysis.Markers.head._2
-    val nStop = graft.functions.CountInSet.countInSet(w, stop)
-    val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
-    val sig = graft.queries.Tables.parallelismFloor(docs)
+    // signals and ratios come from the ONE shared spelling in
+    // [[TextAnalysis.qualitySignalCols]]/[[TextAnalysis.qualityRatioCols]] —
+    // the same formulas the corpus is quality-RANKED by
+    val sig0 = graft.queries.Tables.parallelismFloor(docs)
       .select(Seq(col("doc_id")) ++ extras ++
         Seq(col("text"), Hashing.words(col("text")).as("__w")): _*)
       .select(
         Seq(col("doc_id")) ++ extras ++
-          Seq(nChars.as("n_chars"), nWords.as("n_words"),
-            nStop.as("n_stop"), nSpecial.as("n_special")) ++
+          TextAnalysis.qualitySignalCols(w) ++
           TextAnalysis.langScoreCols(w): _*)
       .withColumn("pred_lang", TextAnalysis.langPredExpr)
-      .withColumn("mean_word_len",
-        when(col("n_words") > 0,
-          (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"))
-          .otherwise(lit(0.0)))
-      .withColumn("stop_ratio",
-        when(col("n_words") > 0, col("n_stop").cast("double") / col("n_words"))
-          .otherwise(lit(0.0)))
-      .withColumn("special_ratio",
-        when(col("n_chars") > 0, col("n_special").cast("double") / col("n_chars"))
-          .otherwise(lit(0.0)))
+    val sig = TextAnalysis.qualityRatioCols
+      .foldLeft(sig0) { case (df, (name, c)) => df.withColumn(name, c) }
     val rep = TextAnalysis.repetitionSignals(docs)
       .select(col("doc_id"), col("dup_words_frac"), col("top_words_frac"))
     val verdict =
@@ -129,18 +116,23 @@ object CurationPipeline {
     * (e.g. the sampled slice in [[TrainingShard]]'s `_sampled` twin).
     */
   def verdictsOracleSql(from: String = "documents"): String =
-    verdictsSqlWith(Nil, from)
+    verdictsSqlWith(Nil, from, ordered = true)
 
   /** The kept-document id set as a composable subquery (consumed by
     * [[TrainingShard]]'s oracle).
     */
   def keptIdsSql(from: String = "documents"): String =
     s"""SELECT doc_id FROM (
-       |${verdictsOracleSql(from).replace(" ORDER BY doc_id", "")}
+       |${verdictsSqlWith(Nil, from, ordered = false)}
        |) WHERE verdict = 'keep'""".stripMargin
 
+  // `ordered` follows the qualityScoreOracleSql convention: composing
+  // call sites ask for the clause-free form instead of string-stripping
+  // the ORDER BY post-hoc (a .replace that silently breaks if the final
+  // clause ever changes shape)
   private def verdictsSqlWith(
-      extraCols: Seq[String], from: String = "documents"): String = {
+      extraCols: Seq[String], from: String = "documents",
+      ordered: Boolean = true): String = {
     val exSrc = extraCols.map(c => s", $c").mkString
     val exSig = extraCols.map(c => s", sig.$c").mkString
     val en = TextAnalysis.Markers.head._1
@@ -160,13 +152,7 @@ object CurationPipeline {
        |sig AS (
        |  SELECT *,
        |       ${TextAnalysis.langPredSql} AS pred_lang,
-       |       CASE WHEN n_words > 0
-       |            THEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words ELSE 0.0 END
-       |         AS mean_word_len,
-       |       CASE WHEN n_words > 0
-       |            THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
-       |       CASE WHEN n_chars > 0
-       |            THEN CAST(n_special AS DOUBLE) / n_chars ELSE 0.0 END AS special_ratio
+       |       ${TextAnalysis.qualityRatiosSql}
        |  FROM sig0
        |),
        |tok AS (
@@ -195,19 +181,19 @@ object CurationPipeline {
        |              ELSE 'keep' END AS verdict
        |  FROM sig LEFT JOIN rep ON sig.doc_id = rep.doc_id
        |)
-       |SELECT *, (verdict = 'keep') AS keep FROM v ORDER BY doc_id""".stripMargin
+       |SELECT *, (verdict = 'keep') AS keep FROM v${if (ordered) " ORDER BY doc_id" else ""}""".stripMargin
   }
 
   /** DuckDB oracle for [[funnel]]. */
   def funnelOracleSql: String =
-    s"""WITH v AS (${verdictsOracleSql().replace(" ORDER BY doc_id", "")})
+    s"""WITH v AS (${verdictsSqlWith(Nil, ordered = false)})
        |SELECT verdict, count(*) AS n_docs,
        |       CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
 
   /** DuckDB oracle for [[funnelBySource]]. */
   def funnelBySourceOracleSql: String =
-    s"""WITH v AS (${verdictsSqlWith(Seq("source")).replace(" ORDER BY doc_id", "")})
+    s"""WITH v AS (${verdictsSqlWith(Seq("source"), ordered = false)})
        |SELECT source, verdict, count(*) AS n_docs,
        |       CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -63,6 +63,16 @@ object GlobalShuffle {
     // "unpartitioned window over partition COUNTS, never over data" shape
     // TokenBudget documents)
     val offsets = r.groupBy("pid").agg(count(lit(1)).as("n"))
+      // the RangeRank.withPos guard (this is the code that mechanism was
+      // generalized from): row_number() is 32-bit, so a range partition
+      // past 2^31-1 rows would wrap rn silently and corrupt shard
+      // assignment — fail loudly from the already-computed counts
+      .withColumn("n",
+        when(col("n") > Int.MaxValue.toLong,
+          raise_error(lit(
+            s"GlobalShuffle.positions: a range partition exceeds ${Int.MaxValue} " +
+              "rows (row_number would wrap); raise spark.sql.shuffle.partitions")))
+          .otherwise(col("n")))
       .withColumn("off",
         coalesce(
           sum(col("n")).over(

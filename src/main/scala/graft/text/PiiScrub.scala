@@ -14,33 +14,40 @@ object PiiScrub {
 
   val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PhoneRegex = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-  val UrlRegex = "https?://[^\\s]+"
+  val UrlRegex = s"https?://[^${graft.dedup.Hashing.WsChars}]+"
 
   /** Per-doc PII counts and a fully redacted text column. Redaction order:
-    * URLs before phones (URLs contain digit runs), emails independent.
+    * URLs, then emails, then phones (URLs and emails contain digit runs a
+    * phone pattern would re-match). `n_phone` is counted on the URL- AND
+    * email-redacted intermediate — the same text the phone REDACTION
+    * runs on — so per-doc counts reconcile exactly with the `<PHONE>`
+    * markers in `redacted` (counting on the URL-only intermediate made a
+    * digit-run email count as a phone that the output never redacted).
     */
-  def scrub(docs: DataFrame): DataFrame =
+  def scrub(docs: DataFrame): DataFrame = {
+    val urlEmailRedacted = regexp_replace(
+      regexp_replace(col("text"), UrlRegex, "<URL>"),
+      EmailRegex, "<EMAIL>")
     graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRegex)).cast("long").as("n_email"),
       regexp_count(col("text"), lit(UrlRegex)).cast("long").as("n_url"),
-      regexp_count(regexp_replace(col("text"), UrlRegex, "<URL>"), lit(PhoneRegex))
+      regexp_count(urlEmailRedacted, lit(PhoneRegex))
         .cast("long").as("n_phone"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), UrlRegex, "<URL>"),
-          EmailRegex, "<EMAIL>"),
-        PhoneRegex, "<PHONE>").as("redacted"))
+      regexp_replace(urlEmailRedacted, PhoneRegex, "<PHONE>").as("redacted"))
+  }
 
   /** DuckDB oracle: identical regexes, identical order. */
   val OracleSql: String =
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$EmailRegex')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
-       |  CAST(len(regexp_extract_all(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+       |  CAST(len(regexp_extract_all(text, '$UrlRegex')) AS BIGINT) AS n_url,
+       |  CAST(len(regexp_extract_all(
+       |       regexp_replace(regexp_replace(text, '$UrlRegex', '<URL>', 'g'),
+       |                      '$EmailRegex', '<EMAIL>', 'g'),
        |       '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
        |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '$UrlRegex', '<URL>', 'g'),
        |    '$EmailRegex', '<EMAIL>', 'g'),
        |    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin

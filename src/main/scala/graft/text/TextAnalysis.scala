@@ -72,31 +72,61 @@ object TextAnalysis {
     * formula is arbitrary but fixed and documented — what matters is that
     * it's deterministic, cheap, and filterable at scale.
     */
+  /** ONE spelling of the four raw quality signals over a frame carrying
+    * `text` and the shared words array `w` — [[qualityScore]] and
+    * [[CurationPipeline]] both build on these, so the quality the corpus
+    * is RANKED by and the signals it is FILTERED by can never drift
+    * (before this helper the formulas were hand-copied between the two).
+    * Non-empty count as size − empty-hits and stop count via the
+    * codegen'd set probe — both were interpreted HOF filters (see
+    * [[langScoreCols]]).
+    */
+  private[text] def qualitySignalCols(w: Column): Seq[Column] = {
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(w).cast("long") - graft.functions.CountInSet.countInSet(w, Seq(""))
+    val nStop = graft.functions.CountInSet.countInSet(w, Markers.head._2)
+    val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
+    Seq(nChars.as("n_chars"), nWords.as("n_words"),
+      nStop.as("n_stop"), nSpecial.as("n_special"))
+  }
+
+  /** The derived ratio columns over [[qualitySignalCols]]' output —
+    * (name, expression), applied with withColumn in order.
+    */
+  private[text] def qualityRatioCols: Seq[(String, Column)] = Seq(
+    "mean_word_len" ->
+      when(col("n_words") > 0,
+        (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"))
+        .otherwise(lit(0.0)),
+    "stop_ratio" ->
+      when(col("n_words") > 0, col("n_stop").cast("double") / col("n_words"))
+        .otherwise(lit(0.0)),
+    "special_ratio" ->
+      when(col("n_chars") > 0, col("n_special").cast("double") / col("n_chars"))
+        .otherwise(lit(0.0)))
+
+  /** SQL twin of [[qualityRatioCols]] — one fragment spliced into both
+    * the quality-score and curation oracles.
+    */
+  private[text] val qualityRatiosSql: String =
+    """CASE WHEN n_words > 0
+      |            THEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words ELSE 0.0 END
+      |           AS mean_word_len,
+      |         CASE WHEN n_words > 0
+      |              THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
+      |         CASE WHEN n_chars > 0
+      |              THEN CAST(n_special AS DOUBLE) / n_chars ELSE 0.0 END AS special_ratio"""
+      .stripMargin
+
   def qualityScore(docs: DataFrame): DataFrame = {
     // Same single-split discipline as [[languageId]]: `__w` is multi-use →
     // CollapseProject never re-inlines it, so the text splits once per row.
     val w = col("__w")
-    val nChars = length(col("text")).cast("long")
-    // non-empty count as size − empty-hits and stop count via the codegen'd
-    // set probe — both were interpreted HOF filters (see [[langScoreCols]])
-    val nWords = size(w).cast("long") - graft.functions.CountInSet.countInSet(w, Seq(""))
-    val stop = Markers.head._2
-    val nStop = graft.functions.CountInSet.countInSet(w, stop)
-    val nSpecial = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("long")
-    graft.queries.Tables.parallelismFloor(docs)
+    val base = graft.queries.Tables.parallelismFloor(docs)
       .select(col("doc_id"), col("text"), Hashing.words(col("text")).as("__w"))
-      .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-        nStop.as("n_stop"), nSpecial.as("n_special"))
-      .withColumn("mean_word_len",
-        when(col("n_words") > 0,
-          (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"))
-          .otherwise(lit(0.0)))
-      .withColumn("stop_ratio",
-        when(col("n_words") > 0, col("n_stop").cast("double") / col("n_words"))
-          .otherwise(lit(0.0)))
-      .withColumn("special_ratio",
-        when(col("n_chars") > 0, col("n_special").cast("double") / col("n_chars"))
-          .otherwise(lit(0.0)))
+      .select(col("doc_id") +: qualitySignalCols(w): _*)
+    qualityRatioCols
+      .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("quality",
         col("stop_ratio") * 0.5 + (lit(1.0) - col("special_ratio")) * 0.3 +
           when(col("mean_word_len") >= 3 && col("mean_word_len") <= 10, 0.2).otherwise(0.0))
@@ -109,8 +139,9 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     graft.queries.Tables.parallelismFloor(docs).select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("tok_ws"),
-      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+      size(split(trim(col("text")), graft.dedup.Hashing.Ws + "+")).cast("long").as("tok_ws"),
+      regexp_count(lower(col("text")),
+        lit(s"[a-z]+|[0-9]+|[^a-z0-9${graft.dedup.Hashing.WsChars}]")).cast("long")
         .as("tok_re"),
       ceil(length(col("text")).cast("double") / 4).cast("long").as("tok_bpe_est"))
 
@@ -136,7 +167,8 @@ object TextAnalysis {
     */
   def tokenTotals(docs: DataFrame): DataFrame =
     graft.queries.Tables.parallelismFloor(docs)
-      .select(regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+      .select(regexp_count(lower(col("text")),
+        lit(s"[a-z]+|[0-9]+|[^a-z0-9${graft.dedup.Hashing.WsChars}]"))
         .cast("long").as("__tok"))
       .groupBy(lit("Total").as("key"))
       .agg(sum(col("__tok")).as("total"))
@@ -492,13 +524,7 @@ object TextAnalysis {
        |),
        |ratios AS (
        |  SELECT *,
-       |         CASE WHEN n_words > 0
-       |              THEN CAST(n_chars - n_words + 1 AS DOUBLE) / n_words ELSE 0.0 END
-       |           AS mean_word_len,
-       |         CASE WHEN n_words > 0
-       |              THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio,
-       |         CASE WHEN n_chars > 0
-       |              THEN CAST(n_special AS DOUBLE) / n_chars ELSE 0.0 END AS special_ratio
+       |         $qualityRatiosSql
        |  FROM base
        |)
        |SELECT doc_id, n_chars, n_words, n_stop, n_special, mean_word_len, stop_ratio,
@@ -529,7 +555,7 @@ object TextAnalysis {
   def tokenTotalsSampledUOracleSql(pct: Int = 10): String =
     s"""SELECT 'Total' AS key,
        |       CAST(sum(CAST(len(regexp_extract_all(lower(text),
-       |              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT)
+       |              '[a-z]+|[0-9]+|[^a-z0-9${graft.dedup.Hashing.WsChars}]')) AS BIGINT)) AS BIGINT)
        |         * ${graft.sampling.UniverseSampled.scaleSql(pct)} AS est_total
        |FROM documents
        |WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)}
@@ -537,8 +563,8 @@ object TextAnalysis {
 
   def tokenCountsOracleSql: String =
     s"""SELECT doc_id,
-       |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok_ws,
-       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+       |       CAST(len(regexp_split_to_array(trim(text), '${graft.dedup.Hashing.Ws}+')) AS BIGINT) AS tok_ws,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9${graft.dedup.Hashing.WsChars}]')) AS BIGINT)
        |         AS tok_re,
        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS tok_bpe_est
        |FROM documents ORDER BY doc_id""".stripMargin

@@ -63,11 +63,23 @@ object TrainingShard {
     // before the replica explode (copy-invariant count; an up-weighted
     // source must cost w× rows, not w× tokenizer CPU) and carry the
     // 8-byte tok long instead of the text
+    mixAndPack(unique, weightsBp, packTokens, buckets)
+  }
+
+  /** Stages 3-4 shared by [[manifest]] and [[manifestNearDup]] — tokenize
+    * ONCE per surviving document before the replica explode (a
+    * copy-invariant count; an up-weighted source must cost w x rows, not
+    * w x tokenizer CPU), then (doc_id, copy)-keyed packing with source
+    * riding as a key so the output names each replica's component without
+    * a join back. One spelling, so the exact-dedup and near-dup manifests
+    * can never disagree on layout.
+    */
+  private def mixAndPack(
+      unique: DataFrame, weightsBp: Map[String, Long],
+      packTokens: Long, buckets: Int): DataFrame = {
     val mixed = MixtureResample.resample(
       unique.withColumn("tok", TokenBudget.tokOfText),
       weightsBp, extraCols = Seq("tok"))
-    // stage 4: (doc_id, copy)-keyed packing; source rides as a key so the
-    // output names each replica's component without a join back
     val unit = concat(
       col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
     val (_, cum) = TokenBudget.withCumKeyed(
@@ -152,17 +164,7 @@ object TrainingShard {
       .canonicalByQuality(curated.select(col("doc_id"), col("text")))
       .select(col("canonical_id").as("doc_id"))
     val unique = curated.join(canon, "doc_id")
-    val mixed = MixtureResample.resample(
-      unique.withColumn("tok", TokenBudget.tokOfText),
-      weightsBp, extraCols = Seq("tok"))
-    val unit = concat(
-      col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
-    val (_, cum) = TokenBudget.withCumKeyed(
-      mixed, buckets, Seq("doc_id", "copy", "source"), unit, tok = col("tok"))
-    cum
-      .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
-      .select(col("doc_id"), col("source"), col("copy"),
-        col("tok"), col("cum"), col("pack_id"))
+    mixAndPack(unique, weightsBp, packTokens, buckets)
   }
 
   /** DuckDB oracle for [[manifestNearDup]] — the recursive-CC canonical

@@ -17,7 +17,7 @@ class BigramLmSpec extends SparkSpec {
     // doc 1: (2·666666 + 1·333333) div 3 = 555555 ; doc 2: 666666 ; doc 3: 0
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
       .toDF("doc_id", "text")
-    val out = BigramLm.scores(docs).collect()
+    val out = BigramLm.scores(docs).orderBy("doc_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((1L, 3L, 555555L), (2L, 1L, 666666L), (3L, 0L, 0L)))
   }
@@ -25,7 +25,7 @@ class BigramLmSpec extends SparkSpec {
   test("edge delimiters don't fabricate empty-token bigrams") {
     // "  a b." tokenizes to [a, b] — one bigram, not three
     val docs = Seq((1L, "  a b."), (2L, "a b")).toDF("doc_id", "text")
-    val out = BigramLm.scores(docs).collect()
+    val out = BigramLm.scores(docs).orderBy("doc_id").collect()
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 1L))
     // identical token streams score identically regardless of punctuation
     assert(out(0).getLong(2) === out(1).getLong(2))

@@ -67,6 +67,23 @@ class BpeVocabSpec extends SparkSpec {
       got.filter(_._1.endsWith(BpeVocab.EndMark)).values.sum === wc.values.sum)
   }
 
+  test("pair exhaustion stops learning and preserves the dict (no annihilation)") {
+    import spark.implicits._
+    // one single-char word: round 1 merges (a, $); round 2 has NO adjacent
+    // pairs left — learning must stop with the dict intact, not crossJoin
+    // it against an empty best frame into nothing
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val (merges, dict) = BpeVocab.learn(docs)
+    val learned = merges.filter(col("left_sym").isNotNull).collect()
+    assert(learned.length < BpeVocab.Rounds, "expected early exhaustion")
+    assert(learned.nonEmpty)
+    val d = dict.collect()
+    assert(d.length === 1, s"dict annihilated: ${d.toSeq}")
+    val toks = BpeVocab.tokenCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks === Map("a" + BpeVocab.EndMark -> 3L))
+  }
+
   test("greedy left-to-right merge on overlapping runs (a a a -> aa a)") {
     import spark.implicits._
     // word 'aaa' dominates so (a,a) merges first; greedy scan pairs the
