@@ -39,9 +39,16 @@ object EmbeddingCentroids {
   val Dims = 64
 
   def centroidsOracleSql(dims: Int = Dims): String =
+    // the dim range is bounded by each row's ACTUAL array length, exactly
+    // like posexplode: a NULL or short embedding contributes no rows past
+    // its length, so `n` counts real contributions — an unconditional
+    // CROSS JOIN would count every row at all dims and silently dilute
+    // any mean a consumer divides out (review finding; Spark and oracle
+    // agreed only while every fixture vector was dense and full-width)
     s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
        |       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * ${SimilaritySearch.Scale}) AS BIGINT)) AS BIGINT) AS sum_q,
        |       count(*) AS n
        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) t
+       |WHERE embedding IS NOT NULL AND i <= len(embedding)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -88,56 +88,14 @@ object KnnGraph {
       maxBucket: Long = SimilaritySearch.MaxBucket): DataFrame = {
     val planes = numPlanes.getOrElse(PlaneBudget.bandBitsFor(embeddings) * numBands)
     val base = bandedBase(embeddings, planes, numBands)
-    val banded = base
-      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
-        posexplode(col("__bkeys")))
-      .select(col("vec_id"), col("label"), col("qv"), col("nrm"),
-        col("pos").as("band"), col("col").as("key"))
-    val hot = banded
-      .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") > maxBucket)
-      .select("band", "key")
-    val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    val rhs = bounded.select(
-      col("vec_id").as("vid_b"), col("label").as("label_b"),
-      col("qv").as("qv_b"), col("nrm").as("nrm_b"), col("band"), col("key"))
-    val densePairs = bounded
-      .join(rhs, Seq("band", "key"))
-      .filter(col("vec_id") =!= col("vid_b"))
+    // the shared machinery ([[SimilaritySearch.bandedCandidates]]) in its
+    // DIRECTED form, with the label riding as a carry column
+    SimilaritySearch
+      .bandedCandidates(base, Seq("label"), directed = true, numBands, maxBucket)
       .select(
-        col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("vid_b").as("neighbor_id"), col("label_b").as("n_label"),
-        (SimilaritySearch.dotQ(col("qv"), col("qv_b")).cast("double") /
-          (col("nrm") * col("nrm_b"))).as("sim"))
-    // star fallback, DIRECTED: member→rep and rep→member rows, so both
-    // endpoints keep a candidate set; min_by carries the representative's
-    // vector and label so no extra join re-fetches them
-    val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
-    val reps = hotMembers
-      .groupBy("band", "key")
-      .agg(min(col("vec_id")).as("rep"),
-        min_by(struct(col("qv"), col("nrm"), col("label")), col("vec_id")).as("rv"))
-    val starBoth = hotMembers
-      .join(broadcast(reps), Seq("band", "key"))
-      .filter(col("vec_id") =!= col("rep"))
-      .withColumn("__sim",
-        SimilaritySearch.dotQ(col("rv.qv"), col("qv")).cast("double") /
-          (col("rv.nrm") * col("nrm")))
-    val starPairs = starBoth
-      .select(
-        col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("rep").as("neighbor_id"), col("rv.label").as("n_label"),
-        col("__sim").as("sim"))
-      .unionAll(starBoth.select(
-        col("rep").as("query_id"), col("rv.label").as("q_label"),
-        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
-        col("__sim").as("sim")))
-    val pairs = densePairs.unionAll(starPairs)
-    // a pair meets once per shared band (dense and star are disjoint
-    // within one band — a bucket is either capped or not); sim is a
-    // deterministic function of the pair, so distinct dedupes exactly
-    // (the nearDupPairs argument)
-    if (numBands == 1) pairs else pairs.distinct()
+        col("id_a").as("query_id"), col("label_a").as("q_label"),
+        col("id_b").as("neighbor_id"), col("label_b").as("n_label"),
+        col("sim"))
   }
 
   private def rank(cands: DataFrame, k: Int): DataFrame = {
@@ -187,7 +145,12 @@ object KnnGraph {
     val votes = rank(candidates(embeddings, numBands, numPlanes), k)
       .groupBy(col("query_id"), col("q_label"), col("n_label"))
       .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    // asc_nulls_last pins the NULL-label tie-break to DuckDB's ASC
+    // default (NULLS LAST); Spark's plain asc sorts NULLS FIRST, which
+    // would pick pred_label = NULL over a real label on a vote tie —
+    // a cross-engine divergence the moment the label column carries nulls
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("n_label").asc_nulls_last)
     votes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

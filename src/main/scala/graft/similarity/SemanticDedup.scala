@@ -67,12 +67,25 @@ object SemanticDedup {
     // re-runs the numPlanes 64-dim plane dots per row — the same
     // triple-compute [[SimilaritySearch.nearDupPairs]] eliminates with a
     // lazy localCheckpoint, applied identically here
-    val prep = graft.queries.Tables.parallelismFloor(embeddings)
+    val base = graft.queries.Tables.parallelismFloor(embeddings)
       .select(col("vec_id"), qv.as("qv"))
       .withColumn("nrm", sqrt(SimilaritySearch.dotQ(col("qv"), col("qv")).cast("double")))
+    val prep = base
       .filter(col("nrm") > 0)
       .withColumn("bucket", bucketCol(col("qv"), planes))
       .localCheckpoint(false)
+    // zero-norm vectors (degenerate/empty docs whose embedding quantizes
+    // to all zeros) have no angle and can never be near-duplicates:
+    // KEEP them explicitly rather than omitting their decision row — a
+    // consumer materializing the deduped corpus as keep-joined-to-corpus
+    // would otherwise silently delete the documents (review finding;
+    // mirrored in the oracle, so the omission was gate-invisible)
+    val zeroNorm = base
+      .filter(!(col("nrm") > 0))
+      .select(col("vec_id"), lit(null).cast("long").as("bucket"),
+        col("vec_id").as("rep_id"),
+        lit(null).cast("double").as("sim"), // no angle exists — honest NULL
+        lit(true).as("keep"))
     // reps keeps ONLY rep_id: the representative row's own bucket column
     // (from prep) identifies the bucket after the join, and carrying the
     // groupBy key would make `bucket` ambiguous in the self-join lineage
@@ -84,10 +97,16 @@ object SemanticDedup {
         col("qv").as("rep_qv"), col("nrm").as("rep_nrm"))
     val sim = SimilaritySearch.dotQ(col("qv"), col("rep_qv")).cast("double") /
       (col("nrm") * col("rep_nrm"))
+    // NO broadcast hint on repVecs: one full 64-long vector per non-empty
+    // bucket is corpus-dependent (~n/64 rows up to the 2^MaxBits cap,
+    // hundreds of MB at the cap) — the SharedSpans rule: never force-
+    // broadcast a growing set; AQE still broadcasts it while small, and
+    // past the threshold the bucket-equi shuffle join is the right plan
     prep
-      .join(broadcast(repVecs), col("bucket") === col("rep_bucket"))
+      .join(repVecs, col("bucket") === col("rep_bucket"))
       .select(col("vec_id"), col("bucket"), col("rep_id"), sim.as("sim"),
         (col("vec_id") === col("rep_id") || sim < minSim).as("keep"))
+      .unionAll(zeroNorm)
   }
 
   /** DuckDB oracle for [[decisions]] with the DERIVED width: the dynamic
@@ -105,13 +124,19 @@ object SemanticDedup {
        |  SELECT r.bucket, r.rep_id, p.qv AS rep_qv, p.nrm AS rep_nrm
        |  FROM reps r JOIN prep p ON p.vec_id = r.rep_id
        |)
-       |SELECT p.vec_id, b.bucket, v.rep_id,
-       |       ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) AS sim,
-       |       (p.vec_id = v.rep_id
-       |        OR ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) < $minSim) AS keep
-       |FROM prep p
-       |JOIN bk b ON b.vec_id = p.vec_id
-       |JOIN repv v ON b.bucket = v.bucket
-       |ORDER BY p.vec_id""".stripMargin
+       |SELECT * FROM (
+       |  SELECT p.vec_id, b.bucket, v.rep_id,
+       |         ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) AS sim,
+       |         (p.vec_id = v.rep_id
+       |          OR ${dotSql("p.qv", "v.rep_qv")} / (p.nrm * v.rep_nrm) < $minSim) AS keep
+       |  FROM prep p
+       |  JOIN bk b ON b.vec_id = p.vec_id
+       |  JOIN repv v ON b.bucket = v.bucket
+       |  UNION ALL
+       |  SELECT vec_id, CAST(NULL AS BIGINT) AS bucket, vec_id AS rep_id,
+       |         CAST(NULL AS DOUBLE) AS sim, true AS keep
+       |  FROM prep0 WHERE NOT (nrm > 0)
+       |)
+       |ORDER BY vec_id""".stripMargin
   }
 }

@@ -203,53 +203,84 @@ object SimilaritySearch {
       .select(col("vec_id"), col("qv"), col("nrm"),
         graft.functions.SignBandKeys.bandKeys(col("qv"), signs, numBands).as("__bkeys"))
       .localCheckpoint(false)
+    bandedCandidates(base, Nil, directed = false, numBands, maxBucket)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** The banded candidate machinery shared by BOTH self-join operators —
+    * [[nearDupPairs]] (undirected) and [[KnnGraph]] (directed): band
+    * explode → over-cap key exclusion (one map-side-partial aggregate
+    * whose surviving key set is tiny, so exclusion is a broadcast
+    * anti-join and the banded frame is never re-shuffled) → in-bucket
+    * equi-join → star fallback for over-cap buckets (member vs min-id
+    * representative, linear in bucket size; min_by carries the
+    * representative's vector and carry columns so no extra join
+    * re-fetches them) → cross-band dedup. ONE spelling, so a skew-guard
+    * fix can never land in one operator and not the other (the over-cap
+    * star fallback itself was such a fix).
+    *
+    * `base` carries (vec_id, <carry>..., qv, nrm, __bkeys). Output:
+    * (id_a, <carry>_a..., id_b, <carry>_b..., sim) — canonical
+    * id_a < id_b once per pair when undirected (star: the rep is id_a,
+    * rep < member by construction), both orientations of every meeting
+    * when directed (star: member→rep AND rep→member, so both endpoints
+    * keep a candidate set). Dense and star rows are disjoint within one
+    * band (a bucket is either capped or not) and sim is a deterministic
+    * function of the pair, so the numBands > 1 distinct dedupes exactly.
+    */
+  private[similarity] def bandedCandidates(
+      base: DataFrame, carry: Seq[String], directed: Boolean,
+      numBands: Int, maxBucket: Long = MaxBucket): DataFrame = {
+    val keep = Seq("vec_id") ++ carry ++ Seq("qv", "nrm")
     val banded = base
-      .select(col("vec_id"), col("qv"), col("nrm"), posexplode(col("__bkeys")))
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        col("pos").as("band"), col("col").as("key"))
-    // over-cap bucket keys (degenerate sign-clusters only — see
-    // [[MaxBucket]]): one map-side-partial aggregate; the surviving key set
-    // is tiny, so exclusion is a broadcast anti-join and `banded` is never
-    // re-shuffled
+      .select(keep.map(col) :+ posexplode(col("__bkeys")): _*)
+      .select(keep.map(col) ++ Seq(col("pos").as("band"), col("col").as("key")): _*)
     val hot = banded
       .groupBy("band", "key").agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") > maxBucket)
       .select("band", "key")
     val bounded = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val rhs = bounded.select(
-      col("vec_id").as("vid_b"), col("qv").as("qv_b"),
-      col("nrm").as("nrm_b"), col("band"), col("key"))
+      Seq(col("vec_id").as("__id_b")) ++
+        carry.map(c => col(c).as(s"__${c}_b")) ++
+        Seq(col("qv").as("__qv_b"), col("nrm").as("__nrm_b"),
+          col("band"), col("key")): _*)
+    val outA = Seq(col("vec_id").as("id_a")) ++ carry.map(c => col(c).as(s"${c}_a"))
+    val outB = Seq(col("__id_b").as("id_b")) ++ carry.map(c => col(s"__${c}_b").as(s"${c}_b"))
+    val simAB = dotQ(col("qv"), col("__qv_b")).cast("double") /
+      (col("nrm") * col("__nrm_b"))
     val densePairs = bounded
       .join(rhs, Seq("band", "key"))
-      .filter(col("vec_id") < col("vid_b"))
-      .select(
-        col("vec_id").as("vec_a"),
-        col("vid_b").as("vec_b"),
-        (dotQ(col("qv"), col("qv_b")).cast("double") / (col("nrm") * col("nrm_b"))).as("sim"))
-    // star fallback inside over-cap buckets: member vs min-id
-    // representative — O(b) rows per bucket, rep < member by construction
-    // so the canonical (vec_a < vec_b) order is free; min_by carries the
-    // representative's vector so no extra join re-fetches it
+      .filter(
+        if (directed) col("vec_id") =!= col("__id_b")
+        else col("vec_id") < col("__id_b"))
+      .select(outA ++ outB :+ simAB.as("sim"): _*)
     val hotMembers = banded.join(broadcast(hot), Seq("band", "key"))
     val reps = hotMembers
       .groupBy("band", "key")
       .agg(min(col("vec_id")).as("rep"),
-        min_by(struct(col("qv"), col("nrm")), col("vec_id")).as("rv"))
-    val starPairs = hotMembers
+        min_by(struct(Seq(col("qv"), col("nrm")) ++ carry.map(col): _*),
+          col("vec_id")).as("rv"))
+    val starBoth = hotMembers
       .join(broadcast(reps), Seq("band", "key"))
       .filter(col("vec_id") =!= col("rep"))
-      .select(
-        col("rep").as("vec_a"),
-        col("vec_id").as("vec_b"),
-        (dotQ(col("rv.qv"), col("qv")).cast("double") /
-          (col("rv.nrm") * col("nrm"))).as("sim"))
+      .withColumn("__sim",
+        dotQ(col("rv.qv"), col("qv")).cast("double") /
+          (col("rv.nrm") * col("nrm")))
+    val repA = Seq(col("rep").as("id_a")) ++ carry.map(c => col(s"rv.$c").as(s"${c}_a"))
+    val memB = Seq(col("vec_id").as("id_b")) ++ carry.map(c => col(c).as(s"${c}_b"))
+    val repToMember = starBoth.select(repA ++ memB :+ col("__sim").as("sim"): _*)
+    val starPairs =
+      if (!directed) repToMember
+      else {
+        val memA = Seq(col("vec_id").as("id_a")) ++ carry.map(c => col(c).as(s"${c}_a"))
+        val repB = Seq(col("rep").as("id_b")) ++ carry.map(c => col(s"rv.$c").as(s"${c}_b"))
+        starBoth.select(memA ++ repB :+ col("__sim").as("sim"): _*)
+          .unionAll(repToMember)
+      }
     val pairs = densePairs.unionAll(starPairs)
-    // a pair can meet in several bands only when numBands > 1 (a bucket is
-    // either capped or not, so dense and star rows are disjoint within one
-    // band); sim is a deterministic function of the pair, so a distinct
-    // dedupes exactly
-    val deduped = if (numBands == 1) pairs else pairs.distinct()
-    deduped.filter(col("sim") >= minSim)
+    if (numBands == 1) pairs else pairs.distinct()
   }
 
   /** [[nearDupPairs]] with the plane budget DERIVED IN-PLAN from the live
@@ -275,8 +306,15 @@ object SimilaritySearch {
   private[similarity] def dotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${Dims + 1})]) AS BIGINT)"
 
-  private def planeDotSql(qv: String, p: Int): String =
-    (0 until Dims).map(d => s"$qv[${d + 1}]*(${Signs(p)(d)})").mkString(" + ")
+  // list_sum (NULL-skipping) rather than a `+` chain: a vector shorter
+  // than Dims has NULL elements past its length in DuckDB, and one NULL
+  // would poison the whole `+` chain into bucket 0 while the Spark side
+  // (DotProductQ / SignBandKeys) computes the real common-prefix dot —
+  // the same prefix semantics dotSql already has
+  private def planeDotSql(qv: String, p: Int): String = {
+    val signArr = (0 until Dims).map(d => Signs(p)(d)).mkString("[", ", ", "]")
+    s"list_sum([$qv[i] * ($signArr)[i] for i in range(1, ${Dims + 1})])"
+  }
 
   private[similarity] def preparedSql: String = {
     val bucketExpr = (0 until NumPlanes)

@@ -53,4 +53,20 @@ class SemanticDedupSpec extends SparkSpec {
       assert(d.filter(col("rep_id") > col("vec_id")).count() === 0)
     } finally d.unpersist()
   }
+
+  test("zero-norm vectors get an explicit keep decision, not silent omission") {
+    import spark.implicits._
+    // one degenerate all-zero embedding among real ones: a consumer that
+    // keeps via keep=true must not silently delete it (review finding —
+    // the row was previously absent from the output)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(64)(if (i == 7L) 0.0f else (0.1f + (i % 5) * 0.01f))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val d = SemanticDedup.decisions(emb).collect()
+    assert(d.length === 20, "every vector must have exactly one decision row")
+    val zero = d.find(_.getLong(0) == 7L).get
+    assert(zero.getAs[Boolean]("keep"))
+    assert(zero.isNullAt(zero.fieldIndex("sim")), "no angle exists for a zero vector")
+    assert(zero.getLong(zero.fieldIndex("rep_id")) === 7L)
+  }
 }
