@@ -19,12 +19,23 @@ import org.apache.spark.sql.functions._
   * The verdict itself is a deterministic salted hash of the cluster
   * representative against basis-point thresholds ([[TrainBp]]/[[ValBp]]
   * out of [[Mod]]) — the [[graft.sampling.UniverseSampled]] discipline
-  * applied to assignment rather than sampling. Consequences that matter
-  * operationally: re-runs, re-shards, and retries reproduce the same
-  * split; a NEW crawl snapshot that adds a member to an existing cluster
-  * inherits that cluster's verdict (an updated near-dup of a test doc can
-  * never drift into train); and the whole assignment replays bit-exactly
-  * in the DuckDB oracle.
+  * applied to assignment rather than sampling. Consequences: re-runs,
+  * re-shards, and retries over the SAME snapshot reproduce the same
+  * split, and the whole assignment replays bit-exactly in the DuckDB
+  * oracle.
+  *
+  * Cross-snapshot stability is conditional and must be stated precisely:
+  * a new member JOINING a cluster inherits its verdict only while the
+  * cluster's min-id representative is unchanged. A newcomer with a
+  * smaller id (or a bridging document merging two clusters) RE-KEYS the
+  * representative and can flip the whole cluster's verdict — so a
+  * production pipeline that has already shipped an eval set must not
+  * re-derive the split from scratch on the next snapshot; it PERSISTS the
+  * assignment table and lets new documents inherit by joining any saved
+  * member of their cluster ([[graft.dedup.IncrementalDedup]]'s saved-index
+  * discipline), hashing only clusters with no saved member. Within one
+  * snapshot the leakage-free property is unconditional (no pair straddles
+  * a boundary — spec-pinned).
   *
   * Scale shape: the components come from the probed CC machinery
   * ([[DedupClusters.components]], id-keyed joins, lineage-truncated

@@ -66,22 +66,27 @@ object DedupClusters {
     var prevSum = labelSum(labels) // null ⇔ empty corpus (sum over no rows)
     var converged = prevSum == null // zero nodes IS the fixed point
     var iter = 0
-    while (!converged && iter < MaxIterations) {
-      // lazy checkpoint: the convergence-sum action below is the job that
-      // materializes it, so each round costs ONE job, not two (an eager
-      // checkpoint would run its own), while still truncating lineage
-      val next = edges
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
-      val newSum = labelSum(next)
-      labels = next
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      iter += 1
-    }
-    edges.unpersist()
+    // try/finally: a failed iteration job (lost executor, OOM) must not
+    // leak the MEMORY_AND_DISK edge multiset into the CacheManager for the
+    // session's lifetime — the no-residue contract the persist was
+    // originally scoped under
+    try {
+      while (!converged && iter < MaxIterations) {
+        // lazy checkpoint: the convergence-sum action below is the job that
+        // materializes it, so each round costs ONE job, not two (an eager
+        // checkpoint would run its own), while still truncating lineage
+        val next = edges
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("label"))
+          .localCheckpoint(false)
+        val newSum = labelSum(next)
+        labels = next
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        iter += 1
+      }
+    } finally edges.unpersist()
     // stderr, not stdout (the bench/driver parse stdout as JSON): one line
     // per CC run so a bench-time drift can be checked against round count
     System.err.println(s"DedupClusters.components: $iter rounds, converged=$converged")

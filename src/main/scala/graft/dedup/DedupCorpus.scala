@@ -20,6 +20,19 @@ object DedupCorpus {
     * with the last two words dropped (doc_id % 11 = 0, id + 200000).
     */
   def augment(documents: DataFrame): DataFrame = {
+    // PRECONDITION (not per-row checkable without an extra aggregate
+    // job): the base id set must be collision-free under the +[[
+    // ExactDupOffset]]/+[[NearDupOffset]] shifts — i.e. no base id equals
+    // another base id plus either offset. Dense 0-based fixture ids
+    // satisfy it while the corpus stays under ExactDupOffset ids per
+    // contiguous block (the scale probe's 10⁸-spaced blocks also satisfy
+    // it: shifted ids land in the gap between blocks). A violating corpus
+    // would give two texts one key and fan out every downstream id join;
+    // DedupCorpusSpec pins collision-freedom on the live fixtures AND on
+    // a probe-shaped exploded fixture. (An in-plan raise_error guard on
+    // doc_id >= ExactDupOffset was tried and reverted: it false-fires on
+    // the probe's block-offset ids, which are collision-free.)
+    //
     // every dedup pipeline (shingling, hashing, banding) hangs off this —
     // floor the narrow-stage parallelism once here
     val base = graft.queries.Tables.parallelismFloor(

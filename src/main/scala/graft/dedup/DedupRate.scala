@@ -112,7 +112,19 @@ object DedupRate {
       .toDF("j", "cluster_size", "w")
     clusterSizeHist(sampled)
       .select(col("cluster_size").as("j"), col("n_clusters").as("f"))
-      .join(broadcast(wDf), Seq("j"))
+      // LEFT join + loud guard instead of an inner join: an observed
+      // sampled cluster larger than MaxHistSize has no inversion weights,
+      // and the inner join silently DROPPED it — biasing every estimate
+      // low with the oracle replaying the identical drop (gate-blind).
+      // The estimator's design ceiling must fail, not lie.
+      .join(broadcast(wDf), Seq("j"), "left")
+      .withColumn("w",
+        when(col("w").isNull,
+          raise_error(concat(lit(
+            s"DedupRate.clusterSizeHistSampledU: observed sampled cluster size "),
+            col("j").cast("string"),
+            lit(s" exceeds MaxHistSize=$MaxHistSize — raise the ceiling"))))
+          .otherwise(col("w")))
       .groupBy(col("cluster_size"))
       .agg(sum(col("w") * col("f")).cast("long").as("est_n_clusters"))
       .filter(col("est_n_clusters") =!= 0L)

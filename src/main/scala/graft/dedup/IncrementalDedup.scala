@@ -61,10 +61,25 @@ object IncrementalDedup {
         col("doc_id") % DeltaMod === 0) ||
         col("doc_id") >= DedupCorpus.ExactDupOffset)
 
-  /** Build-once signature index of [[baseCorpus]], content-digest keyed. */
+  /** Build-once signature index of [[baseCorpus]], keyed on the input's
+    * content digest AND every parameter the signatures are derived from
+    * ([[MinHashLSH]]'s hash count / shingle width / coefficient seed /
+    * prime, plus [[DeltaMod]]'s base-split rule) — a constant change must
+    * invalidate the cache, not silently serve an index built under the
+    * old parameters (review finding: the content-only key mixed
+    * old-parameter base signatures with new-parameter delta signatures
+    * until the tmpdir was cleared by hand).
+    */
   def ensureSavedSignatures(spark: SparkSession, dir: String): String = {
-    val digest = graft.queries.Tables.contentDigest(
+    val contentDigest = graft.queries.Tables.contentDigest(
       graft.queries.Tables.path(dir, "documents"))
+    val paramsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(
+        (Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
+          DeltaMod) ++ MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" })
+          .mkString(":").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val digest = s"${contentDigest}_$paramsKey"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_incsig_$digest"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"

@@ -75,11 +75,18 @@ object JaccardPairs {
     val docarr = posting.join(rare, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sarr"))
+      // materialize the interpreted HOF `transform(sarr, x -> x.g)` ONCE
+      // as its own projection (the Hashing.shingles multi-use-alias
+      // discipline): referenced under both array_sort and slice it was
+      // evaluated twice per row — two O(sz) interpreted traversals in the
+      // hot docarr stage where one does
+      .select(col("doc_id"), col("sarr"),
+        expr("transform(sarr, x -> x.g)").as("__garr0"))
       .select(
         col("doc_id"),
-        array_sort(expr("transform(sarr, x -> x.g)")).as("garr"),
+        array_sort(col("__garr0")).as("garr"),
         slice(
-          expr("transform(sarr, x -> x.g)"), lit(1),
+          col("__garr0"), lit(1),
           greatest((sz - ceilSafe(sz * lit(t)) + 1).cast("int"), lit(0))).as("parr"),
         sz.as("sz"))
       .localCheckpoint(false)

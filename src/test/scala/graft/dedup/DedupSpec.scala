@@ -21,6 +21,21 @@ class DedupSpec extends SparkSpec {
     assert(corpus.count() === n + exact + near)
   }
 
+  test("augment ids are collision-free on live and probe-shaped fixtures") {
+    // the documented precondition: no base id may equal another base id
+    // plus either injection offset — a violation gives two texts one key
+    // and silently fans out every downstream id join
+    def assertNoDupIds(c: org.apache.spark.sql.DataFrame): Unit =
+      assert(c.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+    assumeTestdata(sf001)
+    assertNoDupIds(corpus)
+    // probe-shaped fixture: two 1e8-spaced id blocks (the ScaleProbe
+    // explodeDocs layout) — shifted ids land in the inter-block gap
+    val exploded = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    assertNoDupIds(DedupCorpus.augment(exploded))
+  }
+
   test("exact dedup: every injected exact copy lands in a dup_cnt=2 group") {
     val out = DedupCorpus.exactDedup(corpus)
     val dupGroups = out.filter(col("dup_cnt") >= 2)
