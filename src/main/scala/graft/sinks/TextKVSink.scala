@@ -25,12 +25,19 @@ object TextKVSink {
       .coalesce(1) // one part file, like one reducer; at scale keep N sorted parts
       .write.mode("overwrite").text(path)
 
-  /** Read a K1 sink back into (key, value string) columns. */
+  /** Read a K1 sink back into (key, value string) columns. The split is
+    * FIRST-tab only (limit-2), so a value containing tabs round-trips
+    * intact — the former first/last-tab pair silently truncated
+    * everything between a value's first and last tab. A line with no tab
+    * (a null value was skipped by concat_ws) reads back as value = NULL
+    * rather than misparsing the key as its own value.
+    */
   def read(spark: SparkSession, paths: String*): DataFrame =
     spark.read.text(paths: _*)
+      .select(split(col("value"), "\t", 2).as("__p"))
       .select(
-        substring_index(col("value"), "\t", 1).as("key"),
-        substring_index(col("value"), "\t", -1).as("value"))
+        element_at(col("__p"), 1).as("key"),
+        element_at(col("__p"), 2).as("value"))
 
   /** [[read]] for a RUN directory, excluding a K2 `result.txt` the
     * reference layout keeps INSIDE the dir beside the part files
@@ -39,16 +46,19 @@ object TextKVSink {
     * out of the sums) but pollutes the join input, and a report line that
     * ever contained a tab would parse as a real key (ADVICE r5). Spark
     * already skips `_`/`.`-prefixed files; `result.txt` needs the explicit
-    * filter.
+    * filter. Listing goes through the Hadoop FS API so non-local run dirs
+    * (hdfs://, s3a://) get the same exclusion instead of silently falling
+    * back to the polluted whole-dir read (review finding).
     */
   def readParts(spark: SparkSession, dir: String): DataFrame = {
-    val d = new java.io.File(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
-      if (d.isDirectory)
-        d.listFiles()
-          .filter(f => f.isFile && f.getName != "result.txt" &&
-            !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .map(_.getPath).sorted.toSeq
+      if (fs.isDirectory(p))
+        fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName != "result.txt" &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted.toSeq
       else Seq.empty
     if (parts.isEmpty) read(spark, dir) else read(spark, parts: _*)
   }

@@ -42,8 +42,23 @@ object XmlSource {
     if (!java.nio.file.Files.exists(f)) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val pages = toPageXml(docs.orderBy("doc_id")).collect().map(_.getString(0))
+      // write-then-atomic-move: a crash mid-writeString would otherwise
+      // leave a truncated fixture that the bare exists() check reuses on
+      // every later run (the parquet fixtures' _SUCCESS marker serves the
+      // same purpose; a single file gets the rename form)
+      val tmp = java.nio.file.Paths.get(
+        s"$path.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       java.nio.file.Files.writeString(
-        f, pages.mkString("<pages>\n", "\n", "\n</pages>"))
+        tmp, pages.mkString("<pages>\n", "\n", "\n</pages>"))
+      try
+        java.nio.file.Files.move(
+          tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // losing the publish race is fine — the winner's fixture is
+        // identical (content-digest-keyed input, deterministic render)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     path
   }

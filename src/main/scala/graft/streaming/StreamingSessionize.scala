@@ -90,7 +90,15 @@ object StreamingSessionize {
             }
             state.update(st)
             if (st.n > 0)
-              state.setTimeoutTimestamp(st.last / 1000L + gapUs / 1000L)
+              // CEILING of (last + gap) in ms, computed on the SUM — the
+              // per-term floor spelling `last/1000 + gap/1000` truncated
+              // up to ~2 ms, firing the timeout while the watermark was
+              // still below last+gapUs (an on-time extending event then
+              // found its session already flushed — one session emitted
+              // as two, diverging from the batch sweep), and for
+              // gapUs < 1000 could compute a timestamp at or below the
+              // current watermark, which setTimeoutTimestamp rejects
+              state.setTimeoutTimestamp((st.last + gapUs + 999L) / 1000L)
           }
           closed.iterator
       }
