@@ -162,16 +162,23 @@ object Bench {
     // comma-decimal default locale (de_DE et al.) would render 1,234 and
     // break the driver's JSON parse (ADVICE r5).
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // The stdout line carries the FULL per-query map (the driver contract:
-    // ONE JSON line with "queries" covering every query). Four rounds of
-    // compact-subset hedging (r10-r13) never produced a driver parse —
-    // the real blockers were sbt's "[info] " line prefix (fixed via
-    // outputStrategy := StdoutOutput in build.sbt: the line now starts
-    // with '{' in column 0) and the ~200 KB WindowExec warning flood
-    // clipping the capture mid-line (fixed via log level ERROR above). A
-    // ~5 KB single line is well inside any line buffer once the stream
-    // around it is quiet.
-    val qs = results.map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    // Driver capture semantics, established over six rounds (VERDICT r14
+    // §missing 1 has the root cause): the driver stores and parses only the
+    // LAST 2000 CHARACTERS of stdout. r13's full-map final line was ~6 KB,
+    // so its head `{"metric":...` fell outside that window and the parse
+    // failed even though the line itself was valid JSON. Therefore the
+    // FINAL line must be SHORT (<1.5 KB, comfortably inside the tail with
+    // shutdown noise margin): totals, a bounded headline-query subset, a
+    // bounded errors map, and a pointer to BENCH_SELF.json. The full
+    // 177-query map is printed on an EARLIER line (useful to a human
+    // scrolling the log) and lives in full precision in BENCH_SELF.json.
+    val headlineNames = Seq(
+      "wordcount", "charcount", "log_host", "tpch_q1", "tpch_q6",
+      "dedup_rate", "dedup_minhash_pairs", "simsearch_topk",
+      "text_quality", "events_sessions")
+    val resultMap = results.toMap
+    val qs = headlineNames.filter(resultMap.contains)
+      .map { k => jq(k) + ":" + fmt(resultMap(k)) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     // stdout errors are bounded the same way (5 × ~100 chars max): a
     // mass-failure round must still leave the line head inside the tail.
@@ -219,9 +226,15 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), fullJson)
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"full":"BENCH_SELF.json","errors":$errJsonStdout,"sf":"$sfDir"}"""
-    // First line of the final output block, flushed before spark.stop()
-    // can interleave shutdown noise.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"full":"BENCH_SELF.json","errors":$errJsonStdout,"sf":"$sfDir"}"""
+    // Full per-query map FIRST (a human scrolling the log gets everything;
+    // so does any capture longer than 2000 chars), then the compact
+    // summary as the FINAL line — the only line guaranteed to sit whole
+    // inside the driver's 2000-char stdout tail. Both flushed before
+    // spark.stop() can interleave shutdown noise.
+    val fullStdoutLine = results
+      .map { case (k, v) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries_full","queries":$fullStdoutLine,"sf":"$sfDir"}""")
     println(stdoutLine)
     Console.out.flush()
     spark.stop()

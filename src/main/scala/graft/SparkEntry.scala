@@ -109,6 +109,12 @@ object SparkEntry {
     "tpch_revenue_monthly_sampled_u10" -> ((s, dir) =>
       graft.sampling.JoinSampled.revenueMonthlySampledU(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // the estimator plus T4-style per-month error bounds from the kept
+    // KEY count (n_keys, n_hat = n_keys/p) — the congressional
+    // estimateWithBounds discipline for joins, fully oracle-replayable
+    "tpch_revenue_monthly_bounds_u10" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueMonthlySampledUWithBounds(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // the FK-CHAIN form: sample on the FIRST join's key (custkey, both
     // sides), lineitem rides COMPLETE through the o⋈l foreign key — one
     // ×(1/p) scale, per-segment roll-up, fully replayable
@@ -1102,6 +1108,8 @@ object SparkEntry {
     "tpch_revenue_monthly" -> graft.sampling.JoinSampled.revenueMonthlyOracleSql,
     "tpch_revenue_monthly_sampled_u10" ->
       graft.sampling.JoinSampled.revenueMonthlySampledUOracleSql(),
+    "tpch_revenue_monthly_bounds_u10" ->
+      graft.sampling.JoinSampled.revenueMonthlySampledUWithBoundsOracleSql(),
     "tpch_revenue_segment" -> graft.sampling.JoinSampled.revenueBySegmentOracleSql,
     "tpch_revenue_segment_sampled_u10" ->
       graft.sampling.JoinSampled.revenueBySegmentChainSampledUOracleSql(),

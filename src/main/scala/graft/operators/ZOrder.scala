@@ -80,9 +80,14 @@ object ZOrder {
     val ml = maxV.cast("long")
     // `div` = Catalyst IntegralDivide — true integer floor division on
     // longs (Column./ is DOUBLE division, which loses exactness past 2^53)
+    // Shrink step: (ml div b) + 1 == ceil((max+1)/b) for ALL non-negative
+    // max — algebraically identical to the former (ml + b) div b but with
+    // no addition before the divide, so max > Long.MaxValue - b can't
+    // overflow (Spark wrapped silently, DuckDB raised — a gate-invisible
+    // engine divergence at the top edge; ADVICE r14).
     when(ml < safeMax, call_function("div", shiftleft(vl, bits), ml + lit(1L)))
       .otherwise(call_function("div", vl,
-        call_function("div", ml + lit(b), lit(b))))
+        call_function("div", ml, lit(b)) + lit(1L)))
   }
 
   /** SQL twin of [[gridCoord]] (DuckDB `//` is integer floor division). */
@@ -92,7 +97,7 @@ object ZOrder {
     val vl = s"CAST($v AS BIGINT)"
     val ml = s"CAST($maxV AS BIGINT)"
     s"(CASE WHEN $ml < $safeMax THEN (($vl << $bits) // ($ml + 1)) " +
-      s"ELSE ($vl // (($ml + $b) // $b)) END)"
+      s"ELSE ($vl // (($ml // $b) + 1)) END)"
   }
 
   /** `df` plus a `z` column: the Morton code of (`xCol`, `yCol`) after

@@ -94,6 +94,53 @@ object JoinSampled {
       .orderBy(col("month"))
   }
 
+  /** [[revenueMonthlySampledU]] plus the reference's T4 achieved-error
+    * machinery per GROUP ([[Stats.errorBound]] semantics, the
+    * [[CongressionalSampled.estimateWithBounds]] discipline applied to
+    * joins): the sampling UNIT is the join key (an order — rows ride
+    * atomically with their key), so the per-month evidence is
+    * `n_keys` = distinct kept orderkeys, the estimated key population is
+    * `n_hat = n_keys · (1/p)` (integer-exact — [[UniverseSampled.scaleFor]]
+    * requires pct | 100), and
+    * `err_bound = z · sqrt(0.25/n_keys) · sqrt((n_hat−n_keys)/(n_hat−1))`
+    * — the same double chain over two already-exact integers, evaluated
+    * in one fixed order, so the bound replays bit-for-bit in DuckDB.
+    * Unlike congressional (which derives rates from exact per-stratum
+    * counts), a join sample never sees the true key population, so the
+    * finite-population correction uses the HT-estimated `n_hat`; at
+    * p = 0.1 the correction is ≈ sqrt(1−p) and the bound reduces to the
+    * scaladoc's √((1−p)/(p·n)) per-group relative error with n = n_hat.
+    * Every output column is a pure function of the kept rows — the whole
+    * frame stays oracle-gated.
+    */
+  def revenueMonthlySampledUWithBounds(
+      orders: DataFrame, lineitem: DataFrame, pct: Int = 10,
+      confidence: Double = 0.95): DataFrame = {
+    val m = UniverseSampled.scaleFor(pct)
+    val o = UniverseSampled.sample(orders, col("o_orderkey"), pct)
+    val l = UniverseSampled.sample(lineitem, col("l_orderkey"), pct)
+    o.select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      .join(
+        l.select(col("l_orderkey"), revE4.as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("month"))
+      .agg(
+        (sum(col("rev_e4")) * m).as("est_revenue_e4"),
+        (count(lit(1)) * m).as("est_items"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .withColumn("__n_hat", col("n_keys") * m)
+      .withColumn(
+        "err_bound",
+        when(col("__n_hat") <= 1, lit(0.0)).otherwise(
+          lit(Stats.zScore(confidence))
+            * sqrt(lit(0.25) / col("n_keys"))
+            * sqrt((col("__n_hat") - col("n_keys")) / (col("__n_hat") - lit(1L)))))
+      .select(
+        col("month"), col("est_revenue_e4"), col("est_items"),
+        col("n_keys"), col("err_bound"))
+      .orderBy(col("month"))
+  }
+
   /** Exact twin of the CHAIN estimator: revenue and item count per market
     * segment over customer⋈orders⋈lineitem.
     */
@@ -187,6 +234,32 @@ object JoinSampled {
        |FROM (SELECT * FROM customer WHERE $keepC) c
        |JOIN (SELECT * FROM orders WHERE $keepO) o ON o_custkey = c_custkey
        |JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for [[revenueMonthlySampledUWithBounds]] — keep-sets,
+    * join, integer HT scale, AND the double err_bound chain replayed in
+    * the same operation order ([[CongressionalSampled]]'s bounds-oracle
+    * precedent: the z literal and left-to-right double products agree
+    * across both engines).
+    */
+  def revenueMonthlySampledUWithBoundsOracleSql(
+      pct: Int = 10, confidence: Double = 0.95): String = {
+    val m = UniverseSampled.scaleFor(pct)
+    val keepO = UniverseSampled.keepSql("o_orderkey", pct)
+    val keepL = UniverseSampled.keepSql("l_orderkey", pct)
+    val z = Stats.zScore(confidence)
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
+       |       count(*) * $m AS est_items,
+       |       count(DISTINCT o_orderkey) AS n_keys,
+       |       CASE WHEN count(DISTINCT o_orderkey) * $m <= 1 THEN 0.0
+       |            ELSE $z * sqrt(0.25 / count(DISTINCT o_orderkey))
+       |                 * sqrt((count(DISTINCT o_orderkey) * $m - count(DISTINCT o_orderkey))
+       |                        / (count(DISTINCT o_orderkey) * $m - 1)) END
+       |         AS err_bound
+       |FROM (SELECT * FROM orders WHERE $keepO) o
+       |JOIN (SELECT * FROM lineitem WHERE $keepL) l ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

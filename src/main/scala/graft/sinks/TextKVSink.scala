@@ -37,7 +37,13 @@ object TextKVSink {
       .select(split(col("value"), "\t", 2).as("__p"))
       .select(
         element_at(col("__p"), 1).as("key"),
-        element_at(col("__p"), 2).as("value"))
+        // try_element_at, not element_at: under Spark 4's default ANSI
+        // mode element_at on a 1-element array at index 2 THROWS
+        // (INVALID_ARRAY_INDEX_IN_ELEMENT_AT), and a no-tab line is
+        // exactly what write() emits for a NULL value (concat_ws skips
+        // nulls) — the null-safe form is what makes the scaladoc's
+        // "reads back as value = NULL" true (ADVICE r14).
+        try_element_at(col("__p"), lit(2)).as("value"))
 
   /** [[read]] for a RUN directory, excluding a K2 `result.txt` the
     * reference layout keeps INSIDE the dir beside the part files

@@ -59,6 +59,24 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.last._2 > (1L << 14))
   }
 
+  test("gridCoord at the Long top edge: max near Long.MaxValue neither overflows nor escapes the grid") {
+    import spark.implicits._
+    // Former shrink step (max + 2^bits) div 2^bits overflowed for
+    // max > Long.MaxValue - 2^bits: Spark wrapped to a negative step
+    // (garbage z-values), DuckDB raised — a gate-invisible engine
+    // divergence (ADVICE r14). (max div 2^bits) + 1 is exact everywhere.
+    val maxV = Long.MaxValue - 1L
+    val df = Seq(0L, 1L, maxV / 2, maxV - 1, maxV).toDF("v")
+      .withColumn("__m", lit(maxV))
+      .select(col("v"), ZOrder.gridCoord(col("v"), col("__m")).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    rows.foreach { case (v, c) =>
+      assert(c >= 0L && c < (1L << 16), s"coord $c out of grid for v=$v")
+    }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    assert(rows.last._2 > (1L << 14))
+  }
+
   test("z layout bounds BOTH dimensions' per-file spans; single-column sort leaves one unbounded") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toFile
     dir.deleteOnExit()

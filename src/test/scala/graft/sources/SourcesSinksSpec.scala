@@ -91,6 +91,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(err === 0.0)
   }
 
+  test("K1 sink: a NULL value (no-tab line) reads back as value = NULL, not an ANSI error") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_null_test"
+    // concat_ws skips NULLs, so the "b" row is written as a tab-less line;
+    // under ANSI mode element_at(arr, 2) on the resulting 1-element split
+    // THROWS — read() must use the null-safe form (ADVICE r14).
+    val df = Seq(("a", Some("1")), ("b", None), ("c", Some("3")))
+      .toDF("key", "value")
+    TextKVSink.write(df, "key", "value", out)
+    val back = TextKVSink.read(spark, out).orderBy("key").collect()
+    assert(back.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(back.map(r => Option(r.getString(1))).toSeq ===
+      Seq(Some("1"), None, Some("3")))
+  }
+
   test("compressed text ingestion: gzip lines read transparently (S2's codec support)") {
     import java.util.zip.GZIPOutputStream
     val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_gz_test")

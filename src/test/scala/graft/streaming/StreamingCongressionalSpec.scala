@@ -81,4 +81,44 @@ class StreamingCongressionalSpec extends SparkSpec {
       assert(got.length <= 1)
     } finally query.stop()
   }
+
+  test("sampleSaved keeps the batch set with NO driver materialization (parquet static side)") {
+    assumeTestdata(sf001)
+    val events = Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"))
+    val stratum = col("event_type")
+    val batchKeep = CongressionalSampled
+      .sample(events, stratum, col("event_id"), targetK = K)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val rates = CongressionalSampled.rates(
+      events.filter(stratum.isNotNull && col("event_id").isNotNull), stratum, K)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scong_rates"
+    StreamingCongressional.saveRates(rates, path)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val out = StreamingCongressional.sampleSaved(
+      input.toDF().toDF("event_id", "event_type"),
+      col("event_type"), col("event_id"), path)
+    // the static side must be the parquet relation itself — a driver
+    // collect would pin a LocalRelation (the sample() form); this path
+    // must stay distributed at any stratification cardinality
+    val plan = out.queryExecution.logical.toString
+    assert(!plan.contains("LocalRelation"), s"rates were driver-pinned:\n$plan")
+    assert(plan.toLowerCase.contains("parquet"), s"no parquet static side:\n$plan")
+    val query = out.writeStream
+      .format("memory").queryName("scongsaved").outputMode("append").start()
+    try {
+      val rows = events.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val got = spark.table("scongsaved")
+        .collect().map(_.getAs[Long]("event_id")).toSet
+      assert(got === batchKeep,
+        s"missing=${(batchKeep -- got).take(5)} extra=${(got -- batchKeep).take(5)}")
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
 }
