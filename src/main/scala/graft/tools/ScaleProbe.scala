@@ -85,11 +85,29 @@ object ScaleProbe {
     // harness term). Note the asymmetry for doc families: the FIXTURE
     // stays at explodeDocs' 32·k (document-sized rows, the scan side is
     // bytes-realistic); only the shuffle partitions drop to the regime.
-    "dedup_minhash_pairs" -> ((k: Int) => math.max(32, 4 * k)))
+    "dedup_minhash_pairs" -> ((k: Int) => math.max(32, 4 * k)),
+    // r15 (VERDICT r14 item 2): the forced-shuffle join-sampling probe
+    // moves 3-4-column TPC-H rows (~30 B each) through both join
+    // exchanges — the same tiny-row shape as the events families.
+    "tpch_revenue_monthly_sampled_shuffle" -> ((k: Int) => math.max(32, 4 * k)))
 
   /** Partition count for `family` at factor `k` (default 32·k). */
   def partsFor(family: String, k: Int): Int =
     tinyRowParts.get(family).map(_(k)).getOrElse(32 * k)
+
+  /** Per-family session-conf overrides, applied around the family's runs
+    * and restored after (VERDICT r14 item 2): the join-sampling probe
+    * must execute in the SHUFFLE regime — at every probe factor the
+    * post-sample orders side still fits a broadcast, so without the
+    * override the probe would time a broadcast join and the family's
+    * whole 100 TB claim (both exchanges cut ×p) would stay unexecuted.
+    * Both the static and the AQE runtime thresholds must be disabled
+    * (AQE re-converts to broadcast at stage materialization otherwise).
+    */
+  val familyConf: Map[String, Seq[(String, String)]] = Map(
+    "tpch_revenue_monthly_sampled_shuffle" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))
 
   /** Stage-attribution notes carried into the artifact cell (VERDICT r13
     * item 7): for families whose ratio sits near the bound for PINNED
@@ -109,7 +127,19 @@ object ScaleProbe {
         "vs linear 4.0, map stage 3.28, window stage 3.8 — plan work linear; " +
         "the residual over-linearity in min-of-trials process CPU is host " +
         "noise plus the AQE-coalesced single-task final sink stage (1.6->8.5s, " +
-        "58MB fits one advisory partition at both factors)"))
+        "58MB fits one advisory partition at both factors)"),
+    "simsearch_ivf_det" ->
+      ("DESIGNED n^1.5 term: flat-IVF assignment costs n x nlist with nlist " +
+        "derived ~sqrt(n) (Jegou 2011 balance — buys sqrt(n) per-list size " +
+        "so probe cost per query is sublinear); that stage alone would read " +
+        "8.0 on the x8->x32 step, so a future reading ABOVE today's 2.27 " +
+        "(fixed per-row costs still dominate at 64k vectors) and up toward " +
+        "the bound is the design emerging, not a plan defect"),
+    "tpch_revenue_monthly_sampled_shuffle" ->
+      ("runs under familyConf broadcast-threshold=-1 (static AND adaptive): " +
+        "the only regime where the correlated sample's both-exchanges-cut-xp " +
+        "claim executes; the exchange byte ratio vs the exact plan is pinned " +
+        "by JoinSampledSpec, this row pins linear CPU of the sort-merge plan"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
@@ -187,6 +217,29 @@ object ScaleProbe {
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
     megaSpokes.unionAll(smallPairs)
   }
+
+  /** ×k orders+lineitem with the SAME per-copy orderkey shift on both
+    * sides, so each copy carries the fixture's intact join structure —
+    * kept keys per copy are an independent ~p draw (the md5 of a shifted
+    * key is unrelated to the original's), which is exactly what k× more
+    * real orders look like to the correlated sampler. Column-pruned to
+    * the probe query's needs; repartitioned at the caller's tiny-row
+    * partition rule.
+    */
+  def explodeOrders(orders: DataFrame, k: Int, parts: Int): DataFrame =
+    (0 until k).map { i =>
+      orders.select(
+        (col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+        col("o_orderdate"))
+    }.reduce(_ unionAll _).repartition(parts)
+
+  /** Lineitem side of [[explodeOrders]] — the identical key shift. */
+  def explodeLineitem(lineitem: DataFrame, k: Int, parts: Int): DataFrame =
+    (0 until k).map { i =>
+      lineitem.select(
+        (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    }.reduce(_ unionAll _).repartition(parts)
 
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     require(k <= EmbeddingDims,
@@ -434,7 +487,36 @@ object ScaleProbe {
       "dedup_embedding_pairs_banded" -> (k =>
         graft.similarity.SimilaritySearch.nearDupPairsDerived(
           explodeEmbeddings(Tables.embeddings(spark, sfDir), k),
-          minSim = 0.15, numBands = 4)))
+          minSim = 0.15, numBands = 4)),
+      // the r15 additions (VERDICT r14 items 2 and 8).
+      // tpch_revenue_monthly_sampled_shuffle: the correlated join sampler
+      // in the FORCED shuffle regime (familyConf disables both broadcast
+      // thresholds) — the only configuration in which its 100 TB claim
+      // (both exchanges cut ×p) actually executes; keys shift per copy so
+      // each copy's keep set is an independent ~p draw, and the join
+      // moves ~p of the exploded bytes through BOTH sort-merge exchanges
+      // (the byte ratio itself is spec-pinned in JoinSampledSpec; the
+      // probe pins that the sampled sort-merge plan's CPU stays linear).
+      "tpch_revenue_monthly_sampled_shuffle" -> (k => {
+        val parts = partsFor("tpch_revenue_monthly_sampled_shuffle", k)
+        graft.sampling.JoinSampled.revenueMonthlySampledU(
+          explodeOrders(Tables.orders(spark, sfDir), k, parts),
+          explodeLineitem(Tables.lineitem(spark, sfDir), k, parts))
+      }),
+      // simsearch_ivf_det: the oracle-gated IVF path end-to-end — count →
+      // derived nlist (≈√n, NO caller override: the probe validates the
+      // derivation's scaling) → seed top-nl → codegen'd ivf_assign
+      // corpus assignment → broadcast-probe → quantized-cosine top-k.
+      // NOTE the family's DESIGNED super-linear term: assignment costs
+      // n·nlist = n^1.5 (Jégou 2011 flat-IVF balance — the price of
+      // per-list size staying √n so probe cost per query is sublinear),
+      // which alone would read exactly 8.0 on the ×8→×32 step; the
+      // linear stages (scan, quantize, seeds) blend the observed ratio
+      // below the 8.0 bound. A reading NEAR the bound with flat GC is
+      // this design, not a defect (see AttributionNotes).
+      "simsearch_ivf_det" -> (k =>
+        graft.similarity.IvfIndex.detTopK(
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
@@ -522,8 +604,16 @@ object ScaleProbe {
 
     def runAt(name: String, k: Int, build: Int => DataFrame): (Double, Double, Double) = {
       spark.conf.set("spark.sql.shuffle.partitions", partsFor(name, k).toString)
+      val overrides = familyConf.getOrElse(name, Nil)
+      val saved = overrides.map { case (key, _) => key -> spark.conf.getOption(key) }
+      overrides.foreach { case (key, v) => spark.conf.set(key, v) }
       try runOnce(build(k))
-      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        saved.foreach { case (key, v) =>
+          v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        }
+      }
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, (Double, Double, Double))]]()
