@@ -268,6 +268,17 @@ object SparkEntry {
     // the per-split audit roll-up a pipeline logs next to the shipped corpus
     "docs_split_summary" -> ((s, dir) =>
       graft.dedup.DataSplit.summary(DedupCorpus.augment(Tables.documents(s, dir)))),
+    // cross-snapshot split with a PERSISTED prior (the IncrementalDedup
+    // base/delta decomposition applied to assignment): saved docs keep
+    // their verdict verbatim, newcomers inherit via any saved member of
+    // their cluster, only never-seen clusters hash fresh — so a re-keyed
+    // representative can never flip a shipped verdict
+    "docs_split_incremental" -> ((s, dir) => {
+      val saved = s.read.parquet(graft.dedup.DataSplit.ensureSavedAssignment(s, dir))
+      graft.dedup.DataSplit.assignIncremental(
+        DedupCorpus.augment(Tables.documents(s, dir)), saved)
+        .orderBy("doc_id")
+    }),
     // the O(log d) large-star/small-star CC strategy over the same pairs —
     // bit-identical decisions, gated by the same reachability oracle
     "dedup_clusters_bigstar" -> ((s, dir) => {
@@ -1039,6 +1050,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupClusters.decisionsOracleSql,
     "docs_split" -> graft.dedup.DataSplit.assignOracleSql,
     "docs_split_summary" -> graft.dedup.DataSplit.summaryOracleSql,
+    "docs_split_incremental" -> graft.dedup.DataSplit.assignIncrementalOracleSql,
     // same exact-reachability oracle: both CC strategies converge to the
     // same min-id representatives, so the bigstar path is gated by the
     // identical SQL

@@ -87,6 +87,108 @@ object DataSplit {
         col("rep").as("cluster_rep"),
         splitCol(col("rep")).as("split"))
 
+  /** Cross-snapshot assignment with a PERSISTED prior — the inherit path
+    * the object doc prescribes, now as code (VERDICT r14 item 3): a doc
+    * present in `saved` keeps its saved verdict VERBATIM (a shipped eval
+    * set is immutable); a new doc whose cluster contains any saved member
+    * INHERITS — deterministically, the verdict of the smallest saved
+    * member id (min-of-struct here, `arg_min` in the oracle: the "join
+    * any saved member" rule with a total tie-break, which also decides
+    * bridged clusters whose saved members disagree); only clusters with
+    * NO saved member are hashed fresh. Consequence, spec-pinned: a
+    * bridging or smaller-id newcomer that re-keys a cluster's
+    * representative can never flip a saved doc's verdict — the fresh
+    * hash applies exclusively to never-seen clusters.
+    *
+    * The `origin` column ('saved' | 'inherited' | 'fresh') is the audit
+    * trail a pipeline logs: count(origin='saved') must equal the saved
+    * table's surviving membership, and train/eval movement can only come
+    * from 'fresh' rows. NOTE the leakage guarantee is now CONDITIONAL
+    * where verdicts were pinned before clusters merged: a bridged cluster
+    * with saved 'train' and saved 'test' members keeps BOTH (the shipped
+    * sets cannot be rewritten) — rows where members of one cluster carry
+    * different splits are exactly the leak audit `SELECT cluster_rep
+    * HAVING count(DISTINCT split) > 1` surfaces for quarantine.
+    *
+    * Scale shape: everything after the (probed) CC is id-keyed — one
+    * left join to the saved table on doc_id, one narrow groupBy(rep)
+    * argmin over the saved members only, one left join back on rep.
+    * Text never shuffles; the saved table is (id, verdict) — the
+    * assignment artifact a production pipeline already persists.
+    */
+  def assignIncrementalWithPairs(
+      corpus: DataFrame, pairs: DataFrame, saved: DataFrame): DataFrame = {
+    val comps = DedupClusters.components(corpus, pairs)
+    val withSaved = comps.join(
+      saved.select(col("doc_id"), col("split").as("__saved")),
+      Seq("doc_id"), "left")
+    val inherit = withSaved
+      .filter(col("__saved").isNotNull)
+      .groupBy(col("rep"))
+      .agg(min(struct(col("doc_id"), col("__saved"))).as("__m"))
+      .select(col("rep"), col("__m").getField("__saved").as("__inherit"))
+    withSaved.join(inherit, Seq("rep"), "left")
+      .select(
+        col("doc_id"),
+        col("rep").as("cluster_rep"),
+        when(col("__saved").isNotNull, col("__saved"))
+          .when(col("__inherit").isNotNull, col("__inherit"))
+          .otherwise(splitCol(col("rep"))).as("split"),
+        when(col("__saved").isNotNull, lit("saved"))
+          .when(col("__inherit").isNotNull, lit("inherited"))
+          .otherwise(lit("fresh")).as("origin"))
+  }
+
+  /** [[assignIncrementalWithPairs]] over the corpus's own MinHash pair
+    * graph.
+    */
+  def assignIncremental(corpus: DataFrame, saved: DataFrame): DataFrame =
+    assignIncrementalWithPairs(
+      corpus, MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus)), saved)
+
+  /** The PRIOR snapshot of the declared incremental query: the
+    * [[IncrementalDedup]] base/delta decomposition applied to assignment —
+    * augmented originals outside the delta batch.
+    */
+  def snapshotCorpus(documents: DataFrame): DataFrame =
+    IncrementalDedup.baseCorpus(documents)
+
+  /** Build-once persisted assignment of the prior snapshot — the
+    * [[IncrementalDedup.ensureSavedSignatures]] artifact discipline
+    * applied to the split table: keyed on the input's content digest AND
+    * every parameter the assignment derives from (the MinHash family, the
+    * snapshot split rule, and the verdict thresholds), so a constant
+    * change invalidates the cache instead of silently serving
+    * old-parameter verdicts.
+    */
+  def ensureSavedAssignment(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val contentDigest = graft.queries.Tables.contentDigest(
+      graft.queries.Tables.path(dir, "documents"))
+    val paramsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(
+        (Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
+          IncrementalDedup.DeltaMod, TrainBp, ValBp, Mod, Salt) ++
+          MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" })
+          .mkString(":").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_splitasg_" +
+      s"${contentDigest}_$paramsKey"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      assign(snapshotCorpus(graft.queries.Tables.documents(spark, dir)))
+        .write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          throw new java.io.IOException(
+            s"could not publish saved assignment: rename $tmp -> $path " +
+              "failed and no concurrent build won the race")
+      }
+    }
+    path
+  }
+
   /** Per-split audit roll-up a pipeline logs next to the shipped corpus:
     * split, n_docs, n_clusters, n_chars. The char mass rides an id-keyed
     * join of the (id, length) projection to the assignment — text itself
@@ -113,6 +215,44 @@ object DataSplit {
          |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node)
          |SELECT doc_id, rep AS cluster_rep, ${splitSql("rep")} AS split
          |FROM dec ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[assignIncremental]] over the augmented corpus
+    * with the [[snapshotCorpus]] prior: the saved assignment is replayed
+    * as a NESTED full query (the artifact is deterministic — the
+    * [[IncrementalDedup]] saved-index oracle pattern), the new snapshot's
+    * clusters come from the shared reachability CTEs, and the
+    * keep/inherit/fresh cascade replays with `arg_min` mirroring the
+    * Scala side's min-of-struct tie-break.
+    */
+  def assignIncrementalOracleSql: String = {
+    val snapshotSql =
+      s"""SELECT doc_id, text FROM (${DedupCorpus.augmentSql})
+         |WHERE doc_id < ${DedupCorpus.ExactDupOffset}
+         |  AND doc_id % ${IncrementalDedup.DeltaMod} <> 0""".stripMargin
+    val savedQuery = DedupClusters.reachCtesFor(snapshotSql) +
+      s""",
+         |sdec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node)
+         |SELECT doc_id, ${splitSql("rep")} AS split FROM sdec""".stripMargin
+    DedupClusters.reachCtes +
+      s""",
+         |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |saved AS (
+         |$savedQuery
+         |),
+         |sv AS (SELECT dec.doc_id, dec.rep, s.split AS saved_split
+         |       FROM dec LEFT JOIN saved s ON s.doc_id = dec.doc_id),
+         |ci AS (SELECT rep, arg_min(saved_split, doc_id) AS inherit_split
+         |       FROM sv WHERE saved_split IS NOT NULL GROUP BY rep)
+         |SELECT sv.doc_id, sv.rep AS cluster_rep,
+         |       CASE WHEN sv.saved_split IS NOT NULL THEN sv.saved_split
+         |            WHEN ci.inherit_split IS NOT NULL THEN ci.inherit_split
+         |            ELSE ${splitSql("sv.rep")} END AS split,
+         |       CASE WHEN sv.saved_split IS NOT NULL THEN 'saved'
+         |            WHEN ci.inherit_split IS NOT NULL THEN 'inherited'
+         |            ELSE 'fresh' END AS origin
+         |FROM sv LEFT JOIN ci ON ci.rep = sv.rep
+         |ORDER BY sv.doc_id""".stripMargin
+  }
 
   /** DuckDB oracle for [[summary]]. */
   def summaryOracleSql: String =

@@ -387,10 +387,17 @@ object DedupClusters {
     * iterative propagation; [[DataSplit]] builds its verdict oracles on the
     * same clusters).
     */
-  private[dedup] def reachCtes: String = {
-    val pairsSql = MinHashLSH.nearDupPairsOracleSql()
+  private[dedup] def reachCtes: String = reachCtesFor(DedupCorpus.augmentSql)
+
+  /** [[reachCtes]] over an ARBITRARY corpus SQL (doc_id, text) — the seam
+    * [[DataSplit.assignIncrementalOracleSql]] uses to replay the SAVED
+    * snapshot's clusters (the base corpus) inside the same query that
+    * clusters the new snapshot.
+    */
+  private[dedup] def reachCtesFor(corpusSql: String): String = {
+    val pairsSql = MinHashLSH.nearDupPairsOracleSqlCorpus(corpusSql)
     s"""WITH RECURSIVE pairs AS ($pairsSql),
-       |corpus AS (${DedupCorpus.augmentSql}),
+       |corpus AS ($corpusSql),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs

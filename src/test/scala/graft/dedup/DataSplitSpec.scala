@@ -66,4 +66,58 @@ class DataSplitSpec extends SparkSpec {
     assert(totalDocs === expect.getLong(0))
     assert(totalChars === expect.getLong(1))
   }
+
+  test("incremental: a bridging smaller-id newcomer does NOT flip a saved cluster's verdict") {
+    // snapshot 1: docs {5,6} form a cluster (rep 5); doc 9 is a singleton
+    val snap1 = Seq(5L, 6L, 9L).toDF("doc_id")
+    val pairs1 = Seq((5L, 6L)).toDF("doc_a", "doc_b")
+    val saved = DataSplit.assignWithPairs(snap1, pairs1)
+      .select(col("doc_id"), col("split"))
+    val savedMap = saved.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // snapshot 2: doc 1 arrives and bridges INTO the {5,6} cluster with a
+    // SMALLER id — re-deriving from scratch would re-key the rep 5 -> 1
+    // and re-hash every verdict; the inherit path must not
+    val snap2 = Seq(1L, 5L, 6L, 9L).toDF("doc_id")
+    val pairs2 = Seq((1L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = DataSplit.assignIncrementalWithPairs(snap2, pairs2, saved)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
+      .toMap
+    // the cluster IS re-keyed (rep = 1 now) — but saved docs keep their
+    // shipped verdicts verbatim and the newcomer inherits, so nothing flips
+    assert(out(5L)._1 === 1L)
+    assert(out(5L)._2 === savedMap(5L) && out(5L)._3 === "saved")
+    assert(out(6L)._2 === savedMap(6L) && out(6L)._3 === "saved")
+    assert(out(9L)._2 === savedMap(9L) && out(9L)._3 === "saved")
+    assert(out(1L)._2 === savedMap(5L) && out(1L)._3 === "inherited")
+    // contrast: a from-scratch re-derivation WOULD hash the new rep —
+    // the exact hazard the persisted path exists to remove (if the two
+    // hashes happen to agree the contrast is vacuous but never wrong)
+    val fresh1 = spark.range(1).select(DataSplit.splitCol(lit(1L))).head().getString(0)
+    assert(out(5L)._2 === savedMap(5L) || fresh1 === savedMap(5L))
+  }
+
+  test("incremental: never-seen clusters hash fresh; saved coverage is exact (live corpus)") {
+    assumeTestdata(sf001)
+    val docs = Tables.documents(spark, sf001)
+    val saved = spark.read.parquet(DataSplit.ensureSavedAssignment(spark, sf001))
+    val corpus = DedupCorpus.augment(docs)
+    val out = DataSplit.assignIncremental(corpus, saved)
+    val byOrigin = out.groupBy("origin").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every saved doc survives into snapshot 2 here (the delta only ADDS
+    // docs), so 'saved' coverage equals the saved table exactly
+    assert(byOrigin.getOrElse("saved", 0L) === saved.count())
+    assert(out.count() === corpus.count())
+    // fresh rows are hashed by the NEW rep — and only fresh rows are:
+    // re-running with the same saved table reproduces everything
+    val again = DataSplit.assignIncremental(corpus, saved)
+    assert(out.orderBy("doc_id").collect()
+      .sameElements(again.orderBy("doc_id").collect()))
+    // a saved doc's verdict always matches the saved table (no flips)
+    val flips = out.join(
+      saved.withColumnRenamed("split", "saved_split"), Seq("doc_id"))
+      .filter(col("split") =!= col("saved_split")).count()
+    assert(flips === 0L)
+  }
 }
