@@ -36,7 +36,21 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     // the override map is consulted by name at runAt; a typo'd key would
     // silently leave the family on 32·k — keep the keys tied to reality
     val known = Set(
-      "events_sessions", "graph_pagerank", "dedup_minhash_pairs")
+      "events_sessions", "graph_pagerank", "dedup_minhash_pairs",
+      "tpch_revenue_monthly_sampled_shuffle")
     assert(ScaleProbe.tinyRowParts.keySet === known)
+  }
+
+  test("every familyConf key is a probe family name (no dead conf overrides)") {
+    // same hazard as tinyRowParts: a typo'd key would silently run the
+    // forced-shuffle family in the broadcast regime — the exact
+    // unexecuted-claim failure the override exists to remove
+    assert(ScaleProbe.familyConf.keySet ===
+      Set("tpch_revenue_monthly_sampled_shuffle"))
+    // and the shuffle family must disable BOTH thresholds (AQE re-converts
+    // to broadcast at stage materialization if only the static one is off)
+    val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
+    assert(conf.get("spark.sql.autoBroadcastJoinThreshold") === Some("-1"))
+    assert(conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") === Some("-1"))
   }
 }
