@@ -124,6 +124,10 @@ object SparkEntry {
     "tpch_revenue_segment_sampled_u10" -> ((s, dir) =>
       graft.sampling.JoinSampled.revenueBySegmentChainSampledU(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // chain estimator + per-segment T4 bounds from the kept custkey count
+    "tpch_revenue_segment_bounds_u10" -> ((s, dir) =>
+      graft.sampling.JoinSampled.revenueBySegmentChainSampledUWithBounds(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // hash-range stratified: integer basis-point thresholds per stratum,
     // deterministic keep-set, exact HT weights (10000/500 = 20.0) → the
     // stratified estimator is oracle-gated end to end
@@ -1125,6 +1129,8 @@ object SparkEntry {
     "tpch_revenue_segment" -> graft.sampling.JoinSampled.revenueBySegmentOracleSql,
     "tpch_revenue_segment_sampled_u10" ->
       graft.sampling.JoinSampled.revenueBySegmentChainSampledUOracleSql(),
+    "tpch_revenue_segment_bounds_u10" ->
+      graft.sampling.JoinSampled.revenueBySegmentChainSampledUWithBoundsOracleSql(),
     "events_stratified_sum_u" -> stratifiedSumUSql,
     "events_congressional_sum_u" ->
       graft.sampling.CongressionalSampled.estimateOracleSql(

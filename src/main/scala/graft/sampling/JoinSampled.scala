@@ -198,6 +198,44 @@ object JoinSampled {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** [[revenueBySegmentChainSampledU]] plus per-segment T4 bounds — the
+    * [[revenueMonthlySampledUWithBounds]] machinery with the CHAIN's
+    * sampling unit: the custkey (decided once at the first join), so
+    * `n_keys` counts distinct kept custkeys per segment and every order/
+    * lineitem rides inside its key's atom. Same integer n_hat = n_keys/p
+    * and fixed-order double chain, so the bound stays oracle-replayable.
+    */
+  def revenueBySegmentChainSampledUWithBounds(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      pct: Int = 10, confidence: Double = 0.95): DataFrame = {
+    val m = UniverseSampled.scaleFor(pct)
+    val c = UniverseSampled.sample(customer, col("c_custkey"), pct)
+    val o = UniverseSampled.sample(orders, col("o_custkey"), pct)
+    c.select(col("c_custkey"), col("c_mktsegment"))
+      .join(
+        o.select(col("o_custkey"), col("o_orderkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(
+        lineitem.select(col("l_orderkey"), revE4.as("rev_e4")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        (sum(col("rev_e4")) * m).as("est_revenue_e4"),
+        (count(lit(1)) * m).as("est_items"),
+        countDistinct(col("c_custkey")).as("n_keys"))
+      .withColumn("__n_hat", col("n_keys") * m)
+      .withColumn(
+        "err_bound",
+        when(col("__n_hat") <= 1, lit(0.0)).otherwise(
+          lit(Stats.zScore(confidence))
+            * sqrt(lit(0.25) / col("n_keys"))
+            * sqrt((col("__n_hat") - col("n_keys")) / (col("__n_hat") - lit(1L)))))
+      .select(
+        col("c_mktsegment"), col("est_revenue_e4"), col("est_items"),
+        col("n_keys"), col("err_bound"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   private val RevE4Sql =
     "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
       "(100 - CAST(round(l_discount * 100) AS BIGINT))"
@@ -260,6 +298,28 @@ object JoinSampled {
        |         AS err_bound
        |FROM (SELECT * FROM orders WHERE $keepO) o
        |JOIN (SELECT * FROM lineitem WHERE $keepL) l ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for [[revenueBySegmentChainSampledUWithBounds]]. */
+  def revenueBySegmentChainSampledUWithBoundsOracleSql(
+      pct: Int = 10, confidence: Double = 0.95): String = {
+    val m = UniverseSampled.scaleFor(pct)
+    val keepC = UniverseSampled.keepSql("c_custkey", pct)
+    val keepO = UniverseSampled.keepSql("o_custkey", pct)
+    val z = Stats.zScore(confidence)
+    s"""SELECT c_mktsegment,
+       |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
+       |       count(*) * $m AS est_items,
+       |       count(DISTINCT c_custkey) AS n_keys,
+       |       CASE WHEN count(DISTINCT c_custkey) * $m <= 1 THEN 0.0
+       |            ELSE $z * sqrt(0.25 / count(DISTINCT c_custkey))
+       |                 * sqrt((count(DISTINCT c_custkey) * $m - count(DISTINCT c_custkey))
+       |                        / (count(DISTINCT c_custkey) * $m - 1)) END
+       |         AS err_bound
+       |FROM (SELECT * FROM customer WHERE $keepC) c
+       |JOIN (SELECT * FROM orders WHERE $keepO) o ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

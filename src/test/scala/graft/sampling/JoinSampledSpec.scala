@@ -132,6 +132,30 @@ class JoinSampledSpec extends SparkSpec {
     }
   }
 
+  test("segment chain bounds: est columns unchanged and err_bound replays T4 over kept custkeys") {
+    assumeTestdata(sf001)
+    val customer = Tables.customer(spark, sf001)
+    val base = JoinSampled
+      .revenueBySegmentChainSampledU(customer, orders, lineitem).collect()
+    val rows = JoinSampled
+      .revenueBySegmentChainSampledUWithBounds(customer, orders, lineitem).collect()
+    assert(rows.length === base.length)
+    rows.zip(base).foreach { case (b, e) =>
+      assert(b.getAs[String]("c_mktsegment") === e.getAs[String]("c_mktsegment"))
+      assert(b.getAs[Long]("est_revenue_e4") === e.getAs[Long]("est_revenue_e4"))
+      assert(b.getAs[Long]("est_items") === e.getAs[Long]("est_items"))
+    }
+    rows.foreach { r =>
+      val nKeys = r.getAs[Long]("n_keys")
+      val nHat = nKeys * 10
+      val expected =
+        if (nHat <= 1) 0.0
+        else 1.96 * math.sqrt(0.25 / nKeys) *
+          math.sqrt((nHat - nKeys).toDouble / (nHat - 1).toDouble)
+      assert(r.getAs[Double]("err_bound") === expected)
+    }
+  }
+
   test("forced-shuffle regime: the sample cuts BOTH join exchanges ~×p (the 100 TB claim, measured)") {
     assumeTestdata(sf001)
     // At fixture scale the sampled orders side broadcasts, so the
