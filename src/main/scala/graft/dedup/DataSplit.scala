@@ -119,9 +119,13 @@ object DataSplit {
   def assignIncrementalWithPairs(
       corpus: DataFrame, pairs: DataFrame, saved: DataFrame): DataFrame = {
     val comps = DedupClusters.components(corpus, pairs)
+    // two consumers (the inherit argmin and the final select) — lazy
+    // localCheckpoint so the corpus-wide comps⋈saved join runs ONCE (the
+    // MinHashLSH.nearDupPairs multi-consumer discipline; review finding:
+    // the scaladoc promises "one left join to the saved table")
     val withSaved = comps.join(
       saved.select(col("doc_id"), col("split").as("__saved")),
-      Seq("doc_id"), "left")
+      Seq("doc_id"), "left").localCheckpoint(false)
     val inherit = withSaved
       .filter(col("__saved").isNotNull)
       .groupBy(col("rep"))
@@ -162,32 +166,23 @@ object DataSplit {
     * old-parameter verdicts.
     */
   def ensureSavedAssignment(
-      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val contentDigest = graft.queries.Tables.contentDigest(
-      graft.queries.Tables.path(dir, "documents"))
-    val paramsKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(
-        (Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
-          IncrementalDedup.DeltaMod, TrainBp, ValBp, Mod, Salt) ++
-          MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" })
-          .mkString(":").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_splitasg_" +
-      s"${contentDigest}_$paramsKey"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    SavedArtifact.ensure(
+      "graft_splitasg",
+      graft.queries.Tables.contentDigest(
+        graft.queries.Tables.path(dir, "documents")),
+      // every constant the assignment derives from: the signature family,
+      // the PAIR-GRAPH parameters (banding width, bucket cap, similarity
+      // floor — review: the first cut omitted these, so a NumBands change
+      // would have served stale verdicts), the snapshot split rule, and
+      // the verdict thresholds
+      Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
+        MinHashLSH.NumBands, MinHashLSH.MaxBucket, 0.5 /* nearDupPairs minSim */,
+        IncrementalDedup.DeltaMod, TrainBp, ValBp, Mod, Salt) ++
+        MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" }) { tmp =>
       assign(snapshotCorpus(graft.queries.Tables.documents(spark, dir)))
         .write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
-          throw new java.io.IOException(
-            s"could not publish saved assignment: rename $tmp -> $path " +
-              "failed and no concurrent build won the race")
-      }
     }
-    path
-  }
 
   /** Per-split audit roll-up a pipeline logs next to the shipped corpus:
     * split, n_docs, n_clusters, n_chars. The char mass rides an id-keyed

@@ -70,35 +70,16 @@ object IncrementalDedup {
     * old-parameter base signatures with new-parameter delta signatures
     * until the tmpdir was cleared by hand).
     */
-  def ensureSavedSignatures(spark: SparkSession, dir: String): String = {
-    val contentDigest = graft.queries.Tables.contentDigest(
-      graft.queries.Tables.path(dir, "documents"))
-    val paramsKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(
-        (Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
-          DeltaMod) ++ MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" })
-          .mkString(":").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    val digest = s"${contentDigest}_$paramsKey"
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_incsig_$digest"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+  def ensureSavedSignatures(spark: SparkSession, dir: String): String =
+    SavedArtifact.ensure(
+      "graft_incsig",
+      graft.queries.Tables.contentDigest(
+        graft.queries.Tables.path(dir, "documents")),
+      Seq(MinHashLSH.NumHashes, MinHashLSH.ShingleK, MinHashLSH.Prime,
+        DeltaMod) ++ MinHashLSH.Coeffs.map { case (a, b) => s"$a,$b" }) { tmp =>
       MinHashLSH.signatures(baseCorpus(graft.queries.Tables.documents(spark, dir)))
         .write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        // losing the publish race is fine (the winner's index is
-        // content-identical); any OTHER rename failure (cross-mount
-        // tmpdir, permissions) must fail HERE with its real cause, not
-        // later as a confusing missing-path parquet read
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
-          throw new java.io.IOException(
-            s"could not publish signature index: rename $tmp -> $path " +
-              "failed and no concurrent build won the race")
-      }
     }
-    path
-  }
 
   /** (doc_id, base_id, m): each delta document's best index hit — most
     * agreeing components m (≥ [[MinMatch]]), ties to the smallest base_id.

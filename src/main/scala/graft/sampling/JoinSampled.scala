@@ -44,6 +44,29 @@ import org.apache.spark.sql.functions._
   */
 object JoinSampled {
 
+  /** The T4 err_bound chain over a kept-key count — ONE Column spelling
+    * (used by both bounds estimators) so the fixed operation order the
+    * oracle contract rests on cannot desynchronize across copies (the
+    * [[CongressionalSampled]] ratesCteSql discipline; review finding).
+    * [[errBoundSql]] is its SQL twin — change in lockstep.
+    */
+  private def errBoundCol(
+      nKeys: org.apache.spark.sql.Column, m: Long,
+      confidence: Double): org.apache.spark.sql.Column = {
+    val nHat = nKeys * m
+    when(nHat <= 1, lit(0.0)).otherwise(
+      lit(Stats.zScore(confidence))
+        * sqrt(lit(0.25) / nKeys)
+        * sqrt((nHat - nKeys) / (nHat - lit(1L))))
+  }
+
+  /** SQL twin of [[errBoundCol]] over a key-count expression. */
+  private def errBoundSql(cnt: String, m: Long, confidence: Double): String =
+    s"""CASE WHEN $cnt * $m <= 1 THEN 0.0
+       |            ELSE ${Stats.zScore(confidence)} * sqrt(0.25 / $cnt)
+       |                 * sqrt(($cnt * $m - $cnt)
+       |                        / ($cnt * $m - 1)) END""".stripMargin
+
   /** Revenue in 1e4 integer units (cents × percent, the TPC-H convention of
     * [[graft.queries.TpchQueries.q3]]) — the Column twin of [[RevE4Sql]];
     * the two spellings must change in lockstep.
@@ -128,16 +151,7 @@ object JoinSampled {
         (sum(col("rev_e4")) * m).as("est_revenue_e4"),
         (count(lit(1)) * m).as("est_items"),
         countDistinct(col("o_orderkey")).as("n_keys"))
-      .withColumn("__n_hat", col("n_keys") * m)
-      .withColumn(
-        "err_bound",
-        when(col("__n_hat") <= 1, lit(0.0)).otherwise(
-          lit(Stats.zScore(confidence))
-            * sqrt(lit(0.25) / col("n_keys"))
-            * sqrt((col("__n_hat") - col("n_keys")) / (col("__n_hat") - lit(1L)))))
-      .select(
-        col("month"), col("est_revenue_e4"), col("est_items"),
-        col("n_keys"), col("err_bound"))
+      .withColumn("err_bound", errBoundCol(col("n_keys"), m, confidence))
       .orderBy(col("month"))
   }
 
@@ -223,16 +237,7 @@ object JoinSampled {
         (sum(col("rev_e4")) * m).as("est_revenue_e4"),
         (count(lit(1)) * m).as("est_items"),
         countDistinct(col("c_custkey")).as("n_keys"))
-      .withColumn("__n_hat", col("n_keys") * m)
-      .withColumn(
-        "err_bound",
-        when(col("__n_hat") <= 1, lit(0.0)).otherwise(
-          lit(Stats.zScore(confidence))
-            * sqrt(lit(0.25) / col("n_keys"))
-            * sqrt((col("__n_hat") - col("n_keys")) / (col("__n_hat") - lit(1L)))))
-      .select(
-        col("c_mktsegment"), col("est_revenue_e4"), col("est_items"),
-        col("n_keys"), col("err_bound"))
+      .withColumn("err_bound", errBoundCol(col("n_keys"), m, confidence))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -286,15 +291,11 @@ object JoinSampled {
     val m = UniverseSampled.scaleFor(pct)
     val keepO = UniverseSampled.keepSql("o_orderkey", pct)
     val keepL = UniverseSampled.keepSql("l_orderkey", pct)
-    val z = Stats.zScore(confidence)
     s"""SELECT date_trunc('month', o_orderdate) AS month,
        |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
        |       count(*) * $m AS est_items,
        |       count(DISTINCT o_orderkey) AS n_keys,
-       |       CASE WHEN count(DISTINCT o_orderkey) * $m <= 1 THEN 0.0
-       |            ELSE $z * sqrt(0.25 / count(DISTINCT o_orderkey))
-       |                 * sqrt((count(DISTINCT o_orderkey) * $m - count(DISTINCT o_orderkey))
-       |                        / (count(DISTINCT o_orderkey) * $m - 1)) END
+       |       ${errBoundSql("count(DISTINCT o_orderkey)", m, confidence)}
        |         AS err_bound
        |FROM (SELECT * FROM orders WHERE $keepO) o
        |JOIN (SELECT * FROM lineitem WHERE $keepL) l ON l_orderkey = o_orderkey
@@ -307,15 +308,11 @@ object JoinSampled {
     val m = UniverseSampled.scaleFor(pct)
     val keepC = UniverseSampled.keepSql("c_custkey", pct)
     val keepO = UniverseSampled.keepSql("o_custkey", pct)
-    val z = Stats.zScore(confidence)
     s"""SELECT c_mktsegment,
        |       CAST(sum($RevE4Sql) AS BIGINT) * $m AS est_revenue_e4,
        |       count(*) * $m AS est_items,
        |       count(DISTINCT c_custkey) AS n_keys,
-       |       CASE WHEN count(DISTINCT c_custkey) * $m <= 1 THEN 0.0
-       |            ELSE $z * sqrt(0.25 / count(DISTINCT c_custkey))
-       |                 * sqrt((count(DISTINCT c_custkey) * $m - count(DISTINCT c_custkey))
-       |                        / (count(DISTINCT c_custkey) * $m - 1)) END
+       |       ${errBoundSql("count(DISTINCT c_custkey)", m, confidence)}
        |         AS err_bound
        |FROM (SELECT * FROM customer WHERE $keepC) c
        |JOIN (SELECT * FROM orders WHERE $keepO) o ON o_custkey = c_custkey

@@ -90,11 +90,17 @@ class DataSplitSpec extends SparkSpec {
     assert(out(6L)._2 === savedMap(6L) && out(6L)._3 === "saved")
     assert(out(9L)._2 === savedMap(9L) && out(9L)._3 === "saved")
     assert(out(1L)._2 === savedMap(5L) && out(1L)._3 === "inherited")
-    // contrast: a from-scratch re-derivation WOULD hash the new rep —
-    // the exact hazard the persisted path exists to remove (if the two
-    // hashes happen to agree the contrast is vacuous but never wrong)
+    // contrast: a from-scratch re-derivation DOES hash the new rep (1),
+    // giving doc 5 the rep-1 verdict — the exact hazard the persisted
+    // path removes; asserted for real against assignWithPairs (review
+    // finding: the previous disjunction was a tautology)
     val fresh1 = spark.range(1).select(DataSplit.splitCol(lit(1L))).head().getString(0)
-    assert(out(5L)._2 === savedMap(5L) || fresh1 === savedMap(5L))
+    val scratch = DataSplit.assignWithPairs(snap2, pairs2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(scratch(5L) === fresh1)
+    if (fresh1 != savedMap(5L))
+      assert(scratch(5L) != out(5L)._2,
+        "from-scratch re-derivation should diverge from the inherit path here")
   }
 
   test("incremental: never-seen clusters hash fresh; saved coverage is exact (live corpus)") {

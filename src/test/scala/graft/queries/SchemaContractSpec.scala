@@ -78,4 +78,13 @@ class SchemaContractSpec extends SparkSpec {
     }
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
+
+  test("Bench.HeadlineNames are real declared queries (no dead keys on the driver line)") {
+    // the compact final stdout line filters by resultMap.contains, so a
+    // renamed query would silently vanish from the driver's parsed
+    // headline subset — fail the suite instead (the tinyRowParts
+    // dead-key tripwire discipline)
+    val unknown = graft.Bench.HeadlineNames.filterNot(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"not in SparkEntry.queries: ${unknown.mkString(", ")}")
+  }
 }
