@@ -516,7 +516,26 @@ object ScaleProbe {
       // this design, not a defect (see AttributionNotes).
       "simsearch_ivf_det" -> (k =>
         graft.similarity.IvfIndex.detTopK(
-          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))))
+          explodeEmbeddings(Tables.embeddings(spark, sfDir), k))),
+      // docs_split_incremental: the persisted-split inherit layer over the
+      // probed CC — the worst-case real shape where the prior assignment
+      // is DERIVED in the same run (two CC passes: the snapshot-1 prior,
+      // then the full corpus) plus the id-keyed saved join and the
+      // per-cluster argmin. Everything past the CCs is (id, verdict)
+      // columns; linearity here pins that the inherit machinery adds no
+      // super-linear term on top of the already-probed cluster layer.
+      "docs_split_incremental" -> (k => {
+        val full = DedupCorpus.augment(explodeDocs(docs0, k))
+        val prior = full.filter(
+          col("doc_id") % 100000000L < DedupCorpus.ExactDupOffset &&
+            col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0)
+        graft.dedup.DataSplit.assignIncremental(
+          full,
+          graft.dedup.DataSplit.assignWithPairs(
+            prior,
+            MinHashLSH.nearDupPairs(MinHashLSH.signatures(prior)))
+            .select(col("doc_id"), col("split")))
+      }))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
