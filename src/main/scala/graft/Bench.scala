@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line on stdout per the driver contract.
   *
@@ -41,26 +40,7 @@ object Bench {
       "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.OFF)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // always the serialized sort shuffle writer: bypass-merge opens and
-      // merges R files PER MAP TASK, a syscall storm at small R that
-      // measured 6x the CPU of the whole aggregation it served; at real
-      // scale R > 200 disables bypass anyway, so this just makes local
-      // behavior match the cluster path (one file + index per map task)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      // JVM case mappings, not ICU (the Spark 4 default): lower() via ICU
-      // full case mapping was the hottest sampled frame across the text
-      // family, and every tokenizer here discards non-[a-z0-9] right after
-      // lowercasing, so the mappings agree wherever the engine looks;
-      // ASCII corpora take UTF8String's vectorized fast path either way
-      // only with ICU off (pre-4.0 behavior)
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .getOrCreate()
     // ERROR, not WARN: the deliberate 32-256-row bucket-offset windows
     // (TokenBudget/RangeRank/GlobalShuffle/QualityDeciles scaladoc) emit a

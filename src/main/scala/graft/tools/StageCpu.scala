@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
 
 import graft.dedup.{DedupCorpus, JaccardPairs, MinHashLSH}
 
@@ -20,26 +19,7 @@ object StageCpu {
     val family = args.head
     val factors = args.tail.map(_.toInt).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // always the serialized sort shuffle writer: bypass-merge opens and
-      // merges R files PER MAP TASK, a syscall storm at small R that
-      // measured 6x the CPU of the whole aggregation it served; at real
-      // scale R > 200 disables bypass anyway, so this just makes local
-      // behavior match the cluster path (one file + index per map task)
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      // JVM case mappings, not ICU (the Spark 4 default): lower() via ICU
-      // full case mapping was the hottest sampled frame across the text
-      // family, and every tokenizer here discards non-[a-z0-9] right after
-      // lowercasing, so the mappings agree wherever the engine looks;
-      // ASCII corpora take UTF8String's vectorized fast path either way
-      // only with ICU off (pre-4.0 behavior)
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession.builder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
