@@ -241,6 +241,17 @@ object ScaleProbe {
         col("l_extendedprice"), col("l_discount"))
     }.reduce(_ unionAll _).repartition(parts)
 
+  /** "Is an original base-snapshot doc" over an EXPLODED augmented corpus
+    * — the IncrementalDedup base/delta rule made shift-aware, shared by
+    * the dedup_incremental and docs_split_incremental probe entries:
+    * explodeDocs shifts ids by i·1e8, so "is an original" must read
+    * id mod 1e8 (the augment copy offsets are below that); the 1e8 shift
+    * is ≡ 0 mod DeltaMod, so the %4 split replicates per block.
+    */
+  def isBaseSnapshot: org.apache.spark.sql.Column =
+    (col("doc_id") % 100000000L) < DedupCorpus.ExactDupOffset &&
+      col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0
+
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     require(k <= EmbeddingDims,
       s"explodeEmbeddings: k=$k exceeds the $EmbeddingDims-dim fixture — " +
@@ -396,15 +407,10 @@ object ScaleProbe {
         graft.graphs.PageRank.ranks(
           explodeEvents(events0, k, partsFor("graph_pagerank", k)))),
       "dedup_incremental" -> (k => {
-        // explodeDocs shifts ids by i·1e8, so "is an original" must read
-        // id mod 1e8 (the augment copy offsets are below that); the 1e8
-        // shift is ≡ 0 mod DeltaMod, so the %4 split replicates per block
         val aug = DedupCorpus.augment(explodeDocs(docs0, k))
-        val isBase = (col("doc_id") % 100000000L) < DedupCorpus.ExactDupOffset &&
-          col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0
         graft.dedup.IncrementalDedup.matchesFrom(
-          MinHashLSH.signatures(aug.filter(isBase)).localCheckpoint(false),
-          MinHashLSH.signatures(aug.filter(!isBase)).localCheckpoint(false))
+          MinHashLSH.signatures(aug.filter(isBaseSnapshot)).localCheckpoint(false),
+          MinHashLSH.signatures(aug.filter(!isBaseSnapshot)).localCheckpoint(false))
       }),
       "docs_global_shuffle" -> (k =>
         graft.text.GlobalShuffle.positions(explodeDocs(docs0, k))),
@@ -507,14 +513,12 @@ object ScaleProbe {
       // super-linear term on top of the already-probed cluster layer.
       "docs_split_incremental" -> (k => {
         val full = DedupCorpus.augment(explodeDocs(docs0, k))
-        val prior = full.filter(
-          col("doc_id") % 100000000L < DedupCorpus.ExactDupOffset &&
-            col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0)
+        // prior assignment via DataSplit.assign — the SAME derivation the
+        // declared query's saved artifact uses (review: an inline re-spell
+        // would silently diverge if assign's pair derivation changes)
         graft.dedup.DataSplit.assignIncremental(
           full,
-          graft.dedup.DataSplit.assignWithPairs(
-            prior,
-            MinHashLSH.nearDupPairs(MinHashLSH.signatures(prior)))
+          graft.dedup.DataSplit.assign(full.filter(isBaseSnapshot))
             .select(col("doc_id"), col("split")))
       }))
 
