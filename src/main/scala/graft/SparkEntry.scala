@@ -798,6 +798,15 @@ object SparkEntry {
     "docs_decontaminated_bloom" -> ((s, dir) =>
       graft.text.Decontaminate.cleanBloom(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // FUZZY decontamination (GPT-3 App. C / PaLM practice): a train doc
+    // that MinHash-near-duplicates a benchmark doc is dropped even with
+    // zero literal 8-grams shared — pure composition over the probed
+    // near-dup pair family; runs on the augmented corpus where injected
+    // copies of benchmark docs are exactly the paraphrased-leak shape
+    "docs_decontaminated_fuzzy" -> ((s, dir) =>
+      graft.text.Decontaminate.cleanFuzzy(
+        DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // batch replay of the STREAMING per-row bloom form (exists over the
     // in-row shingle array — stateless, append-mode-legal): same clean set
     // as the explode path, pinned through the SAME oracle SQL, so the two
@@ -1257,6 +1266,7 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_chunks" -> graft.text.Chunker.chunksOracleSql(),

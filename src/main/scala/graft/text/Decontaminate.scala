@@ -112,6 +112,72 @@ object Decontaminate {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** FUZZY decontamination — the NEAR-DUPLICATE twin of [[clean]] (the
+    * GPT-3 Appendix-C / PaLM practice): an exact shared n-gram catches
+    * verbatim leakage, but a lightly paraphrased or truncated copy of an
+    * eval document slips through with zero literal 8-grams in common —
+    * and still leaks the answer. Here a training document is contaminated
+    * when it MinHash-NEAR-DUPLICATES a benchmark document
+    * ([[graft.dedup.MinHashLSH.nearDupPairs]], Jaccard ≥ 0.5 estimated
+    * over 16 signature components), the same banded-LSH machinery the
+    * dedup family runs — so this query is pure composition: pair table →
+    * keep only pairs CROSSING the bench/train boundary → anti-join the
+    * flagged train side out.
+    *
+    * Input is the AUGMENTED corpus (the dedup fixture convention), where
+    * the benchmark slice is the ORIGINALS with `doc_id % benchEvery = 0`
+    * — copies (ids ≥ [[graft.dedup.DedupCorpus.ExactDupOffset]]) always
+    * play the training role, so injected copies of benchmark docs are
+    * exactly the paraphrased-leak shape this operator exists to catch
+    * (spec pins they're dropped while [[clean]]'s gram test also catches
+    * only the verbatim ones).
+    *
+    * Scale shape: rides the probed pair family end-to-end (banded
+    * buckets, skew caps, star fallback); the boundary filter and
+    * anti-join are id-only. At 100 TB the asymmetry (tiny benchmark ×
+    * huge corpus) makes the pair table's bench-crossing slice small, and
+    * the candidate join only ever pairs docs sharing a band key — no
+    * bench×corpus product anywhere.
+    */
+  def cleanFuzzy(corpus: DataFrame, benchEvery: Long = BenchEvery): DataFrame = {
+    import graft.dedup.{DedupCorpus, MinHashLSH}
+    def isBench(id: org.apache.spark.sql.Column) =
+      id < DedupCorpus.ExactDupOffset && id % benchEvery === 0
+    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
+    val contaminated = pairs
+      .filter(isBench(col("doc_a")) =!= isBench(col("doc_b")))
+      .select(when(isBench(col("doc_a")), col("doc_b"))
+        .otherwise(col("doc_a")).as("doc_id"))
+      .distinct()
+    corpus
+      .filter(!isBench(col("doc_id")))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** DuckDB oracle for [[cleanFuzzy]] over the augmented corpus: the
+    * shared pair-table SQL, the same boundary predicate, the same
+    * anti-join.
+    */
+  def cleanFuzzyOracleSql(benchEvery: Long = BenchEvery): String = {
+    import graft.dedup.{DedupCorpus, MinHashLSH}
+    val off = DedupCorpus.ExactDupOffset
+    def isBench(id: String) = s"($id < $off AND $id % $benchEvery = 0)"
+    s"""WITH pairs AS (${MinHashLSH.nearDupPairsOracleSql()}),
+       |corpus AS (${DedupCorpus.augmentSql}),
+       |contaminated AS (
+       |  SELECT DISTINCT CASE WHEN ${isBench("doc_a")} THEN doc_b
+       |                       ELSE doc_a END AS doc_id
+       |  FROM pairs
+       |  WHERE ${isBench("doc_a")} <> ${isBench("doc_b")}
+       |)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+       |FROM corpus c
+       |WHERE NOT ${isBench("c.doc_id")}
+       |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** The benchmark slice's Bloom bit table — the STATIC ARTIFACT half of
     * the bloom path (built once by the batch pipeline; `m/8` bytes of
     * driver metadata), shared by [[cleanBloom]] and the streaming twin.

@@ -101,4 +101,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(vals === vals.sorted) // monotone
     vals.foreach(m => assert((1L << m) >= 0 && m >= MinMLog && m <= MaxMLog))
   }
+
+  test("fuzzy: injected copies of benchmark docs are dropped; bench docs never appear") {
+    assumeTestdata(sf001)
+    import graft.dedup.DedupCorpus
+    val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
+    val kept = Decontaminate.cleanFuzzy(corpus)
+      .collect().map(_.getLong(0)).toSet
+    // benchmark originals (id < ExactDupOffset, id % 50 == 0) are the eval
+    // set — never part of the training output
+    assert(kept.forall(id =>
+      !(id < DedupCorpus.ExactDupOffset && id % Decontaminate.BenchEvery == 0)))
+    // every AUGMENT copy of a benchmark doc is a train-side near-duplicate
+    // of an eval doc — the paraphrased-leak shape — and must be dropped:
+    // exact copies exist for id % 7 == 0, near-dup copies for id % 11 == 0
+    val origIds = Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val benchIds = origIds.filter(_ % Decontaminate.BenchEvery == 0).toSet
+    val leakCopies =
+      benchIds.filter(_ % 7 == 0).map(_ + DedupCorpus.ExactDupOffset) ++
+        benchIds.filter(_ % 11 == 0).map(_ + DedupCorpus.NearDupOffset)
+    assert(leakCopies.nonEmpty, "fixture lost its injected bench copies")
+    val leaked = leakCopies.filter(kept)
+    assert(leaked.isEmpty, s"near-dup leaks of eval docs survived: $leaked")
+    // and the cleaner is not degenerate: the bulk of the train corpus
+    // (no pair to any bench doc) survives
+    assert(kept.size > origIds.length / 2)
+  }
 }
