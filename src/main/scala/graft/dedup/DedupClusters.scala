@@ -387,14 +387,14 @@ object DedupClusters {
     * iterative propagation; [[DataSplit]] builds its verdict oracles on the
     * same clusters).
     */
-  private[dedup] def reachCtes: String = reachCtesFor(DedupCorpus.augmentSql)
+  private[graft] def reachCtes: String = reachCtesFor(DedupCorpus.augmentSql)
 
   /** [[reachCtes]] over an ARBITRARY corpus SQL (doc_id, text) — the seam
     * [[DataSplit.assignIncrementalOracleSql]] uses to replay the SAVED
     * snapshot's clusters (the base corpus) inside the same query that
     * clusters the new snapshot.
     */
-  private[dedup] def reachCtesFor(corpusSql: String): String = {
+  private[graft] def reachCtesFor(corpusSql: String): String = {
     val pairsSql = MinHashLSH.nearDupPairsOracleSqlCorpus(corpusSql)
     s"""WITH RECURSIVE pairs AS ($pairsSql),
        |corpus AS ($corpusSql),

@@ -124,59 +124,85 @@ object Decontaminate {
     * keep only pairs CROSSING the bench/train boundary → anti-join the
     * flagged train side out.
     *
+    * Contamination is decided by CLUSTER, not by direct pair: a training
+    * document is dropped when its near-dup CONNECTED COMPONENT contains
+    * any benchmark document. This matters at scale (review finding): the
+    * pair family's over-cap star fallback guarantees CONNECTIVITY of a
+    * hot bucket, not pairwise completeness — in a >MaxBucket cluster of a
+    * benchmark doc, only the min-id representative gets a direct
+    * bench-crossing pair, and a direct-pair test would silently keep
+    * every other contaminated member. Cluster membership is transitively
+    * closed, so the star topology (and any chain of paraphrases
+    * bench → copy → copy-of-copy) is caught — also the conservative
+    * standard: a doc near-dupping a contaminated doc is contaminated.
+    *
     * Input is the AUGMENTED corpus (the dedup fixture convention), where
     * the benchmark slice is the ORIGINALS with `doc_id % benchEvery = 0`
-    * — copies (ids ≥ [[graft.dedup.DedupCorpus.ExactDupOffset]]) always
-    * play the training role, so injected copies of benchmark docs are
-    * exactly the paraphrased-leak shape this operator exists to catch
-    * (spec pins they're dropped while [[clean]]'s gram test also catches
-    * only the verbatim ones).
+    * — copies always play the training role, so injected copies of
+    * benchmark docs are exactly the paraphrased-leak shape this operator
+    * exists to catch. The "is an original" test is shift-aware
+    * (`id mod 1e8`, the [[graft.tools.ScaleProbe.isBaseSnapshot]]
+    * convention) so the bench-slice definition survives the probe's
+    * id-block explosion.
     *
-    * Scale shape: rides the probed pair family end-to-end (banded
-    * buckets, skew caps, star fallback); the boundary filter and
-    * anti-join are id-only. At 100 TB the asymmetry (tiny benchmark ×
-    * huge corpus) makes the pair table's bench-crossing slice small, and
-    * the candidate join only ever pairs docs sharing a band key — no
-    * bench×corpus product anywhere.
+    * Scale shape: the probed pair family end-to-end, then the probed CC
+    * machinery ([[graft.dedup.DedupClusters.components]]); everything
+    * after is id-only (a distinct rep set anti-joined back). The corpus
+    * is materialized once for its two consumers (signatures, final
+    * projection).
     */
   def cleanFuzzy(corpus: DataFrame, benchEvery: Long = BenchEvery): DataFrame = {
-    import graft.dedup.{DedupCorpus, MinHashLSH}
-    def isBench(id: org.apache.spark.sql.Column) =
-      id < DedupCorpus.ExactDupOffset && id % benchEvery === 0
-    val pairs = MinHashLSH.nearDupPairs(MinHashLSH.signatures(corpus))
-    val contaminated = pairs
-      .filter(isBench(col("doc_a")) =!= isBench(col("doc_b")))
-      .select(when(isBench(col("doc_a")), col("doc_b"))
-        .otherwise(col("doc_a")).as("doc_id"))
-      .distinct()
-    corpus
-      .filter(!isBench(col("doc_id")))
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    import graft.dedup.MinHashLSH
+    val c = corpus.localCheckpoint(false)
+    cleanFuzzyWithPairs(
+      c, MinHashLSH.nearDupPairs(MinHashLSH.signatures(c)), benchEvery)
   }
 
-  /** DuckDB oracle for [[cleanFuzzy]] over the augmented corpus: the
-    * shared pair-table SQL, the same boundary predicate, the same
-    * anti-join.
+  /** [[cleanFuzzy]] with an injected pair graph (the
+    * [[graft.dedup.DedupClusters.cleanedWithPairs]] seam): the decision
+    * layer is pair-source-agnostic, and the spec drives it with the exact
+    * over-cap star topology the cluster semantics exist for.
     */
-  def cleanFuzzyOracleSql(benchEvery: Long = BenchEvery): String = {
-    import graft.dedup.{DedupCorpus, MinHashLSH}
-    val off = DedupCorpus.ExactDupOffset
-    def isBench(id: String) = s"($id < $off AND $id % $benchEvery = 0)"
-    s"""WITH pairs AS (${MinHashLSH.nearDupPairsOracleSql()}),
-       |corpus AS (${DedupCorpus.augmentSql}),
-       |contaminated AS (
-       |  SELECT DISTINCT CASE WHEN ${isBench("doc_a")} THEN doc_b
-       |                       ELSE doc_a END AS doc_id
-       |  FROM pairs
-       |  WHERE ${isBench("doc_a")} <> ${isBench("doc_b")}
-       |)
-       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
-       |FROM corpus c
-       |WHERE NOT ${isBench("c.doc_id")}
-       |  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
-       |ORDER BY c.doc_id""".stripMargin
+  def cleanFuzzyWithPairs(
+      corpus: DataFrame, pairs: DataFrame, benchEvery: Long = BenchEvery): DataFrame = {
+    import graft.dedup.DedupClusters
+    val comps = DedupClusters.components(corpus, pairs) // (doc_id, rep), total
+    val badReps = comps.filter(isBenchCol(col("doc_id"), benchEvery))
+      .select(col("rep")).distinct()
+    comps
+      .filter(!isBenchCol(col("doc_id"), benchEvery))
+      .join(badReps, Seq("rep"), "left_anti")
+      .join(corpus.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
   }
+
+  /** Shift-aware benchmark predicate (Column / SQL twins): an ORIGINAL
+    * (base id mod 1e8 below the augment offsets) whose id hits the
+    * benchEvery stride.
+    */
+  private def isBenchCol(
+      id: org.apache.spark.sql.Column, benchEvery: Long): org.apache.spark.sql.Column =
+    (id % 100000000L) < graft.dedup.DedupCorpus.ExactDupOffset &&
+      id % benchEvery === 0
+  private def isBenchSql(id: String, benchEvery: Long): String =
+    s"(($id % 100000000) < ${graft.dedup.DedupCorpus.ExactDupOffset} " +
+      s"AND $id % $benchEvery = 0)"
+
+  /** DuckDB oracle for [[cleanFuzzy]] over the augmented corpus: the
+    * shared recursive-reachability clusters, the same shift-aware bench
+    * predicate, the same contaminated-rep anti-join.
+    */
+  def cleanFuzzyOracleSql(benchEvery: Long = BenchEvery): String =
+    graft.dedup.DedupClusters.reachCtes +
+      s""",
+         |dec AS (SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node),
+         |bad AS (SELECT DISTINCT rep FROM dec WHERE ${isBenchSql("doc_id", benchEvery)})
+         |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+         |FROM corpus c JOIN dec ON dec.doc_id = c.doc_id
+         |WHERE NOT ${isBenchSql("c.doc_id", benchEvery)}
+         |  AND dec.rep NOT IN (SELECT rep FROM bad)
+         |ORDER BY c.doc_id""".stripMargin
 
   /** The benchmark slice's Bloom bit table — the STATIC ARTIFACT half of
     * the bloom path (built once by the batch pipeline; `m/8` bytes of

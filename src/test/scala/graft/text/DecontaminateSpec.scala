@@ -128,4 +128,23 @@ class DecontaminateSpec extends SparkSpec {
     // (no pair to any bench doc) survives
     assert(kept.size > origIds.length / 2)
   }
+
+  test("fuzzy: cluster semantics survive the over-cap star topology (review scenario)") {
+    import spark.implicits._
+    // The pair family's star fallback connects an over-cap bucket through
+    // its min-id representative ONLY — bench doc 50 pairs with rep 1, and
+    // train members 2..9 pair with rep 1, never directly with 50. A
+    // direct-pair contamination test keeps 2..9 (the recall hole the
+    // review found); the cluster test drops the whole component.
+    val ids = Seq(50L) ++ (1L to 9L) ++ Seq(60L, 61L) // 60,61: clean 2-cluster
+    val corpus = ids.map(id => (id, s"text of $id")).toDF("doc_id", "text")
+    val star = Seq((1L, 50L)) ++ (2L to 9L).map(m => (1L, m))
+    val pairs = (star :+ ((60L, 61L))).toDF("doc_a", "doc_b")
+    val kept = Decontaminate.cleanFuzzyWithPairs(corpus, pairs)
+      .collect().map(_.getLong(0)).toSet
+    // bench doc 50 excluded by role; its whole star cluster {1..9} dropped
+    // as contaminated; the unrelated 2-cluster survives
+    assert(kept === Set(60L, 61L),
+      s"star members leaked past cluster decontamination: ${kept -- Set(60L, 61L)}")
+  }
 }
