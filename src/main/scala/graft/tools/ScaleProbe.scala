@@ -139,7 +139,13 @@ object ScaleProbe {
       ("runs under familyConf broadcast-threshold=-1 (static AND adaptive): " +
         "the only regime where the correlated sample's both-exchanges-cut-xp " +
         "claim executes; the exchange byte ratio vs the exact plan is pinned " +
-        "by JoinSampledSpec, this row pins linear CPU of the sort-merge plan"))
+        "by JoinSampledSpec, this row pins linear CPU of the sort-merge plan"),
+    "docs_split_incremental" ->
+      ("StageCpu 8/32 (r15): stage CPU 55.9->198.5s = 3.55 vs linear 4.0, " +
+        "non-deser stage CPU 38.7->55.1s = 1.42 — plan work sub-linear; the " +
+        "process-CPU 4.41 excess is task deserialization (17.2->143.4s, the " +
+        "k-branch union fixture term, the dedup_minhash_pairs signature) " +
+        "plus driver-side planning of the doubled CC loop (56->113s)"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
