@@ -841,6 +841,15 @@ object SparkEntry {
     "docs_importance_resampled" -> ((s, dir) =>
       graft.sampling.ImportanceResample.resample(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // fixed-size weighted sampling without replacement (Efraimidis-
+    // Spirakis A-ES via integer max-of-w-uniforms keys; distributed
+    // two-level rank, in-plan k — no GlobalLimit funnel)
+    "docs_weighted_sample" -> ((s, dir) =>
+      graft.sampling.WeightedSampled.sample(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+    "docs_weighted_sample_summary" -> ((s, dir) =>
+      graft.sampling.WeightedSampled.summary(Tables.documents(s, dir))
+        .orderBy("source")),
     // deterministic global training-order shuffle (range-partitioned
     // two-level rank — no single-task sort/window) + its shard manifest
     "docs_global_shuffle" -> ((s, dir) =>
@@ -1273,6 +1282,8 @@ object SparkEntry {
     "events_seq_funnel" -> graft.operators.SequenceFunnel.funnelOracleSql,
     "docs_quality_deciles" -> graft.text.QualityDeciles.profileOracleSql,
     "docs_importance_scores" -> graft.sampling.ImportanceResample.scoresOracleSql,
+    "docs_weighted_sample" -> graft.sampling.WeightedSampled.sampleOracleSql(),
+    "docs_weighted_sample_summary" -> graft.sampling.WeightedSampled.summaryOracleSql(),
     "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
     "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
     "docs_shuffle_manifest" -> graft.text.GlobalShuffle.shardManifestOracleSql(),

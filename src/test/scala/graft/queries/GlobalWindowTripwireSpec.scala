@@ -35,6 +35,8 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     "docs_training_shard", "docs_training_shard_neardup", "docs_shard_summary",
     // RangeRank global rank via per-partition offsets
     "docs_global_shuffle", "docs_shuffle_manifest", "docs_quality_deciles",
+    // WeightedSampled rank-then-cut rides the same RangeRank offset frame
+    "docs_weighted_sample", "docs_weighted_sample_summary",
     // KMV window spelling: top-k over per-group hashes, grouped frame is
     // the partition column set — flagged only where the group count is 1
     "text_vocab_kmv")
