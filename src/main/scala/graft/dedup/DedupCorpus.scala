@@ -16,6 +16,15 @@ object DedupCorpus {
   val ExactDupOffset = 100000L
   val NearDupOffset = 200000L
 
+  /** Id-block size of the scale probe's ×k explodes: copy i of a doc gets
+    * id + i·IdBlock, so "the base id" of any exploded row is id mod
+    * IdBlock. Every shift-aware predicate (the probe's base-snapshot
+    * rule, [[graft.text.Decontaminate]]'s bench slice) and every explode
+    * helper must share THIS constant — four independent 1e8 literals had
+    * already accumulated before it was named (review r15).
+    */
+  val IdBlock = 100000000L
+
   /** documents ∪ exact copies (doc_id % 7 = 0, id + 100000) ∪ near copies
     * with the last two words dropped (doc_id % 11 = 0, id + 200000).
     */

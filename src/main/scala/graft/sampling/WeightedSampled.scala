@@ -133,11 +133,15 @@ object WeightedSampled {
     * broadcast.
     */
   def summary(docs: DataFrame): DataFrame = {
-    val sel = rankedWithK(docs).filter(col("pos") <= col("__k"))
-    val bySel = sel.groupBy("source").agg(
+    // ONE ranked frame for both sides: its RangeRank core is
+    // localCheckpointed, so the selected and corpus aggregates share the
+    // scan + key computation instead of re-keying the corpus (review r15
+    // — at the 100 TB design point the second scan would dominate)
+    val ranked = rankedWithK(docs)
+    val bySel = ranked.filter(col("pos") <= col("__k")).groupBy("source").agg(
       count(lit(1)).as("n_sel"),
       sum(col("w")).as("w_sel"))
-    val byAll = keyed(docs).groupBy("source").agg(
+    val byAll = ranked.groupBy("source").agg(
       count(lit(1)).as("n_src"),
       sum(col("w")).as("w_src"))
     byAll.join(broadcast(bySel), Seq("source"), "left")

@@ -178,16 +178,21 @@ object Decontaminate {
   }
 
   /** Shift-aware benchmark predicate (Column / SQL twins): an ORIGINAL
-    * (base id mod 1e8 below the augment offsets) whose id hits the
-    * benchEvery stride.
+    * (base id mod [[graft.dedup.DedupCorpus.IdBlock]] below the augment
+    * offsets) whose BASE id hits the benchEvery stride. The stride is
+    * taken on the base id, not the raw id: a raw-id stride only keeps a
+    * consistent bench slice across the probe's id blocks when benchEvery
+    * divides the block size (true of the default 50, but the parameter is
+    * public API — review r15).
     */
   private def isBenchCol(
-      id: org.apache.spark.sql.Column, benchEvery: Long): org.apache.spark.sql.Column =
-    (id % 100000000L) < graft.dedup.DedupCorpus.ExactDupOffset &&
-      id % benchEvery === 0
+      id: org.apache.spark.sql.Column, benchEvery: Long): org.apache.spark.sql.Column = {
+    val base = id % graft.dedup.DedupCorpus.IdBlock
+    base < graft.dedup.DedupCorpus.ExactDupOffset && base % benchEvery === 0
+  }
   private def isBenchSql(id: String, benchEvery: Long): String =
-    s"(($id % 100000000) < ${graft.dedup.DedupCorpus.ExactDupOffset} " +
-      s"AND $id % $benchEvery = 0)"
+    s"(($id % ${graft.dedup.DedupCorpus.IdBlock}) < ${graft.dedup.DedupCorpus.ExactDupOffset} " +
+      s"AND ($id % ${graft.dedup.DedupCorpus.IdBlock}) % $benchEvery = 0)"
 
   /** DuckDB oracle for [[cleanFuzzy]] over the augmented corpus: the
     * shared recursive-reachability clusters, the same shift-aware bench

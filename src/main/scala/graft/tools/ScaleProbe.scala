@@ -89,7 +89,11 @@ object ScaleProbe {
     // r15 (VERDICT r14 item 2): the forced-shuffle join-sampling probe
     // moves 3-4-column TPC-H rows (~30 B each) through both join
     // exchanges — the same tiny-row shape as the events families.
-    "tpch_revenue_monthly_sampled_shuffle" -> ((k: Int) => math.max(32, 4 * k)))
+    "tpch_revenue_monthly_sampled_shuffle" -> ((k: Int) => math.max(32, 4 * k)),
+    // r15 continuation: the A-ES weighted sample ranks (doc_id, source,
+    // n_chars) rows (~30 B) through RangeRank's range exchange — tiny-row
+    // regime for the same M·R-constant reason.
+    "docs_weighted_sample" -> ((k: Int) => math.max(32, 4 * k)))
 
   /** Partition count for `family` at factor `k` (default 32·k). */
   def partsFor(family: String, k: Int): Int =
@@ -158,7 +162,7 @@ object ScaleProbe {
   def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
     (0 until k).map { i =>
       docs.select(
-        Seq((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id")) ++
+        Seq((col("doc_id") + lit(i.toLong * DedupCorpus.IdBlock)).as("doc_id")) ++
           carry.map(col) :+
           // (?i): uppercase token runs must get the per-copy suffix too —
           // Hashing.words lowercases before tokenizing, so an unsuffixed
@@ -250,13 +254,42 @@ object ScaleProbe {
   /** "Is an original base-snapshot doc" over an EXPLODED augmented corpus
     * — the IncrementalDedup base/delta rule made shift-aware, shared by
     * the dedup_incremental and docs_split_incremental probe entries:
-    * explodeDocs shifts ids by i·1e8, so "is an original" must read
-    * id mod 1e8 (the augment copy offsets are below that); the 1e8 shift
-    * is ≡ 0 mod DeltaMod, so the %4 split replicates per block.
+    * explodeDocs shifts ids by i·[[DedupCorpus.IdBlock]], so "is an
+    * original" must read id mod IdBlock (the augment copy offsets are
+    * below that); the block shift is ≡ 0 mod DeltaMod, so the %4 split
+    * replicates per block.
     */
   def isBaseSnapshot: org.apache.spark.sql.Column =
-    (col("doc_id") % 100000000L) < DedupCorpus.ExactDupOffset &&
+    (col("doc_id") % DedupCorpus.IdBlock) < DedupCorpus.ExactDupOffset &&
       col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod =!= 0
+
+  /** The docs_split_incremental pipeline at factor k — ONE definition
+    * shared by the probe entry and [[StageCpu]]'s stage diagnosis (review
+    * r15: a re-spell in StageCpu would silently measure a different plan
+    * than the sweep it attributes): the prior assignment is DERIVED in
+    * the same run via DataSplit.assign over the base snapshot, then the
+    * full exploded corpus inherits through it.
+    */
+  def splitIncrementalAt(docs0: DataFrame, k: Int): DataFrame = {
+    val full = DedupCorpus.augment(explodeDocs(docs0, k))
+    graft.dedup.DataSplit.assignIncremental(
+      full,
+      graft.dedup.DataSplit.assign(full.filter(isBaseSnapshot))
+        .select(col("doc_id"), col("split")))
+  }
+
+  /** ×k narrow-column documents (doc_id + `carry`, NO text): for families
+    * that read only metadata columns, [[explodeDocs]]' per-copy token
+    * rewrite would add fixture CPU unrelated to the plan under test.
+    * Shifted ids give every copy independent hash draws.
+    */
+  def explodeDocsNarrow(
+      docs: DataFrame, k: Int, parts: Int, carry: Seq[String]): DataFrame =
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * DedupCorpus.IdBlock)).as("doc_id") +:
+          carry.map(col): _*)
+    }.reduce(_ unionAll _).repartition(parts)
 
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     require(k <= EmbeddingDims,
@@ -517,16 +550,21 @@ object ScaleProbe {
       // per-cluster argmin. Everything past the CCs is (id, verdict)
       // columns; linearity here pins that the inherit machinery adds no
       // super-linear term on top of the already-probed cluster layer.
-      "docs_split_incremental" -> (k => {
-        val full = DedupCorpus.augment(explodeDocs(docs0, k))
-        // prior assignment via DataSplit.assign — the SAME derivation the
-        // declared query's saved artifact uses (review: an inline re-spell
-        // would silently diverge if assign's pair derivation changes)
-        graft.dedup.DataSplit.assignIncremental(
-          full,
-          graft.dedup.DataSplit.assign(full.filter(isBaseSnapshot))
-            .select(col("doc_id"), col("split")))
-      }))
+      // prior assignment via DataSplit.assign — the SAME derivation the
+      // declared query's saved artifact uses; the pipeline itself is the
+      // one [[splitIncrementalAt]] definition StageCpu also diagnoses
+      "docs_split_incremental" -> (k => splitIncrementalAt(docs0, k)),
+      // r15 continuation: the A-ES weighted sample — per-row work is
+      // w bounded md5 draws (linear), then RangeRank's two-level rank
+      // (one range exchange + per-partition window + a parts-row offset
+      // aggregate) and the in-plan count cut. Narrow fixture: the
+      // operator reads only (doc_id, source, n_chars).
+      "docs_weighted_sample" -> (k =>
+        graft.sampling.WeightedSampled.sample(
+          explodeDocsNarrow(
+            Tables.documents(spark, sfDir), k,
+            partsFor("docs_weighted_sample", k),
+            carry = Seq("source", "n_chars")))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall

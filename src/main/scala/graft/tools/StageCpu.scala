@@ -55,16 +55,11 @@ object StageCpu {
         graft.operators.Sessionize.sessions(
           ScaleProbe.explodeEvents(graft.queries.Tables.events(spark, sfDir), k, parts))
       }
-      case "docs_split_incremental" => k => {
-        // mirror the probe entry exactly: prior assignment derived in the
-        // same run via DataSplit.assign over the base snapshot
-        val full = DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k))
-        graft.dedup.DataSplit.assignIncremental(
-          full,
-          graft.dedup.DataSplit.assign(full.filter(ScaleProbe.isBaseSnapshot))
-            .select(org.apache.spark.sql.functions.col("doc_id"),
-              org.apache.spark.sql.functions.col("split")))
-      }
+      case "docs_split_incremental" => k =>
+        // the ONE shared pipeline definition (review r15): diagnosing a
+        // re-spelled copy could silently measure a different plan than
+        // the sweep it attributes
+        ScaleProbe.splitIncrementalAt(docs0, k)
       case q if graft.SparkEntry.queries.contains(q) => _ =>
         graft.SparkEntry.queries(q)(spark, sfDir)
       case other => sys.error(s"family not wired for stage diagnosis: $other")
