@@ -743,6 +743,20 @@ object SparkEntry {
       graft.sampling.KmvSketch.distinctEstimate(
         toks, lit("all"), col("w"), graft.sampling.KmvSketch.VocabK)
     }),
+    // cross-source vocabulary overlap (union/intersection/Jaccard) from
+    // the per-source bottom-k sketches alone — KMV set algebra (Beyer'07
+    // §5): the corpus is touched once; the pairwise math runs on the
+    // |sources|-row sketch frame
+    "text_source_jaccard_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.explode
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.dedup.Hashing.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      graft.sampling.KmvSketch.pairwiseOverlap(
+        toks, col("source"), col("w"), graft.sampling.KmvSketch.VocabK)
+        .orderBy("src_a", "src_b")
+    }),
     "events_cube" -> ((s, dir) =>
       RQ.eventCube(Tables.events(s, dir))
         .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)),
@@ -1216,6 +1230,13 @@ object SparkEntry {
     "text_vocab_kmv" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
       """SELECT 'all' AS g, t AS w
         |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''""".stripMargin,
+      "g", "w", graft.sampling.KmvSketch.VocabK),
+    "text_source_jaccard_kmv" -> graft.sampling.KmvSketch.pairwiseOverlapOracleSql(
+      """SELECT source AS g, t AS w
+        |  FROM (SELECT source,
+        |               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
         |        FROM documents)
         |  WHERE t <> ''""".stripMargin,
       "g", "w", graft.sampling.KmvSketch.VocabK),

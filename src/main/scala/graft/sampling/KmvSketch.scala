@@ -106,6 +106,106 @@ object KmvSketch {
       .orderBy("grp")
   }
 
+  /** KMV SET ALGEBRA (Beyer et al. SIGMOD 2007 §5): estimate every
+    * source pair's vocabulary overlap — union size, intersection size,
+    * Jaccard — from the per-group bottom-k sketches ALONE. The combined
+    * sketch L = bottom-k(L_A ∪ L_B) is a valid KMV sketch of A ∪ B
+    * (any element of a saturated source missing from its sketch exceeds
+    * that sketch's max, which is ≥ the union's k-th minimum, so the true
+    * bottom-k of A ∪ B is always inside L_A ∪ L_B; an unsaturated
+    * sketch is the complete set), and the match fraction
+    * ρ = |L ∩ L_A ∩ L_B| / |L| is an unbiased Jaccard estimator, so
+    *
+    *   Ĵ = ρ,   D̂_∪ = (k−1)·M ∕ h₍ₖ₎,   D̂_∩ = ρ · D̂_∪
+    *
+    * — all integer, all replayed by the oracle. When |L| < k both
+    * sketches were complete sets and every figure is EXACT.
+    *
+    * Scale shape — the whole point at 100 TB: the corpus is touched once
+    * by the `bottom_k` partial aggregate (exchange carries |groups|·k
+    * longs); the pairwise algebra runs on the |groups|-row sketch frame
+    * (broadcast self-join + per-pair array math over ≤ 2k elements), so
+    * cross-source overlap costs no token-level join at all — the exact
+    * alternative shuffles the full (source, token) domain against itself.
+    * The |pairs| = |groups|² output is the intended regime: source-level
+    * group counts (tens to thousands), not per-user cardinalities.
+    */
+  def pairwiseOverlap(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 512, "k must be in [2, 512] (numerator overflow bound)")
+    val sk = df
+      .select(group.as("grp"),
+        Hashing.hash60(concat(lit(Salt), elem.cast("string"))).as("h60"))
+      .select(col("grp"), expr("h60 div 64").as("h"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("arr"))
+    val pairs = sk.select(col("grp").as("src_a"), col("arr").as("xa"))
+      .join(broadcast(sk.select(col("grp").as("src_b"), col("arr").as("ya"))),
+        col("src_a") < col("src_b"))
+    pairs
+      .select(
+        col("src_a"), col("src_b"),
+        slice(array_sort(array_union(col("xa"), col("ya"))), 1, k).as("u"),
+        array_intersect(col("xa"), col("ya")).as("bo"))
+      .select(
+        col("src_a"), col("src_b"),
+        size(col("u")).cast("long").as("un"),
+        element_at(col("u"), size(col("u"))).as("kth"),
+        col("bo"))
+      // members of L are exactly the union elements ≤ its k-th minimum
+      // (u is deduped and sorted), so the match count is a bounded-array
+      // filter — ≤ k elements per PAIR row, not per corpus row, so the
+      // interpreted HOF is metadata-cost here
+      .withColumn("m",
+        size(filter(col("bo"), e => e <= col("kth"))).cast("long"))
+      .withColumn("est_union",
+        when(col("un") < k, col("un"))
+          .otherwise(expr(s"(${k - 1} * ${Mod54}L) div greatest(kth, 1L)")))
+      .select(
+        col("src_a"), col("src_b"), col("est_union"),
+        expr("(m * est_union) div un").as("est_intersect"),
+        expr("(1000 * m) div un").as("jaccard_permille"))
+  }
+
+  /** DuckDB replay of [[pairwiseOverlap]] over a (group, elem) projection
+    * — same sketches, same combined-sketch algebra, same integer
+    * estimators.
+    */
+  def pairwiseOverlapOracleSql(
+      fromSql: String, groupCol: String, elemExpr: String, k: Int): String = {
+    val hash = Hashing.hash60Sql(s"'$Salt' || $elemExpr")
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT $groupCol AS grp, ($hash) // 64 AS h
+       |  FROM ($fromSql)
+       |),
+       |b AS (
+       |  SELECT grp, h FROM hashed
+       |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= $k
+       |),
+       |sk AS (SELECT grp, list(h ORDER BY h) AS arr FROM b GROUP BY grp),
+       |p AS (
+       |  SELECT x.grp AS src_a, y.grp AS src_b,
+       |         list_sort(list_distinct(x.arr || y.arr))[1:$k] AS u,
+       |         list_intersect(x.arr, y.arr) AS bo
+       |  FROM sk x JOIN sk y ON x.grp < y.grp
+       |),
+       |d AS (
+       |  SELECT src_a, src_b,
+       |         CAST(len(u) AS BIGINT) AS un, u[len(u)] AS kth,
+       |         CAST(len(list_filter(bo, e -> e <= u[len(u)])) AS BIGINT) AS m
+       |  FROM p
+       |),
+       |e AS (
+       |  SELECT src_a, src_b, un, m,
+       |         CASE WHEN un < $k THEN un
+       |              ELSE (${k - 1} * $Mod54) // greatest(kth, 1) END AS est_union
+       |  FROM d
+       |)
+       |SELECT src_a, src_b, est_union,
+       |       (m * est_union) // un AS est_intersect,
+       |       (1000 * m) // un AS jaccard_permille
+       |FROM e ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Oracle SQL for [[distinctEstimate]] over a (group, elem) projection:
     * same salted hash, same bottom-k, same integer estimator.
     */

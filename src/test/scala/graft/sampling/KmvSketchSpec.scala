@@ -84,4 +84,66 @@ class KmvSketchSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("null"))
   }
+
+  test("set algebra, exact regime: unsaturated sketches give exact union/intersection/Jaccard") {
+    val rows = (1 to 10).map(i => ("a", s"e$i")) ++ (6 to 20).map(i => ("b", s"e$i"))
+    val out = KmvSketch.pairwiseOverlap(rows.toDF("g", "e"), col("g"), col("e"), k = 64)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === ("a", "b"))
+    assert(r.getLong(2) === 20L, "exact union") // |{e1..e20}|
+    assert(r.getLong(3) === 5L, "exact intersection") // {e6..e10}
+    assert(r.getLong(4) === 250L, "exact Jaccard permille") // 1000*5//20
+  }
+
+  test("set algebra, saturated regime: combined sketch estimate == direct sketch of the union") {
+    // both sides exceed k, overlap region 1000..2000 — the Beyer'07 claim
+    // under test is that bottom-k(L_A ∪ L_B) is bit-identical to the
+    // sketch built from the union corpus itself, so est_union must EQUAL
+    // the single-group estimate, not just approximate it
+    val k = 32
+    val a = (1L to 2000L).map(i => ("a", i))
+    val b = (1000L to 3000L).map(i => ("b", i))
+    val est = KmvSketch.pairwiseOverlap((a ++ b).toDF("g", "e"), col("g"), col("e"), k)
+      .collect().head.getLong(2)
+    val direct = KmvSketch.distinctEstimateAgg(
+      (a ++ b).map { case (_, e) => ("all", e) }.toDF("g", "e"), col("g"), col("e"), k)
+      .collect().head.getLong(1)
+    assert(est === direct,
+      s"combined-sketch union estimate $est must equal the direct union sketch $direct")
+  }
+
+  test("set algebra on the live corpus: bounds hold and estimates track exact overlap") {
+    assumeTestdata(sf001)
+    val toks = Tables.documents(spark, sf001)
+      .select(col("source"), explode(graft.dedup.Hashing.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val k = KmvSketch.VocabK
+    val est = KmvSketch.pairwiseOverlap(toks, col("source"), col("w"), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact pairwise truth via a (source, token) self-join — affordable at
+    // fixture scale, the cost the sketch exists to avoid at corpus scale
+    val v = toks.distinct().cache()
+    val exact = v.as("x").join(v.as("y"),
+        col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(countDistinct(col("x.w")).as("inter"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = v.groupBy("source").agg(countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = 4.0 / math.sqrt(k.toDouble)
+    est.foreach { case ((a, b), (eu, ei, jp)) =>
+      val inter = exact.getOrElse((a, b), 0L).toDouble
+      val union = sizes(a) + sizes(b) - inter
+      assert(ei <= eu && jp >= 0 && jp <= 1000, s"($a,$b) ordering/range sanity")
+      assert(math.abs(eu - union) / union < bound,
+        s"($a,$b): est_union $eu vs exact $union (bound $bound)")
+      val j = inter / union
+      assert(math.abs(jp - 1000 * j) < 150,
+        s"($a,$b): jaccard_permille $jp vs exact ${1000 * j}")
+    }
+    v.unpersist()
+  }
 }
