@@ -864,6 +864,12 @@ object SparkEntry {
     "docs_weighted_sample_summary" -> ((s, dir) =>
       graft.sampling.WeightedSampled.summary(Tables.documents(s, dir))
         .orderBy("source")),
+    // the streaming reservoir's ingest math replayed in batch: per-shard
+    // top-k then the bounded global merge — equals the plain fixed-k A-ES
+    // selection, so the oracle is the literal-k rank cut
+    "docs_weighted_sample_stream_replay" -> ((s, dir) =>
+      graft.streaming.StreamingWeightedReservoir.replay(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // deterministic global training-order shuffle (range-partitioned
     // two-level rank — no single-task sort/window) + its shard manifest
     "docs_global_shuffle" -> ((s, dir) =>
@@ -1305,6 +1311,8 @@ object SparkEntry {
     "docs_importance_scores" -> graft.sampling.ImportanceResample.scoresOracleSql,
     "docs_weighted_sample" -> graft.sampling.WeightedSampled.sampleOracleSql(),
     "docs_weighted_sample_summary" -> graft.sampling.WeightedSampled.summaryOracleSql(),
+    "docs_weighted_sample_stream_replay" -> graft.sampling.WeightedSampled.sampleKOracleSql(
+      graft.streaming.StreamingWeightedReservoir.ReservoirK),
     "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
     "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
     "docs_shuffle_manifest" -> graft.text.GlobalShuffle.shardManifestOracleSql(),

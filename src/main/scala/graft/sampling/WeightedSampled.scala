@@ -126,6 +126,20 @@ object WeightedSampled {
       .filter(col("pos") <= col("__k"))
       .select(col("doc_id"), col("w"), col("akey"))
 
+  /** Fixed-k variant — the contract a STREAMING reservoir can honor (k
+    * must be known up front; the fraction-of-n cutoff needs the live
+    * count a stream never has). Same keys, same rank machinery, literal
+    * cutoff; [[graft.streaming.StreamingWeightedReservoir]] maintains
+    * this selection incrementally and its replay query gates against
+    * [[sampleKOracleSql]].
+    */
+  def sampleK(docs: DataFrame, k: Int): DataFrame =
+    RangeRank.withPos(
+      keyed(docs).withColumn("__nkey", -col("akey")),
+      Seq("__nkey", "doc_id"))
+      .filter(col("pos") <= k)
+      .select(col("doc_id"), col("w"), col("akey"))
+
   /** Per-source selection report: corpus docs and weight mass vs selected
     * docs and weight mass, plus the per-mille selection rate — the "did
     * the weighting bias the mix the way I intended" readout. All counts
@@ -175,6 +189,23 @@ object WeightedSampled {
   def sampleOracleSql(from: String = "documents"): String =
     s"""WITH ${rankedCteSql(from)}
        |SELECT doc_id, w, akey FROM sel ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[sampleK]] (and the streaming reservoir replay): the
+    * same key CTEs with a literal rank cutoff.
+    */
+  def sampleKOracleSql(k: Int, from: String = "documents"): String = {
+    val w = weightSql("n_chars")
+    s"""WITH wk AS (
+       |  SELECT doc_id, source, $w AS w
+       |  FROM $from),
+       |kk AS (
+       |  SELECT doc_id, w,
+       |         ${drawKeySql("CAST(doc_id AS VARCHAR)", "w")} AS akey
+       |  FROM wk)
+       |SELECT doc_id, w, akey FROM kk
+       |QUALIFY row_number() OVER (ORDER BY akey DESC, doc_id) <= $k
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def summaryOracleSql(from: String = "documents"): String =
     s"""WITH ${rankedCteSql(from)},

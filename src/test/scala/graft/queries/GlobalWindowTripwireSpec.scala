@@ -37,6 +37,9 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     "docs_global_shuffle", "docs_shuffle_manifest", "docs_quality_deciles",
     // WeightedSampled rank-then-cut rides the same RangeRank offset frame
     "docs_weighted_sample", "docs_weighted_sample_summary",
+    // the reservoir replay's final merge: a global window BOUNDED by
+    // Buckets·k survivor rows (configuration-sized, never data-sized)
+    "docs_weighted_sample_stream_replay",
     // KMV window spelling: top-k over per-group hashes, grouped frame is
     // the partition column set — flagged only where the group count is 1
     "text_vocab_kmv")

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+import graft.sampling.WeightedSampled
+
+/** Streaming weighted reservoir vs the batch fixed-k selection: the A-ES
+  * key is a pure per-row function, so the reservoir's final state must
+  * equal the batch top-k BIT-FOR-BIT however the stream is chopped into
+  * micro-batches.
+  */
+class StreamingWeightedReservoirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = StreamingWeightedReservoir.ReservoirK
+
+  test("final reservoir equals the batch fixed-k sample across micro-batches") {
+    assumeTestdata(sf001)
+    val docs = Tables.documents(spark, sf001)
+    val expected = WeightedSampled.sampleK(docs, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    val rows = docs.select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val out = StreamingWeightedReservoir.reservoirs(
+      spark, input.toDF().toDF("doc_id", "source", "n_chars"), K)
+    val query = out.writeStream
+      .format("memory").queryName("wres").outputMode("update").start()
+    try {
+      // three unequal micro-batches — the reservoir must merge, not rescan
+      val (b1, rest) = rows.splitAt(rows.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a shard each time it changes: take the LAST
+      // emission per shard (memory sink preserves arrival order)
+      val lastPerShard = spark.table("wres")
+        .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+        .toMap // later rows overwrite earlier — Map keeps the last
+        .values
+        .map(_.map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).toSeq)
+        .toSeq
+      // per-shard state never exceeds k
+      lastPerShard.foreach(s => assert(s.length <= K))
+      val got = StreamingWeightedReservoir
+        .selectTopK(lastPerShard, K)
+        .map { case (akey, id, w) => (id, w, akey) }
+        .sortBy(_._1)
+      assert(got === expected)
+    } finally query.stop()
+  }
+
+  test("replay query equals the plain fixed-k selection (the oracle identity)") {
+    assumeTestdata(sf001)
+    val docs = Tables.documents(spark, sf001)
+    val replay = StreamingWeightedReservoir.replay(docs, K)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = WeightedSampled.sampleK(docs, K)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replay === plain)
+  }
+
+  test("a late high-key arrival displaces the current minimum (reservoir property)") {
+    val early = (1L to 60L).map(i => (i, "s", 50L)) // w=1 each
+    val late = Seq((1000L, "s", 5000L)) // w=8 — near-certain displacement
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val out = StreamingWeightedReservoir.reservoirs(
+      spark, input.toDF().toDF("doc_id", "source", "n_chars"), 4)
+    val query = out.writeStream
+      .format("memory").queryName("wres_late").outputMode("update").start()
+    try {
+      input.addData(early.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(late.toIndexedSeq: _*)
+      query.processAllAvailable()
+      val lastPerShard = spark.table("wres_late")
+        .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+        .toMap.values
+        .map(_.map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).toSeq).toSeq
+      val sel = StreamingWeightedReservoir.selectTopK(lastPerShard, 4)
+      val expected = WeightedSampled
+        .sampleK((early ++ late).toDF("doc_id", "source", "n_chars"), 4)
+        .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
+      assert(sel.toSet === expected)
+    } finally query.stop()
+  }
+}
