@@ -870,6 +870,12 @@ object SparkEntry {
     "docs_weighted_sample_stream_replay" -> ((s, dir) =>
       graft.streaming.StreamingWeightedReservoir.replay(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // stratified A-ES: per-source quotas derived in-plan from live group
+    // counts (congressional discipline), ranked by ONE global RangeRank —
+    // no per-source single-task sort at any skew
+    "docs_weighted_sample_by_source" -> ((s, dir) =>
+      graft.sampling.WeightedSampled.sampleBySource(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // deterministic global training-order shuffle (range-partitioned
     // two-level rank — no single-task sort/window) + its shard manifest
     "docs_global_shuffle" -> ((s, dir) =>
@@ -1313,6 +1319,8 @@ object SparkEntry {
     "docs_weighted_sample_summary" -> graft.sampling.WeightedSampled.summaryOracleSql(),
     "docs_weighted_sample_stream_replay" -> graft.sampling.WeightedSampled.sampleKOracleSql(
       graft.streaming.StreamingWeightedReservoir.ReservoirK),
+    "docs_weighted_sample_by_source" ->
+      graft.sampling.WeightedSampled.sampleBySourceOracleSql(),
     "docs_importance_resampled" -> graft.sampling.ImportanceResample.resampleOracleSql,
     "docs_global_shuffle" -> graft.text.GlobalShuffle.positionsOracleSql(),
     "docs_shuffle_manifest" -> graft.text.GlobalShuffle.shardManifestOracleSql(),

@@ -140,6 +140,43 @@ object WeightedSampled {
       .filter(col("pos") <= k)
       .select(col("doc_id"), col("w"), col("akey"))
 
+  /** Per-source quota selection — stratified A-ES: within EVERY source,
+    * the k_s = max(1, n_s div [[SampleDiv]]) documents with the largest
+    * keys, k_s derived in-plan from the live per-source counts (the
+    * congressional-sampling rate discipline applied to fixed-size
+    * selection: no collect, no caller-pinned quotas). Because the draw
+    * keys are independent across all docs, each source's cut is exactly
+    * an independent weighted draw of k_s without replacement.
+    *
+    * Scale shape: the naive `row_number() OVER (PARTITION BY source
+    * ORDER BY key)` makes every hot source a corpus-sized single-task
+    * sort; instead the [[graft.text.QualityDeciles]] pattern — ONE
+    * global [[RangeRank]] over (source, key desc, id), then per-source
+    * ranks by subtracting the source's global offset, a |sources|-row
+    * broadcast (its prefix window runs over source COUNTS, never data).
+    */
+  def sampleBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two consumers (source meta, the quota filter) — materialize the
+    // ranked frame once, same as QualityDeciles
+    val ranked = RangeRank.withPos(
+      keyed(docs).withColumn("__nkey", -col("akey")),
+      Seq("source", "__nkey", "doc_id"))
+      .localCheckpoint(false)
+    val srcMeta = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(
+          sum(col("n")).over(
+            Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("k_s",
+        greatest(lit(1L), call_function("div", col("n"), lit(SampleDiv))))
+      .select("source", "off", "k_s")
+    ranked.join(broadcast(srcMeta), Seq("source"))
+      .filter(col("pos") - col("off") <= col("k_s"))
+      .select(col("source"), col("doc_id"), col("w"), col("akey"))
+  }
+
   /** Per-source selection report: corpus docs and weight mass vs selected
     * docs and weight mass, plus the per-mille selection rate — the "did
     * the weighting bias the mix the way I intended" readout. All counts
@@ -189,6 +226,29 @@ object WeightedSampled {
   def sampleOracleSql(from: String = "documents"): String =
     s"""WITH ${rankedCteSql(from)}
        |SELECT doc_id, w, akey FROM sel ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[sampleBySource]]: per-source rank + live-count quota,
+    * the same integer derivation.
+    */
+  def sampleBySourceOracleSql(from: String = "documents"): String = {
+    val w = weightSql("n_chars")
+    s"""WITH wk AS (
+       |  SELECT doc_id, source, $w AS w
+       |  FROM $from),
+       |kk AS (
+       |  SELECT doc_id, source, w,
+       |         ${drawKeySql("CAST(doc_id AS VARCHAR)", "w")} AS akey
+       |  FROM wk),
+       |r AS (
+       |  SELECT source, doc_id, w, akey,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                                 ORDER BY akey DESC, doc_id) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM kk)
+       |SELECT source, doc_id, w, akey FROM r
+       |WHERE rn <= greatest(1, n // $SampleDiv)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle for [[sampleK]] (and the streaming reservoir replay): the
     * same key CTEs with a literal rank cutoff.

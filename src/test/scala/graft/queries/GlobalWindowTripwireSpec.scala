@@ -40,6 +40,9 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     // the reservoir replay's final merge: a global window BOUNDED by
     // Buckets·k survivor rows (configuration-sized, never data-sized)
     "docs_weighted_sample_stream_replay",
+    // per-source quota cut: the offset window runs over |sources| count
+    // rows (the QualityDeciles srcMeta shape)
+    "docs_weighted_sample_by_source",
     // KMV window spelling: top-k over per-group hashes, grouped frame is
     // the partition column set — flagged only where the group count is 1
     "text_vocab_kmv")

@@ -82,6 +82,26 @@ class WeightedSampledSpec extends SparkSpec {
     }
   }
 
+  test("per-source quotas: each source keeps exactly max(1, n_s/10) docs, matching the local replay") {
+    // uneven sources: 40/25/3 docs — quotas 4/2/1 (the floor branch fires)
+    val rows = (1L to 40L).map(i => (i, "big", i * 37 % 900)) ++
+      (101L to 125L).map(i => (i, "mid", i * 53 % 900)) ++
+      (201L to 203L).map(i => (i, "tiny", 50L))
+    val got = WeightedSampled.sampleBySource(docsDf(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc === Map("big" -> 4, "mid" -> 2, "tiny" -> 1))
+    // exact replay: per source, top-k_s by (key desc, id)
+    val expected = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val ks = math.max(1L, rs.size / WeightedSampled.SampleDiv)
+      rs.map { case (id, _, nc) =>
+        val w = math.min(8L, math.max(1L, 1L + nc / WeightedSampled.WeightDiv)).toInt
+        (src, id, w.toLong, aesKey(id, w))
+      }.sortBy { case (_, id, _, k) => (-k, id) }.take(ks.toInt)
+    }.toSet
+    assert(got.toSet === expected)
+  }
+
   test("plan shape: no limit funnel — selection is a rank filter, not GlobalLimit") {
     assumeTestdata(sf001)
     val df = WeightedSampled.sample(Tables.documents(spark, sf001))
