@@ -132,12 +132,18 @@ object KmvSketch {
     */
   def pairwiseOverlap(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 512, "k must be in [2, 512] (numerator overflow bound)")
+    // the |groups|-row sketch frame feeds BOTH join sides: materialize it
+    // so the corpus-wide scan + bottom_k aggregate runs once by
+    // construction, not by hoping Catalyst exchange reuse fires (review
+    // r15 — the two-consumer discipline every other shared frame follows;
+    // the checkpoint is |groups| rows, metadata-priced)
     val sk = df
       .select(group.as("grp"),
         Hashing.hash60(concat(lit(Salt), elem.cast("string"))).as("h60"))
       .select(col("grp"), expr("h60 div 64").as("h"))
       .groupBy(col("grp"))
       .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("arr"))
+      .localCheckpoint(false)
     val pairs = sk.select(col("grp").as("src_a"), col("arr").as("xa"))
       .join(broadcast(sk.select(col("grp").as("src_b"), col("arr").as("ya"))),
         col("src_a") < col("src_b"))
@@ -172,15 +178,7 @@ object KmvSketch {
     */
   def pairwiseOverlapOracleSql(
       fromSql: String, groupCol: String, elemExpr: String, k: Int): String = {
-    val hash = Hashing.hash60Sql(s"'$Salt' || $elemExpr")
-    s"""WITH hashed AS (
-       |  SELECT DISTINCT $groupCol AS grp, ($hash) // 64 AS h
-       |  FROM ($fromSql)
-       |),
-       |b AS (
-       |  SELECT grp, h FROM hashed
-       |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= $k
-       |),
+    s"""WITH ${sketchCteSql(fromSql, groupCol, elemExpr, k)},
        |sk AS (SELECT grp, list(h ORDER BY h) AS arr FROM b GROUP BY grp),
        |p AS (
        |  SELECT x.grp AS src_a, y.grp AS src_b,
@@ -209,18 +207,28 @@ object KmvSketch {
   /** Oracle SQL for [[distinctEstimate]] over a (group, elem) projection:
     * same salted hash, same bottom-k, same integer estimator.
     */
-  def distinctEstimateOracleSql(
-      fromSql: String, groupCol: String, elemExpr: String, k: Int,
-      groupAlias: String = "grp"): String = {
+  /** The ONE spelling of the sketch CTEs `hashed` / `b` (salted hash,
+    * 54-bit downshift, bottom-k) — both oracle generators compose THIS,
+    * so a sketch-spelling edit can never diverge `text_vocab_kmv` from
+    * `text_source_jaccard_kmv` (review r15).
+    */
+  private def sketchCteSql(
+      fromSql: String, groupCol: String, elemExpr: String, k: Int): String = {
     val hash = Hashing.hash60Sql(s"'$Salt' || $elemExpr")
-    s"""WITH hashed AS (
+    s"""hashed AS (
        |  SELECT DISTINCT $groupCol AS grp, ($hash) // 64 AS h
        |  FROM ($fromSql)
        |),
        |b AS (
        |  SELECT grp, h FROM hashed
        |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= $k
-       |),
+       |)""".stripMargin
+  }
+
+  def distinctEstimateOracleSql(
+      fromSql: String, groupCol: String, elemExpr: String, k: Int,
+      groupAlias: String = "grp"): String = {
+    s"""WITH ${sketchCteSql(fromSql, groupCol, elemExpr, k)},
        |a AS (SELECT grp, count(*) AS n, max(h) AS hk FROM b GROUP BY 1)
        |SELECT grp AS $groupAlias,
        |       CASE WHEN n < $k THEN n

@@ -205,15 +205,23 @@ object WeightedSampled {
 
   // ---- DuckDB oracle generation (same constants, same computation) ----
 
-  private def rankedCteSql(from: String): String = {
-    val w = weightSql("n_chars")
+  /** The ONE spelling of the cross-engine key derivation CTEs
+    * `wk(doc_id, source, w)` / `kk(doc_id, source, w, akey)` — every
+    * weighted-sample oracle composes THIS (review r15: three re-spelled
+    * copies of the load-bearing key SQL had accumulated; an edit applied
+    * to one would silently diverge the gates).
+    */
+  private def keyedCteSql(from: String): String =
     s"""wk AS (
-       |  SELECT doc_id, source, $w AS w
+       |  SELECT doc_id, source, ${weightSql("n_chars")} AS w
        |  FROM $from),
        |kk AS (
        |  SELECT doc_id, source, w,
        |         ${drawKeySql("CAST(doc_id AS VARCHAR)", "w")} AS akey
-       |  FROM wk),
+       |  FROM wk)""".stripMargin
+
+  private def rankedCteSql(from: String): String = {
+    s"""${keyedCteSql(from)},
        |r AS (
        |  SELECT doc_id, source, w, akey,
        |         CAST(row_number() OVER (ORDER BY akey DESC, doc_id) AS BIGINT) AS pos
@@ -231,14 +239,7 @@ object WeightedSampled {
     * the same integer derivation.
     */
   def sampleBySourceOracleSql(from: String = "documents"): String = {
-    val w = weightSql("n_chars")
-    s"""WITH wk AS (
-       |  SELECT doc_id, source, $w AS w
-       |  FROM $from),
-       |kk AS (
-       |  SELECT doc_id, source, w,
-       |         ${drawKeySql("CAST(doc_id AS VARCHAR)", "w")} AS akey
-       |  FROM wk),
+    s"""WITH ${keyedCteSql(from)},
        |r AS (
        |  SELECT source, doc_id, w, akey,
        |         CAST(row_number() OVER (PARTITION BY source
@@ -254,14 +255,7 @@ object WeightedSampled {
     * same key CTEs with a literal rank cutoff.
     */
   def sampleKOracleSql(k: Int, from: String = "documents"): String = {
-    val w = weightSql("n_chars")
-    s"""WITH wk AS (
-       |  SELECT doc_id, source, $w AS w
-       |  FROM $from),
-       |kk AS (
-       |  SELECT doc_id, w,
-       |         ${drawKeySql("CAST(doc_id AS VARCHAR)", "w")} AS akey
-       |  FROM wk)
+    s"""WITH ${keyedCteSql(from)}
        |SELECT doc_id, w, akey FROM kk
        |QUALIFY row_number() OVER (ORDER BY akey DESC, doc_id) <= $k
        |ORDER BY doc_id""".stripMargin

@@ -68,8 +68,13 @@ class StreamingWeightedReservoirSpec extends SparkSpec {
   }
 
   test("a late high-key arrival displaces the current minimum (reservoir property)") {
+    // review r15: a single late doc was VACUOUS — its deterministic key
+    // ranked 7th of 61, so the test passed even if the second batch was
+    // dropped. Forty w=8 late docs vs sixty w=1 early docs make top-4
+    // membership of late keys a property of the fixture, asserted below —
+    // deterministic keys, so no flakiness once green.
     val early = (1L to 60L).map(i => (i, "s", 50L)) // w=1 each
-    val late = Seq((1000L, "s", 5000L)) // w=8 — near-certain displacement
+    val late = (1000L to 1039L).map(i => (i, "s", 5000L)) // w=8 each
     val input = MemoryStream[(Long, String, Long)](spark)
     val out = StreamingWeightedReservoir.reservoirs(
       spark, input.toDF().toDF("doc_id", "source", "n_chars"), 4)
@@ -88,6 +93,11 @@ class StreamingWeightedReservoirSpec extends SparkSpec {
       val expected = WeightedSampled
         .sampleK((early ++ late).toDF("doc_id", "source", "n_chars"), 4)
         .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
+      // the displacement property is only exercised if a LATE doc made the
+      // cut — assert it did, so a state-merge regression cannot pass
+      // against a batch-1-only expected set
+      assert(expected.exists { case (_, id, _) => id >= 1000L },
+        "fixture defect: no late doc in the batch top-4 — displacement untested")
       assert(sel.toSet === expected)
     } finally query.stop()
   }
