@@ -37,7 +37,10 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     // silently leave the family on 32·k — keep the keys tied to reality
     val known = Set(
       "events_sessions", "graph_pagerank", "dedup_minhash_pairs",
-      "tpch_revenue_monthly_sampled_shuffle")
+      "tpch_revenue_monthly_sampled_shuffle",
+      // r15 continuation: the A-ES weighted sample ranks ~30 B
+      // (doc_id, source, n_chars) rows through RangeRank's exchange
+      "docs_weighted_sample")
     assert(ScaleProbe.tinyRowParts.keySet === known)
   }
 
