@@ -743,6 +743,12 @@ object SparkEntry {
       graft.sampling.KmvSketch.distinctEstimate(
         toks, lit("all"), col("w"), graft.sampling.KmvSketch.VocabK)
     }),
+    // incremental vocab maintenance: saved base-snapshot sketches merged
+    // with a delta-only sketch (old corpus never rescanned); merge ==
+    // full recompute bit-for-bit, so the incremental path hash-gates
+    // against the full-corpus oracle
+    "text_vocab_kmv_incremental" -> ((s, dir) =>
+      graft.sampling.KmvSketch.vocabIncremental(s, dir)),
     // cross-source vocabulary overlap (union/intersection/Jaccard) from
     // the per-source bottom-k sketches alone — KMV set algebra (Beyer'07
     // §5): the corpus is touched once; the pairwise math runs on the
@@ -1245,6 +1251,13 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE t <> ''""".stripMargin,
       "g", "w", graft.sampling.KmvSketch.VocabK),
+    "text_vocab_kmv_incremental" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
+      """SELECT source AS g, t AS w
+        |  FROM (SELECT source,
+        |               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''""".stripMargin,
+      "g", "w", graft.sampling.KmvSketch.VocabK, groupAlias = "source"),
     "text_source_jaccard_kmv" -> graft.sampling.KmvSketch.pairwiseOverlapOracleSql(
       """SELECT source AS g, t AS w
         |  FROM (SELECT source,

@@ -89,7 +89,17 @@ object KmvSketch {
     * Same estimator, same oracle: bottom-k is order-insensitive, so both
     * spellings produce identical rows.
     */
-  def distinctEstimateAgg(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame = {
+  def distinctEstimateAgg(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame =
+    estimateFromSketch(sketch(df, group, elem, k), k).orderBy("grp")
+
+  /** The per-group bottom-k sketch frame `(grp, arr)` — the ONE Spark
+    * spelling of the sketch (salted hash, 54-bit downshift, `bottom_k`),
+    * shared by the one-pass estimator, the pairwise set algebra, and the
+    * saved-artifact incremental path (the Spark twin of [[sketchCteSql]]).
+    * `arr` is ascending and ≤ k long — the mergeable synopsis: bottom-k
+    * of two sketches' union IS the sketch of the unioned inputs.
+    */
+  def sketch(df: DataFrame, group: Column, elem: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 512, "k must be in [2, 512] (numerator overflow bound)")
     df
       .select(group.as("grp"),
@@ -97,14 +107,16 @@ object KmvSketch {
       .select(col("grp"), expr("h60 div 64").as("h"))
       .groupBy(col("grp"))
       .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("arr"))
-      .select(
-        col("grp"),
-        when(size(col("arr")) < k, size(col("arr")).cast("long"))
-          .otherwise(
-            expr(s"(${k - 1} * ${Mod54}L) div greatest(element_at(arr, $k), 1L)"))
-          .as("est_distinct"))
-      .orderBy("grp")
   }
+
+  /** Order-statistic estimate from a sketch frame (exact below k). */
+  def estimateFromSketch(sk: DataFrame, k: Int): DataFrame =
+    sk.select(
+      col("grp"),
+      when(size(col("arr")) < k, size(col("arr")).cast("long"))
+        .otherwise(
+          expr(s"(${k - 1} * ${Mod54}L) div greatest(element_at(arr, $k), 1L)"))
+        .as("est_distinct"))
 
   /** KMV SET ALGEBRA (Beyer et al. SIGMOD 2007 §5): estimate every
     * source pair's vocabulary overlap — union size, intersection size,
@@ -137,13 +149,7 @@ object KmvSketch {
     // construction, not by hoping Catalyst exchange reuse fires (review
     // r15 — the two-consumer discipline every other shared frame follows;
     // the checkpoint is |groups| rows, metadata-priced)
-    val sk = df
-      .select(group.as("grp"),
-        Hashing.hash60(concat(lit(Salt), elem.cast("string"))).as("h60"))
-      .select(col("grp"), expr("h60 div 64").as("h"))
-      .groupBy(col("grp"))
-      .agg(graft.functions.BottomKDistinct.bottomK(col("h"), k).as("arr"))
-      .localCheckpoint(false)
+    val sk = sketch(df, group, elem, k).localCheckpoint(false)
     val pairs = sk.select(col("grp").as("src_a"), col("arr").as("xa"))
       .join(broadcast(sk.select(col("grp").as("src_b"), col("arr").as("ya"))),
         col("src_a") < col("src_b"))
@@ -207,6 +213,72 @@ object KmvSketch {
   /** Oracle SQL for [[distinctEstimate]] over a (group, elem) projection:
     * same salted hash, same bottom-k, same integer estimator.
     */
+  /** Snapshot split for the incremental vocab path: docs with
+    * doc_id % DeltaMod == 0 "arrive later" (the
+    * [[graft.dedup.IncrementalDedup.DeltaMod]] rule over the RAW
+    * documents — source is carried, unlike the dedup corpus's
+    * augmented split).
+    */
+  private def isDelta: Column =
+    col("doc_id") % graft.dedup.IncrementalDedup.DeltaMod === 0
+
+  private def sourceTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      explode(Hashing.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Build-once per-source vocab sketch of the BASE snapshot — keyed on
+    * the table's content digest plus every sketch parameter, the
+    * [[graft.dedup.SavedArtifact]] discipline.
+    */
+  private[graft] def ensureSavedVocabSketch(
+      spark: org.apache.spark.sql.SparkSession, dir: String, k: Int): String =
+    graft.dedup.SavedArtifact.ensure(
+      "graft_kmvvocab",
+      graft.queries.Tables.contentDigest(
+        graft.queries.Tables.path(dir, "documents")),
+      Seq(Salt, k, 64, Mod54, graft.dedup.IncrementalDedup.DeltaMod)) { tmp =>
+      sketch(
+        sourceTokens(graft.queries.Tables.documents(spark, dir).filter(!isDelta)),
+        col("source"), col("w"), k)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** INCREMENTAL per-source vocab estimates: merge the saved base-snapshot
+    * sketches with a sketch of the DELTA alone — the old corpus is never
+    * rescanned; the only data-scale work is one pass over the new docs.
+    * Because bottom-k of two sketches' union is exactly the sketch of the
+    * unioned corpora (the mergeability [[pairwiseOverlap]] relies on and
+    * KmvSketchSpec pins at the bit level), the merged estimate equals the
+    * full-recompute estimate — which is what the oracle replays, making
+    * the incremental path itself hash-gated. The merge is a |sources|-row
+    * full-outer join + bounded array math: metadata-priced at any corpus
+    * size. This is the sketch sibling of
+    * [[graft.dedup.IncrementalDedup]]'s saved signature index and
+    * [[graft.dedup.DataSplit]]'s saved assignment.
+    */
+  def vocabIncremental(
+      spark: org.apache.spark.sql.SparkSession, dir: String, k: Int = VocabK): DataFrame = {
+    val saved = spark.read.parquet(ensureSavedVocabSketch(spark, dir, k))
+      .select(col("grp"), col("arr").as("arr_base"))
+    val delta = sketch(
+      sourceTokens(graft.queries.Tables.documents(spark, dir).filter(isDelta)),
+      col("source"), col("w"), k)
+      .select(col("grp"), col("arr").as("arr_delta"))
+    val empty = array().cast("array<bigint>")
+    val merged = saved.join(delta, Seq("grp"), "full")
+      .select(
+        col("grp"),
+        slice(
+          array_sort(array_union(
+            coalesce(col("arr_base"), empty),
+            coalesce(col("arr_delta"), empty))),
+          1, k).as("arr"))
+    estimateFromSketch(merged, k)
+      .select(col("grp").as("source"), col("est_distinct"))
+      .orderBy("source")
+  }
+
   /** The ONE spelling of the sketch CTEs `hashed` / `b` (salted hash,
     * 54-bit downshift, bottom-k) — both oracle generators compose THIS,
     * so a sketch-spelling edit can never diverge `text_vocab_kmv` from

@@ -114,6 +114,29 @@ class KmvSketchSpec extends SparkSpec {
       s"combined-sketch union estimate $est must equal the direct union sketch $direct")
   }
 
+  test("incremental vocab: saved-base + delta merge equals the full recompute, reading the artifact") {
+    assumeTestdata(sf001)
+    val inc = KmvSketch.vocabIncremental(spark, sf001)
+    val got = inc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the saved sketch must come from the published artifact, not a
+    // recomputation of the base corpus (paths are elided from the
+    // optimized-plan string — read the executed scan locations)
+    val scanPaths = allPlanNodes(inc.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scanPaths.exists(_.contains("graft_kmvvocab")),
+      s"incremental plan must read the saved sketch artifact; scans: $scanPaths")
+    val full = KmvSketch.distinctEstimateAgg(
+      Tables.documents(spark, sf001)
+        .select(col("source"), explode(graft.dedup.Hashing.words(col("text"))).as("w"))
+        .filter(col("w") =!= ""),
+      col("source"), col("w"), KmvSketch.VocabK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === full,
+      "merge of saved base sketch + delta sketch must equal the full recompute bit-for-bit")
+  }
+
   test("set algebra on the live corpus: bounds hold and estimates track exact overlap") {
     assumeTestdata(sf001)
     val toks = Tables.documents(spark, sf001)
