@@ -46,6 +46,11 @@ object SparkEntry {
     // --- graph analytics over the P10 link graph: integer fixed-point
     // --- PageRank (bit-exact across engines — no floating point anywhere)
     // --- and the degree-distribution profile ---
+    // triangle census via degree-ordered orientation (Suri-Vassilvitskii
+    // WWW'11): oriented out-degrees are O(sqrt m), so no hub ever owns a
+    // quadratic wedge set — the "last reducer" stays bounded
+    "graph_triangles" -> ((s, dir) =>
+      graft.graphs.Triangles.stats(Tables.events(s, dir))),
     "graph_pagerank" -> ((s, dir) =>
       graft.graphs.PageRank.ranks(Tables.events(s, dir)).orderBy("node")),
     "graph_degree_hist" -> ((s, dir) =>
@@ -1080,6 +1085,7 @@ object SparkEntry {
         |FROM (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
+    "graph_triangles" -> graft.graphs.Triangles.statsOracleSql,
     "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
     "graph_degree_hist_sampled_u10" ->
       graft.graphs.PageRank.degreeHistogramSampledUOracleSql(),

@@ -262,7 +262,7 @@ object PageRank {
     * graph oracle — ONE copy so an edge-derivation change cannot silently
     * strand one family's oracle on old text.
     */
-  private def edgesCteSql: String =
+  private[graphs] def edgesCteSql: String =
     s"""base AS (
        |  SELECT user_id AS a, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS b
        |  FROM events

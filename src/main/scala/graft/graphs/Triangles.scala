@@ -1,0 +1,102 @@
+package graft.graphs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle census of the link graph: edge count, wedge count, triangle
+  * count, and the global clustering coefficient (3T/wedges) — the
+  * connectivity-quality readout next to [[PageRank]]'s centrality and the
+  * degree moments.
+  *
+  * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+  * "Counting Triangles and the Curse of the Last Reducer", WWW 2011; the
+  * MapReduce form of Chiba–Nishizeki): orient every undirected edge from
+  * its lower-(degree, id) endpoint to the higher, enumerate wedges as
+  * pairs of OUT-edges sharing a source, and close each wedge against the
+  * canonical edge set. Every triangle has exactly one rank-minimal
+  * vertex, so it is counted exactly once — no post-hoc division, all
+  * integer, fully oracle-replayable.
+  *
+  * Scale design (100 TB): the naive wedge join pairs neighbors of every
+  * vertex — a hub with degree d contributes d² wedges and one reducer
+  * inherits the whole hub ("the curse of the last reducer"). The
+  * orientation bounds every ORIENTED out-degree by O(√m) on any graph
+  * (a vertex with out-degree t has t neighbors of degree ≥ its own, so
+  * t² ≤ 2m), so wedge generation is O(m^1.5) worst-case and hub wedges
+  * redistribute to their (higher-ranked, lower-fanout) endpoints. The
+  * plan is: one parse+distinct of the edge list (checkpointed for its
+  * three consumers), a two-row-per-edge degree aggregate, the oriented
+  * self-join on the shared source, and one closure hash-join against the
+  * canonical edges — three shuffles total, each partial-aggregated or
+  * equi-keyed; the three census scalars cross-join as broadcast one-row
+  * frames (no driver action).
+  */
+object Triangles {
+
+  /** One-row census frame:
+    * (n_edges, n_wedges, n_triangles, closure_permille).
+    */
+  def stats(events: DataFrame): DataFrame = {
+    // canonical undirected edges a < b (self-loops cannot close a
+    // triangle and are dropped by the strict inequality); three
+    // consumers — degrees, orientation, the closure probe
+    val und = PageRank.edges(events)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by (degree, id) — a total order, so orientation is
+    // deterministic and acyclic
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(false)
+    // out-neighbor pairs per source, each unordered pair once (by node id)
+    val wedgePairs = oriented.as("x").join(oriented.as("y"),
+      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("p"), col("y.v").as("q"))
+    val tri = wedgePairs.join(und,
+      col("p") === col("a") && col("q") === col("b"))
+    val eCnt = und.agg(count(lit(1)).as("n_edges"))
+    val wCnt = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+    val tCnt = tri.agg(count(lit(1)).as("n_triangles"))
+    eCnt.crossJoin(broadcast(wCnt)).crossJoin(broadcast(tCnt))
+      .select(
+        col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(3000 * n_triangles) div greatest(n_wedges, 1L)")
+          .as("closure_permille"))
+  }
+
+  /** DuckDB replay: the same orientation, wedge enumeration, and closure
+    * probe over the shared edges CTE.
+    */
+  def statsOracleSql: String =
+    s"""WITH ${PageRank.edgesCteSql},
+       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+       |deg AS (
+       |  SELECT v, count(*) AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |  GROUP BY v),
+       |j AS (
+       |  SELECT und.a, und.b, x.deg AS da, y.deg AS db
+       |  FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b),
+       |o AS (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       |  FROM j),
+       |w AS (SELECT x.v AS p, y.v AS q FROM o x JOIN o y ON x.u = y.u AND x.v < y.v),
+       |t AS (SELECT count(*) AS n_triangles FROM w JOIN und ON p = a AND q = b),
+       |e AS (SELECT count(*) AS n_edges FROM und),
+       |wc AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+       |SELECT e.n_edges, wc.n_wedges, t.n_triangles,
+       |       (3000 * t.n_triangles) // greatest(wc.n_wedges, 1) AS closure_permille
+       |FROM e, wc, t""".stripMargin
+}

@@ -1,0 +1,59 @@
+package graft.graphs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** events-shaped frame from undirected link pairs (the PageRank.edges
+    * input contract: user_id + props.k).
+    */
+  private def eventsOf(links: Seq[(Long, Long)]) =
+    links.map { case (a, b) => (a, s"""{"k":$b}""") }.toDF("user_id", "props")
+
+  test("K4: 6 edges, 12 wedges, 4 triangles, closure 1000 permille") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val r = Triangles.stats(eventsOf(k4)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 12L, 4L, 1000L)))
+  }
+
+  test("a path has wedges but zero triangles; closure 0") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val r = Triangles.stats(eventsOf(path)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 0L, 0L)))
+  }
+
+  test("triangles are orientation-unique: a hub star plus one closing edge counts once") {
+    // star center 1 with leaves 2..6, plus edge (2,3): exactly one
+    // triangle {1,2,3} — the hub's wedges must not double-count it
+    val g = (2L to 6L).map(l => (1L, l)) :+ ((2L, 3L))
+    val r = Triangles.stats(eventsOf(g)).collect().head
+    assert(r.getLong(2) === 1L)
+  }
+
+  test("live graph: oriented out-degree respects the sqrt(2m) bound — the last-reducer guard") {
+    assumeTestdata(sf001)
+    val und = PageRank.edges(Tables.events(spark, sf001))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val m = und.count()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val maxOut = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("out"))
+      .agg(max(col("out"))).collect().head.getLong(0)
+    assert(maxOut.toDouble <= math.sqrt(2.0 * m) + 1,
+      s"max oriented out-degree $maxOut exceeds sqrt(2m)=${math.sqrt(2.0 * m)}")
+  }
+}
