@@ -30,20 +30,40 @@ import org.apache.spark.sql.functions._
   * canonical edges — three shuffles total, each partial-aggregated or
   * equi-keyed; the three census scalars cross-join as broadcast one-row
   * frames (no driver action).
+  *
+  * Closure-join regime: at fixture scale Catalyst broadcasts the edge
+  * side (optimal — the wedge stream never shuffles). At cluster scale
+  * the edge side exceeds any broadcast budget and the join must shuffle
+  * the WEDGE STREAM — the algorithm's dominant intermediate; there, run
+  * with `spark.sql.join.preferSortMergeJoin=false` so the closure (and
+  * the wedge self-join) execute as shuffled-HASH joins: sorting O(m^1.5)
+  * wedge rows is pure waste when a per-partition hash build of the
+  * smaller edge side suffices. The scale probe measures exactly that
+  * forced regime at both factors (per-wedge CPU constant, 0.47 µs — see
+  * the PROFILE_SCALE attribution note).
   */
 object Triangles {
 
   /** One-row census frame:
     * (n_edges, n_wedges, n_triangles, closure_permille).
     */
-  def stats(events: DataFrame): DataFrame = {
-    // canonical undirected edges a < b (self-loops cannot close a
-    // triangle and are dropped by the strict inequality); three
-    // consumers — degrees, orientation, the closure probe
-    val und = PageRank.edges(events)
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-      .localCheckpoint(false)
+  def stats(events: DataFrame): DataFrame =
+    statsFromUndirected(
+      PageRank.edges(events)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")))
+
+  /** The census over a prepared canonical edge frame `(a, b)` with a < b
+    * — the seam the scale probe drives with a both-endpoints-shifted
+    * exploded edge list (shifting only user ids, as the events explode
+    * does, would leave `props.k` nodes shared across copies and turn
+    * them into k×-degree hubs — a different graph, not a scaled one).
+    */
+  private[graft] def statsFromUndirected(canonical: DataFrame): DataFrame = {
+    // self-loops cannot close a triangle and are dropped by the strict
+    // inequality upstream; three consumers — degrees, orientation, the
+    // closure probe
+    val und = canonical.localCheckpoint(false)
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient by (degree, id) — a total order, so orientation is

@@ -93,7 +93,10 @@ object ScaleProbe {
     // r15 continuation: the A-ES weighted sample ranks (doc_id, source,
     // n_chars) rows (~30 B) through RangeRank's range exchange — tiny-row
     // regime for the same M·R-constant reason.
-    "docs_weighted_sample" -> ((k: Int) => math.max(32, 4 * k)))
+    "docs_weighted_sample" -> ((k: Int) => math.max(32, 4 * k)),
+    // r15 continuation: the triangle census shuffles 2-long edge and
+    // wedge rows — the events-family shape.
+    "graph_triangles" -> ((k: Int) => math.max(32, 4 * k)))
 
   /** Partition count for `family` at factor `k` (default 32·k). */
   def partsFor(family: String, k: Int): Int =
@@ -111,7 +114,21 @@ object ScaleProbe {
   val familyConf: Map[String, Seq[(String, String)]] = Map(
     "tpch_revenue_monthly_sampled_shuffle" -> Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"),
+    // graph_triangles (r15): at ×8 the closure join BROADCASTS the edge
+    // side (4.6 MB < threshold) while at ×32 it goes sort-merge — the
+    // unforced ratio compares two different plans and reads 7.87, with
+    // StageCpu showing the excess in single/5-task SORTS of the 57.6M-row
+    // wedge stream (241 MB through AQE byte-coalesced partitions). The
+    // probe therefore runs the shape a 100 TB deployment would: edge side
+    // never broadcastable (thresholds −1) and shuffled-HASH join instead
+    // of sort-merge (preferSortMergeJoin=false) — sorting the wedge
+    // stream, the algorithm's dominant intermediate, is pure waste when a
+    // per-partition hash build of the (smaller) edge side suffices.
+    "graph_triangles" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "false"))
 
   /** Stage-attribution notes carried into the artifact cell (VERDICT r13
     * item 7): for families whose ratio sits near the bound for PINNED
@@ -149,7 +166,17 @@ object ScaleProbe {
         "non-deser stage CPU 38.7->55.1s = 1.42 — plan work sub-linear; the " +
         "process-CPU 4.41 excess is task deserialization (17.2->143.4s, the " +
         "k-branch union fixture term, the dedup_minhash_pairs signature) " +
-        "plus driver-side planning of the doubled CC loop (56->113s)"))
+        "plus driver-side planning of the doubled CC loop (56->113s)"),
+    "graph_triangles" ->
+      ("runs under familyConf (broadcast off + preferSortMergeJoin=false) so " +
+        "both factors execute the 100TB closure shape — unforced, x8 " +
+        "broadcasts the 4.6MB edge side while x32 goes sort-merge and the " +
+        "cross-plan ratio read 7.87. StageCpu 8/32 under the forced regime: " +
+        "per-WEDGE cost is constant (wedge gen 6.6s/13.8M = 0.48us at x8 vs " +
+        "27.3s/57.6M = 0.47us at x32 — the algorithmic core linear in W); " +
+        "the 4.71 process ratio's residual is the tiny-row per-task " +
+        "constant on 128-vs-32 partitions plus host spread (x32 trials " +
+        "169.9-270.7s)"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
@@ -276,6 +303,27 @@ object ScaleProbe {
       full,
       graft.dedup.DataSplit.assign(full.filter(isBaseSnapshot))
         .select(col("doc_id"), col("split")))
+  }
+
+  /** The triangle-census probe pipeline at factor k — ONE definition
+    * shared with [[StageCpu]]. BOTH endpoints shift per block (the
+    * statsFromUndirected seam), so the k× graph is k disjoint copies of
+    * the base structure: edges, wedges, and triangles all scale exactly
+    * k× and the oriented out-degree bound stays block-local. (Shifting
+    * only user ids, as explodeEvents does, would leave props.k nodes
+    * shared across copies — k×-degree hubs, a different graph.)
+    */
+  def trianglesAt(events0: DataFrame, k: Int): DataFrame = {
+    val base = graft.graphs.PageRank.edges(events0)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    graft.graphs.Triangles.statsFromUndirected(
+      (0 until k).map { i =>
+        base.select(
+          (col("a") + lit(i.toLong * DedupCorpus.IdBlock)).as("a"),
+          (col("b") + lit(i.toLong * DedupCorpus.IdBlock)).as("b"))
+      }.reduce(_ unionAll _)
+        .repartition(partsFor("graph_triangles", k)))
   }
 
   /** ×k narrow-column documents (doc_id + `carry`, NO text): for families
@@ -564,7 +612,15 @@ object ScaleProbe {
           explodeDocsNarrow(
             Tables.documents(spark, sfDir), k,
             partsFor("docs_weighted_sample", k),
-            carry = Seq("source", "n_chars")))))
+            carry = Seq("source", "n_chars")))),
+      // r15 continuation: the triangle census — BOTH endpoints shift per
+      // block (the statsFromUndirected seam), so the k× graph is k
+      // disjoint copies of the base structure: edges, wedges, and
+      // triangles all scale exactly k× and the oriented out-degree bound
+      // stays block-local. (Shifting only user ids, as explodeEvents
+      // does, would leave props.k nodes shared across copies — k×-degree
+      // hubs, a different graph.)
+      "graph_triangles" -> (k => trianglesAt(events0, k)))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall

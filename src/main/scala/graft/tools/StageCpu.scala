@@ -55,6 +55,11 @@ object StageCpu {
         graft.operators.Sessionize.sessions(
           ScaleProbe.explodeEvents(graft.queries.Tables.events(spark, sfDir), k, parts))
       }
+      case "graph_triangles" => k => {
+        val parts = ScaleProbe.partsFor("graph_triangles", k)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        ScaleProbe.trianglesAt(graft.queries.Tables.events(spark, sfDir), k)
+      }
       case "docs_split_incremental" => k =>
         // the ONE shared pipeline definition (review r15): diagnosing a
         // re-spelled copy could silently measure a different plan than
@@ -98,6 +103,10 @@ object StageCpu {
       // measured under partsFor and a diagnosis must reproduce it)
       spark.conf.set("spark.sql.shuffle.partitions",
         ScaleProbe.partsFor(family, k).toString)
+      // and the probe's per-family conf overrides (forced-regime families:
+      // the diagnosis must reproduce the configuration the sweep timed)
+      ScaleProbe.familyConf.getOrElse(family, Nil)
+        .foreach { case (key, v) => spark.conf.set(key, v) }
       build(k).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       rows.clear()

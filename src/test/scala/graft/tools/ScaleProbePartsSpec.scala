@@ -39,8 +39,9 @@ class ScaleProbePartsSpec extends AnyFunSuite {
       "events_sessions", "graph_pagerank", "dedup_minhash_pairs",
       "tpch_revenue_monthly_sampled_shuffle",
       // r15 continuation: the A-ES weighted sample ranks ~30 B
-      // (doc_id, source, n_chars) rows through RangeRank's exchange
-      "docs_weighted_sample")
+      // (doc_id, source, n_chars) rows through RangeRank's exchange;
+      // the triangle census shuffles 2-long edge/wedge rows
+      "docs_weighted_sample", "graph_triangles")
     assert(ScaleProbe.tinyRowParts.keySet === known)
   }
 
@@ -49,7 +50,7 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     // forced-shuffle family in the broadcast regime — the exact
     // unexecuted-claim failure the override exists to remove
     assert(ScaleProbe.familyConf.keySet ===
-      Set("tpch_revenue_monthly_sampled_shuffle"))
+      Set("tpch_revenue_monthly_sampled_shuffle", "graph_triangles"))
     // and the shuffle family must disable BOTH thresholds (AQE re-converts
     // to broadcast at stage materialization if only the static one is off)
     val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
