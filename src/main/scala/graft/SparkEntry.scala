@@ -51,6 +51,11 @@ object SparkEntry {
     // quadratic wedge set — the "last reducer" stays bounded
     "graph_triangles" -> ((s, dir) =>
       graft.graphs.Triangles.stats(Tables.events(s, dir))),
+    // DOULION sampled census (KDD'09): edge-atomic universe keep at 10%,
+    // HT scale 1/p per edge and (1/p)^3 per triangle — wedge cost drops
+    // ~p^1.5 and the deterministic sample makes the estimate hash-gated
+    "graph_triangles_sampled_u10" -> ((s, dir) =>
+      graft.graphs.Triangles.statsSampledU(Tables.events(s, dir))),
     "graph_pagerank" -> ((s, dir) =>
       graft.graphs.PageRank.ranks(Tables.events(s, dir)).orderBy("node")),
     "graph_degree_hist" -> ((s, dir) =>
@@ -1086,6 +1091,7 @@ object SparkEntry {
         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
     "graph_triangles" -> graft.graphs.Triangles.statsOracleSql,
+    "graph_triangles_sampled_u10" -> graft.graphs.Triangles.statsSampledUOracleSql(),
     "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
     "graph_degree_hist_sampled_u10" ->
       graft.graphs.PageRank.degreeHistogramSampledUOracleSql(),

@@ -95,6 +95,64 @@ object Triangles {
           .as("closure_permille"))
   }
 
+  /** DOULION sampled triangle census (Tsourakakis et al., "DOULION:
+    * Counting Triangles in Massive Graphs with a Coin", KDD 2009),
+    * deterministic: keep each CANONICAL edge by the edge-atomic universe
+    * predicate at rate p, run the same census on the kept subgraph, and
+    * scale — a surviving edge has probability p, a surviving triangle
+    * p³ (its three edges hash independently), so the Horvitz–Thompson
+    * estimates are seen·(1/p) edges and seen·(1/p)³ triangles, both
+    * integer for the divisor rates ([[graft.sampling.UniverseSampled
+    * .scaleFor]]). The md5 predicate replays in the oracle, so the
+    * approximate answer itself is hash-gated — the engine's sampled-twin
+    * discipline applied to the graph census. At 100 TB this is the
+    * practical regime: the wedge stage costs O(m^1.5) on the KEPT
+    * subgraph, i.e. ~p^1.5 of the exact cost for ~p^-1.5·σ relative
+    * error (DOULION §4: variance ≈ T/p³ for triangle-sparse graphs).
+    */
+  def statsSampledU(events: DataFrame, pct: Int = 10): DataFrame = {
+    val inv = graft.sampling.UniverseSampled.scaleFor(pct)
+    val kept = PageRank.edges(events)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .filter(graft.sampling.UniverseSampled.keep(
+        concat_ws("_", col("a"), col("b")), pct))
+    statsFromUndirected(kept)
+      .select(
+        col("n_edges").as("n_edges_seen"),
+        col("n_triangles").as("n_triangles_seen"),
+        (col("n_edges") * lit(inv)).as("est_edges"),
+        (col("n_triangles") * lit(inv * inv * inv)).as("est_triangles"))
+  }
+
+  def statsSampledUOracleSql(pct: Int = 10): String = {
+    val inv = graft.sampling.UniverseSampled.scaleFor(pct)
+    val keep = graft.sampling.UniverseSampled.keepSql(
+      "CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)", pct)
+    s"""WITH ${PageRank.edgesCteSql},
+       |und AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  WHERE src < dst AND ($keep)),
+       |deg AS (
+       |  SELECT v, count(*) AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |  GROUP BY v),
+       |j AS (
+       |  SELECT und.a, und.b, x.deg AS da, y.deg AS db
+       |  FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b),
+       |o AS (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       |  FROM j),
+       |w AS (SELECT x.v AS p, y.v AS q FROM o x JOIN o y ON x.u = y.u AND x.v < y.v),
+       |t AS (SELECT count(*) AS n_tri FROM w JOIN und ON p = a AND q = b),
+       |e AS (SELECT count(*) AS n_e FROM und)
+       |SELECT e.n_e AS n_edges_seen, t.n_tri AS n_triangles_seen,
+       |       e.n_e * $inv AS est_edges,
+       |       t.n_tri * ${inv * inv * inv} AS est_triangles
+       |FROM e, t""".stripMargin
+  }
+
   /** DuckDB replay: the same orientation, wedge enumeration, and closure
     * probe over the shared edges CTE.
     */

@@ -36,6 +36,24 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getLong(2) === 1L)
   }
 
+  test("DOULION sampled census: HT estimates track the exact counts on the live graph") {
+    assumeTestdata(sf01)
+    val exact = Triangles.stats(Tables.events(spark, sf01)).collect().head
+    val s = Triangles.statsSampledU(Tables.events(spark, sf01)).collect().head
+    // integer HT identities
+    assert(s.getLong(2) === s.getLong(0) * 10L)
+    assert(s.getLong(3) === s.getLong(1) * 1000L)
+    // edge estimate: ~binomial, rel std sqrt((1-p)/(p*m)); triangles:
+    // DOULION var ~ T/p^3 => rel std ~ 1/sqrt(p^3*T). 4-sigma bounds on
+    // the deterministic fixture (no flakiness once green).
+    val m = exact.getLong(0).toDouble
+    val t = exact.getLong(2).toDouble
+    assert(math.abs(s.getLong(2) - m) / m < 4 * math.sqrt(0.9 / (0.1 * m)),
+      s"est_edges ${s.getLong(2)} vs exact $m")
+    assert(math.abs(s.getLong(3) - t) / t < 4 / math.sqrt(0.001 * t),
+      s"est_triangles ${s.getLong(3)} vs exact $t")
+  }
+
   test("live graph: oriented out-degree respects the sqrt(2m) bound — the last-reducer guard") {
     assumeTestdata(sf001)
     val und = PageRank.edges(Tables.events(spark, sf001))
