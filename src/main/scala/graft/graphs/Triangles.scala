@@ -47,11 +47,20 @@ object Triangles {
   /** One-row census frame:
     * (n_edges, n_wedges, n_triangles, closure_permille).
     */
+  /** The ONE spelling of the canonical undirected edge frame `(a, b)`
+    * with a < b (duplicate-free via [[PageRank.edges]]' distinct;
+    * self-loops dropped by the strict inequality) — shared by the exact
+    * census, the DOULION twin, and the scale-probe fixture so an
+    * edge-derivation change cannot silently diverge them (review r15;
+    * the [[PageRank.edgesCteSql]] argument on the Spark side).
+    */
+  private[graft] def canonicalEdges(events: DataFrame): DataFrame =
+    PageRank.edges(events)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+
   def stats(events: DataFrame): DataFrame =
-    statsFromUndirected(
-      PageRank.edges(events)
-        .filter(col("src") < col("dst"))
-        .select(col("src").as("a"), col("dst").as("b")))
+    statsFromUndirected(canonicalEdges(events))
 
   /** The census over a prepared canonical edge frame `(a, b)` with a < b
     * — the seam the scale probe drives with a both-endpoints-shifted
@@ -64,11 +73,26 @@ object Triangles {
     // inequality upstream; three consumers — degrees, orientation, the
     // closure probe
     val und = canonical.localCheckpoint(false)
-    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+    // three consumers (two orientation joins + the wedge-count
+    // aggregate): pin the O(m)-row groupBy by construction, not by
+    // hoping exchange reuse fires (review r15 — the KmvSketch rule)
+    val deg = degrees(und).localCheckpoint(false)
+    val oriented = orient(und, deg).localCheckpoint(false)
+    wedgeClose(und, deg, oriented)
+  }
+
+  /** Undirected degrees of the canonical edge frame. */
+  private[graphs] def degrees(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient by (degree, id) — a total order, so orientation is
-    // deterministic and acyclic
-    val oriented = und
+
+  /** Orient each edge from its lower-(degree, id) endpoint — a total
+    * order, so orientation is deterministic and acyclic. Exposed so the
+    * out-degree-bound spec measures the SHIPPED orientation, not an
+    * inline re-spell (review r15).
+    */
+  private[graphs] def orient(und: DataFrame, deg: DataFrame): DataFrame =
+    und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
       .select(
@@ -77,7 +101,9 @@ object Triangles {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(false)
+
+  private def wedgeClose(
+      und: DataFrame, deg: DataFrame, oriented: DataFrame): DataFrame = {
     // out-neighbor pairs per source, each unordered pair once (by node id)
     val wedgePairs = oriented.as("x").join(oriented.as("y"),
       col("x.u") === col("y.u") && col("x.v") < col("y.v"))
@@ -112,9 +138,7 @@ object Triangles {
     */
   def statsSampledU(events: DataFrame, pct: Int = 10): DataFrame = {
     val inv = graft.sampling.UniverseSampled.scaleFor(pct)
-    val kept = PageRank.edges(events)
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
+    val kept = canonicalEdges(events)
       .filter(graft.sampling.UniverseSampled.keep(
         concat_ws("_", col("a"), col("b")), pct))
     statsFromUndirected(kept)

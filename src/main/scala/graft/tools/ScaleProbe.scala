@@ -314,9 +314,12 @@ object ScaleProbe {
     * shared across copies — k×-degree hubs, a different graph.)
     */
   def trianglesAt(events0: DataFrame, k: Int): DataFrame = {
-    val base = graft.graphs.PageRank.edges(events0)
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
+    // checkpoint the base derivation: k union branches would otherwise
+    // each re-run the parse+distinct pipeline inside the timed window
+    // (review r15) — and the one shared canonical-edge spelling keeps
+    // the probe on the declared query's exact derivation
+    val base = graft.graphs.Triangles.canonicalEdges(events0)
+      .localCheckpoint(false)
     graft.graphs.Triangles.statsFromUndirected(
       (0 until k).map { i =>
         base.select(

@@ -56,19 +56,11 @@ class TrianglesSpec extends SparkSpec {
 
   test("live graph: oriented out-degree respects the sqrt(2m) bound — the last-reducer guard") {
     assumeTestdata(sf001)
-    val und = PageRank.edges(Tables.events(spark, sf001))
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
+    // the SHIPPED canonicalization and orientation, not an inline
+    // re-spell that could drift from the production rule (review r15)
+    val und = Triangles.canonicalEdges(Tables.events(spark, sf001))
     val m = und.count()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val maxOut = und
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a"))
-          .otherwise(col("b")).as("u"))
+    val maxOut = Triangles.orient(und, Triangles.degrees(und))
       .groupBy("u").agg(count(lit(1)).as("out"))
       .agg(max(col("out"))).collect().head.getLong(0)
     assert(maxOut.toDouble <= math.sqrt(2.0 * m) + 1,

@@ -56,5 +56,14 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
     assert(conf.get("spark.sql.autoBroadcastJoinThreshold") === Some("-1"))
     assert(conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold") === Some("-1"))
+    // graph_triangles' forced regime needs all THREE settings: both
+    // broadcast thresholds off (static + AQE re-conversion) AND the
+    // sort-merge preference off so the closure runs as shuffled-hash —
+    // dropping any one silently reverts the x8 side to a different plan
+    // than the PROFILE_SCALE attribution describes
+    val tri = ScaleProbe.familyConf("graph_triangles").toMap
+    assert(tri.get("spark.sql.autoBroadcastJoinThreshold") === Some("-1"))
+    assert(tri.get("spark.sql.adaptive.autoBroadcastJoinThreshold") === Some("-1"))
+    assert(tri.get("spark.sql.join.preferSortMergeJoin") === Some("false"))
   }
 }
