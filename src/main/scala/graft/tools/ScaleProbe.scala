@@ -171,12 +171,11 @@ object ScaleProbe {
       ("runs under familyConf (broadcast off + preferSortMergeJoin=false) so " +
         "both factors execute the 100TB closure shape — unforced, x8 " +
         "broadcasts the 4.6MB edge side while x32 goes sort-merge and the " +
-        "cross-plan ratio read 7.87. StageCpu 8/32 under the forced regime: " +
-        "per-WEDGE cost is constant (wedge gen 6.6s/13.8M = 0.48us at x8 vs " +
-        "27.3s/57.6M = 0.47us at x32 — the algorithmic core linear in W); " +
-        "the 4.71 process ratio's residual is the tiny-row per-task " +
-        "constant on 128-vs-32 partitions plus host spread (x32 trials " +
-        "169.9-270.7s)"))
+        "cross-plan ratio read 7.87. StageCpu pinned per-WEDGE cost constant " +
+        "(wedge gen 0.48us at x8 vs 0.47us at x32 — the algorithmic core " +
+        "linear in W); after checkpointing the probe fixture's base edge " +
+        "derivation (review r15: k union branches re-ran the parse inside " +
+        "the timed window) the ratio reads 2.95 — sub-linear"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
