@@ -51,6 +51,12 @@ object SparkEntry {
     // quadratic wedge set — the "last reducer" stays bounded
     "graph_triangles" -> ((s, dir) =>
       graft.graphs.Triangles.stats(Tables.events(s, dir))),
+    // per-vertex triangle counts + local clustering coefficients
+    // (Watts-Strogatz): the census pipeline plus one |V|-bounded
+    // aggregate over exploded triangle vertices
+    "graph_clustering" -> ((s, dir) =>
+      graft.graphs.Triangles.localClustering(Tables.events(s, dir))
+        .orderBy("v")),
     // DOULION sampled census (KDD'09): edge-atomic universe keep at 10%,
     // HT scale 1/p per edge and (1/p)^3 per triangle — wedge cost drops
     // ~p^1.5 and the deterministic sample makes the estimate hash-gated
@@ -1092,6 +1098,7 @@ object SparkEntry {
     "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
     "graph_triangles" -> graft.graphs.Triangles.statsOracleSql,
     "graph_triangles_sampled_u10" -> graft.graphs.Triangles.statsSampledUOracleSql(),
+    "graph_clustering" -> graft.graphs.Triangles.localClusteringOracleSql,
     "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
     "graph_degree_hist_sampled_u10" ->
       graft.graphs.PageRank.degreeHistogramSampledUOracleSql(),

@@ -121,6 +121,62 @@ object Triangles {
           .as("closure_permille"))
   }
 
+  /** Per-vertex triangle counts and LOCAL clustering coefficients
+    * (Watts–Strogatz 1998): lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) in
+    * permille, 0 for degree-<2 vertices — the per-node connectivity-
+    * quality readout next to the global census. Same orientation/wedge/
+    * closure pipeline; each closed triangle {u, p, q} then explodes to
+    * its three vertices and a |V|-bounded aggregate counts per node —
+    * one extra narrow shuffle over the (few) triangles, everything else
+    * shared with [[stats]].
+    */
+  def localClustering(events: DataFrame): DataFrame = {
+    val und = canonicalEdges(events).localCheckpoint(false)
+    val deg = degrees(und).localCheckpoint(false)
+    val oriented = orient(und, deg).localCheckpoint(false)
+    val wedgePairs = oriented.as("x").join(oriented.as("y"),
+      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
+    val triVerts = wedgePairs.join(und,
+      col("p") === col("a") && col("q") === col("b"))
+      .select(explode(array(col("u"), col("p"), col("q"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(triVerts, Seq("v"), "left")
+      .select(
+        col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_permille",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(2000 * n_tri) div (deg * (deg - 1))")))
+  }
+
+  def localClusteringOracleSql: String =
+    s"""WITH ${PageRank.edgesCteSql},
+       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+       |deg AS (
+       |  SELECT v, count(*) AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |  GROUP BY v),
+       |j AS (
+       |  SELECT und.a, und.b, x.deg AS da, y.deg AS db
+       |  FROM und JOIN deg x ON x.v = und.a JOIN deg y ON y.v = und.b),
+       |o AS (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       |  FROM j),
+       |w AS (SELECT x.u AS u, x.v AS p, y.v AS q
+       |      FROM o x JOIN o y ON x.u = y.u AND x.v < y.v),
+       |t AS (SELECT u, p, q FROM w JOIN und ON p = a AND q = b),
+       |tv AS (
+       |  SELECT v, count(*) AS n_tri
+       |  FROM (SELECT u AS v FROM t UNION ALL SELECT p FROM t UNION ALL SELECT q FROM t)
+       |  GROUP BY v)
+       |SELECT d.v, d.deg, coalesce(tv.n_tri, 0) AS n_tri,
+       |       CASE WHEN d.deg < 2 THEN 0
+       |            ELSE (2000 * coalesce(tv.n_tri, 0)) // (d.deg * (d.deg - 1)) END
+       |         AS lcc_permille
+       |FROM deg d LEFT JOIN tv USING (v) ORDER BY d.v""".stripMargin
+
   /** DOULION sampled triangle census (Tsourakakis et al., "DOULION:
     * Counting Triangles in Massive Graphs with a Coin", KDD 2009),
     * deterministic: keep each CANONICAL edge by the edge-atomic universe

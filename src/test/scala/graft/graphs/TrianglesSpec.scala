@@ -36,6 +36,27 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getLong(2) === 1L)
   }
 
+  test("local clustering: K4 all-1000; star+closing-edge has center 100, closed leaves 1000, open leaves 0") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val c4 = Triangles.localClustering(eventsOf(k4)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c4.values.toSet === Set((3L, 3L, 1000L)))
+    val star = (2L to 6L).map(l => (1L, l)) :+ ((2L, 3L))
+    val cs = Triangles.localClustering(eventsOf(star)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cs(1L) === ((5L, 1L, 100L))) // center: 1 triangle over C(5,2)=10 wedges
+    assert(cs(2L) === ((2L, 1L, 1000L)) && cs(3L) === ((2L, 1L, 1000L)))
+    assert(cs(4L) === ((1L, 0L, 0L))) // degree-1 leaf
+  }
+
+  test("local clustering is consistent with the global census (sum n_tri = 3T)") {
+    assumeTestdata(sf001)
+    val t = Triangles.stats(Tables.events(spark, sf001)).collect().head.getLong(2)
+    val sumPerVertex = Triangles.localClustering(Tables.events(spark, sf001))
+      .agg(sum(col("n_tri"))).collect().head.getLong(0)
+    assert(sumPerVertex === 3 * t)
+  }
+
   test("DOULION sampled census: HT estimates track the exact counts on the live graph") {
     assumeTestdata(sf01)
     val exact = Triangles.stats(Tables.events(spark, sf01)).collect().head
