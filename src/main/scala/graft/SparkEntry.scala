@@ -759,6 +759,12 @@ object SparkEntry {
       graft.sampling.KmvSketch.distinctEstimate(
         toks, lit("all"), col("w"), graft.sampling.KmvSketch.VocabK)
     }),
+    // token frequency-of-frequencies (Zipf/Good-Turing spectrum): the
+    // corpus-QA readout whose boilerplate spike / singleton depletion
+    // flags template floods and over-aggressive dedup
+    "text_freq_spectrum" -> ((s, dir) =>
+      graft.text.FrequencySpectrum.spectrum(Tables.documents(s, dir))
+        .orderBy("freq")),
     // incremental vocab maintenance: saved base-snapshot sketches merged
     // with a delta-only sketch (old corpus never rescanned); merge ==
     // full recompute bit-for-bit, so the incremental path hash-gates
@@ -1270,6 +1276,7 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE t <> ''""".stripMargin,
       "g", "w", graft.sampling.KmvSketch.VocabK),
+    "text_freq_spectrum" -> graft.text.FrequencySpectrum.spectrumOracleSql(),
     "text_vocab_kmv_incremental" -> graft.sampling.KmvSketch.distinctEstimateOracleSql(
       """SELECT source AS g, t AS w
         |  FROM (SELECT source,
