@@ -102,14 +102,22 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
 
+  /** The closed triangles (u, p, q) of an oriented frame: out-neighbor
+    * pairs per source (each unordered pair once, by node id) closed
+    * against the canonical edges — the ONE spelling of the wedge+closure
+    * joins, shared by the global census and the per-vertex counts
+    * (review r15: a censoring fix applied to one copy must reach both).
+    */
+  private def closedTriangles(und: DataFrame, oriented: DataFrame): DataFrame =
+    oriented.as("x").join(oriented.as("y"),
+      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
+      .join(und, col("p") === col("a") && col("q") === col("b"))
+      .select(col("u"), col("p"), col("q"))
+
   private def wedgeClose(
       und: DataFrame, deg: DataFrame, oriented: DataFrame): DataFrame = {
-    // out-neighbor pairs per source, each unordered pair once (by node id)
-    val wedgePairs = oriented.as("x").join(oriented.as("y"),
-      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-      .select(col("x.v").as("p"), col("y.v").as("q"))
-    val tri = wedgePairs.join(und,
-      col("p") === col("a") && col("q") === col("b"))
+    val tri = closedTriangles(und, oriented)
     val eCnt = und.agg(count(lit(1)).as("n_edges"))
     val wCnt = deg.agg(
       sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
@@ -134,11 +142,7 @@ object Triangles {
     val und = canonicalEdges(events).localCheckpoint(false)
     val deg = degrees(und).localCheckpoint(false)
     val oriented = orient(und, deg).localCheckpoint(false)
-    val wedgePairs = oriented.as("x").join(oriented.as("y"),
-      col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-      .select(col("x.u").as("u"), col("x.v").as("p"), col("y.v").as("q"))
-    val triVerts = wedgePairs.join(und,
-      col("p") === col("a") && col("q") === col("b"))
+    val triVerts = closedTriangles(und, oriented)
       .select(explode(array(col("u"), col("p"), col("q"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
     deg.join(triVerts, Seq("v"), "left")

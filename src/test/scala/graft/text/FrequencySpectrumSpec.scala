@@ -19,16 +19,17 @@ class FrequencySpectrumSpec extends SparkSpec {
   test("mass identity on the live corpus: sum(freq * n_types) = total token count") {
     assumeTestdata(sf001)
     val docs = Tables.documents(spark, sf001)
-    val mass = FrequencySpectrum.spectrum(docs)
-      .agg(sum(col("freq") * col("n_types"))).collect().head.getLong(0)
+    // collect ONCE; the mass aggregate is local arithmetic over the
+    // bounded spectrum rows (review r15: a second spectrum() call re-ran
+    // the whole two-shuffle corpus aggregation)
+    val rows = FrequencySpectrum.spectrum(docs).collect()
     val total = docs
       .select(explode(graft.dedup.Hashing.words(col("text"))).as("w"))
       .filter(col("w") =!= "").count()
-    assert(mass === total)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === total)
     // spectrum is non-empty and every bucket is positive (the synthetic
     // fixture's fixed vocabulary has NO singletons — a natural-corpus
     // Zipf head claim would be fixture-dependent, so only invariants)
-    val rows = FrequencySpectrum.spectrum(docs).collect()
     assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 1 && r.getLong(1) >= 1))
   }
 }
