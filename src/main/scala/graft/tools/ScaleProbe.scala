@@ -175,8 +175,9 @@ object ScaleProbe {
         "(wedge gen 0.48us at x8 vs 0.47us at x32 — the algorithmic core " +
         "linear in W); after checkpointing the probe fixture's base edge " +
         "derivation (review r15: k union branches re-ran the parse inside " +
-        "the timed window) the measured ratio is sub-linear — see " +
-        "ratio_x32_over_x8 in this entry"))
+        "the timed window) same-head readings span 2.83-4.26 vs linear " +
+        "4.0 — the r15 contended-window spread on min-of-trials, with the " +
+        "stage-level per-wedge constant as the plan-linearity evidence"))
 
   /** ×k documents: union of copies with shifted doc_ids and a per-copy
     * suffix appended to EVERY token, so copies share no vocabulary at any
