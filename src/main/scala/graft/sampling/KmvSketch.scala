@@ -174,7 +174,14 @@ object KmvSketch {
           .otherwise(expr(s"(${k - 1} * ${Mod54}L) div greatest(kth, 1L)")))
       .select(
         col("src_a"), col("src_b"), col("est_union"),
-        expr("(m * est_union) div un").as("est_intersect"),
+        // quotient–remainder split of (m·est_union) div un (ADVICE r15):
+        // the direct product can reach m·(k−1)·2^54/kth; with kth at its
+        // floor k−1 and m = un = k = 512 that is exactly 2^63 — one past
+        // Long.MaxValue. Splitting keeps every term ≤ 2^54 + un² while
+        // computing the identical integer value:
+        //   m·(q·un + r) div un = m·q + (m·r) div un,  q = eu div un
+        expr("m * (est_union div un) + (m * (est_union % un)) div un")
+          .as("est_intersect"),
         expr("(1000 * m) div un").as("jaccard_permille"))
   }
 
@@ -205,7 +212,7 @@ object KmvSketch {
        |  FROM d
        |)
        |SELECT src_a, src_b, est_union,
-       |       (m * est_union) // un AS est_intersect,
+       |       m * (est_union // un) + (m * (est_union % un)) // un AS est_intersect,
        |       (1000 * m) // un AS jaccard_permille
        |FROM e ORDER BY src_a, src_b""".stripMargin
   }

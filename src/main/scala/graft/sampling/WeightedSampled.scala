@@ -184,11 +184,13 @@ object WeightedSampled {
     * broadcast.
     */
   def summary(docs: DataFrame): DataFrame = {
-    // ONE ranked frame for both sides: its RangeRank core is
-    // localCheckpointed, so the selected and corpus aggregates share the
-    // scan + key computation instead of re-keying the corpus (review r15
-    // — at the 100 TB design point the second scan would dominate)
-    val ranked = rankedWithK(docs)
+    // ONE ranked frame for both sides, checkpointed HERE: the RangeRank
+    // core inside rankedWithK is already materialized, but the in-plan k
+    // (a full count scan of docs) and the offset join are not — without
+    // this outer checkpoint each consumer re-ran that corpus count scan,
+    // exactly the duplicated pass the 100 TB argument is about (ADVICE
+    // r15). sample()/sampleBySource are single-consumer and skip it.
+    val ranked = rankedWithK(docs).localCheckpoint(false)
     val bySel = ranked.filter(col("pos") <= col("__k")).groupBy("source").agg(
       count(lit(1)).as("n_sel"),
       sum(col("w")).as("w_sel"))

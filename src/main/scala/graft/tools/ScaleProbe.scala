@@ -187,7 +187,25 @@ object ScaleProbe {
     * step of `dedup_ngram_pairs` — a fixture artifact, not engine
     * behavior.)
     */
-  def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
+  /** Guard for every ×k id-shift helper (ADVICE r15): the "k disjoint
+    * copies" premise holds only while every BASE id sits below the
+    * per-copy shift block — a fixture regeneration whose ids reach
+    * [[DedupCorpus.IdBlock]] would overlap blocks and silently distort
+    * the scaling verdict. One-row agg over the (small) base frame, run
+    * once per helper call, outside any timed window (fixture
+    * construction precedes timing).
+    */
+  private def requireIdsBelowBlock(
+      base: DataFrame, idCol: org.apache.spark.sql.Column, block: Long,
+      what: String): Unit = {
+    val mx = base.agg(max(idCol)).head.getLong(0)
+    require(mx < block,
+      s"ScaleProbe $what: max base id $mx >= shift block $block — " +
+        "exploded copies would overlap; fix the fixture or raise the block")
+  }
+
+  def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame = {
+    requireIdsBelowBlock(docs, col("doc_id"), DedupCorpus.IdBlock, "explodeDocs")
     (0 until k).map { i =>
       docs.select(
         Seq((col("doc_id") + lit(i.toLong * DedupCorpus.IdBlock)).as("doc_id")) ++
@@ -198,6 +216,7 @@ object ScaleProbe {
           (if (i == 0) col("text")
            else regexp_replace(col("text"), s"(?i)([a-z0-9]+)", s"$$1q$i")).as("text"): _*)
     }.reduce(_ unionAll _).repartition(32 * k)
+  }
 
   /** ×k events: union of copies with shifted user/event ids. `parts`
     * overrides the default 32·k fixture partitioning for families under
@@ -321,6 +340,11 @@ object ScaleProbe {
     // the probe on the declared query's exact derivation
     val base = graft.graphs.Triangles.canonicalEdges(events0)
       .localCheckpoint(false)
+    // node ids include props.k-derived synthetic ids, not just user_ids —
+    // the block-disjointness premise must be checked on the DERIVED edge
+    // endpoints, not the raw event columns (ADVICE r15)
+    requireIdsBelowBlock(
+      base, greatest(col("a"), col("b")), DedupCorpus.IdBlock, "trianglesAt")
     graft.graphs.Triangles.statsFromUndirected(
       (0 until k).map { i =>
         base.select(
@@ -336,12 +360,15 @@ object ScaleProbe {
     * Shifted ids give every copy independent hash draws.
     */
   def explodeDocsNarrow(
-      docs: DataFrame, k: Int, parts: Int, carry: Seq[String]): DataFrame =
+      docs: DataFrame, k: Int, parts: Int, carry: Seq[String]): DataFrame = {
+    requireIdsBelowBlock(
+      docs, col("doc_id"), DedupCorpus.IdBlock, "explodeDocsNarrow")
     (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * DedupCorpus.IdBlock)).as("doc_id") +:
           carry.map(col): _*)
     }.reduce(_ unionAll _).repartition(parts)
+  }
 
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     require(k <= EmbeddingDims,

@@ -17,6 +17,42 @@ class StreamingWeightedReservoirSpec extends SparkSpec {
 
   private val K = StreamingWeightedReservoir.ReservoirK
 
+  /** Drain an update-mode reservoir stream through `foreachBatch`, tagging
+    * every emission with its micro-batch id, and return the MAX-BATCH
+    * emission per shard. The earlier memory-sink spelling reconstructed
+    * "last emission" from sink arrival order, which is an implementation
+    * detail across batches (ADVICE r15) — the batch id is the contract.
+    */
+  private def lastReservoirPerShard(
+      out: org.apache.spark.sql.Dataset[(Int, Seq[(Long, Long, Long)])],
+      input: MemoryStream[(Long, String, Long)],
+      batches: Seq[Seq[(Long, String, Long)]],
+      name: String): Seq[Seq[(Long, Long, Long)]] = {
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Seq[(Long, Long, Long)])]
+    val query = out.writeStream
+      .queryName(name).outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[(Int, Seq[(Long, Long, Long)])],
+         batchId: Long) =>
+          val rows = ds.collect().map { case (shard, res) =>
+            (batchId, shard, res)
+          }
+          emitted.synchronized { emitted ++= rows }
+          ()
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    emitted.synchronized {
+      emitted.groupBy(_._2).values.map(_.maxBy(_._1)._3).toSeq
+    }
+  }
+
   test("final reservoir equals the batch fixed-k sample across micro-batches") {
     assumeTestdata(sf001)
     val docs = Tables.documents(spark, sf001)
@@ -29,32 +65,18 @@ class StreamingWeightedReservoirSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Long)](spark)
     val out = StreamingWeightedReservoir.reservoirs(
       spark, input.toDF().toDF("doc_id", "source", "n_chars"), K)
-    val query = out.writeStream
-      .format("memory").queryName("wres").outputMode("update").start()
-    try {
-      // three unequal micro-batches — the reservoir must merge, not rescan
-      val (b1, rest) = rows.splitAt(rows.length / 5)
-      val (b2, b3) = rest.splitAt(rest.length / 2)
-      Seq(b1, b2, b3).foreach { b =>
-        input.addData(b.toIndexedSeq: _*)
-        query.processAllAvailable()
-      }
-      // update mode re-emits a shard each time it changes: take the LAST
-      // emission per shard (memory sink preserves arrival order)
-      val lastPerShard = spark.table("wres")
-        .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
-        .toMap // later rows overwrite earlier — Map keeps the last
-        .values
-        .map(_.map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).toSeq)
-        .toSeq
-      // per-shard state never exceeds k
-      lastPerShard.foreach(s => assert(s.length <= K))
-      val got = StreamingWeightedReservoir
-        .selectTopK(lastPerShard, K)
-        .map { case (akey, id, w) => (id, w, akey) }
-        .sortBy(_._1)
-      assert(got === expected)
-    } finally query.stop()
+    // three unequal micro-batches — the reservoir must merge, not rescan
+    val (b1, rest) = rows.splitAt(rows.length / 5)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val lastPerShard =
+      lastReservoirPerShard(out, input, Seq(b1, b2, b3), "wres")
+    // per-shard state never exceeds k
+    lastPerShard.foreach(s => assert(s.length <= K))
+    val got = StreamingWeightedReservoir
+      .selectTopK(lastPerShard, K)
+      .map { case (akey, id, w) => (id, w, akey) }
+      .sortBy(_._1)
+    assert(got === expected)
   }
 
   test("replay query equals the plain fixed-k selection (the oracle identity)") {
@@ -78,27 +100,17 @@ class StreamingWeightedReservoirSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Long)](spark)
     val out = StreamingWeightedReservoir.reservoirs(
       spark, input.toDF().toDF("doc_id", "source", "n_chars"), 4)
-    val query = out.writeStream
-      .format("memory").queryName("wres_late").outputMode("update").start()
-    try {
-      input.addData(early.toIndexedSeq: _*)
-      query.processAllAvailable()
-      input.addData(late.toIndexedSeq: _*)
-      query.processAllAvailable()
-      val lastPerShard = spark.table("wres_late")
-        .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1))
-        .toMap.values
-        .map(_.map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).toSeq).toSeq
-      val sel = StreamingWeightedReservoir.selectTopK(lastPerShard, 4)
-      val expected = WeightedSampled
-        .sampleK((early ++ late).toDF("doc_id", "source", "n_chars"), 4)
-        .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
-      // the displacement property is only exercised if a LATE doc made the
-      // cut — assert it did, so a state-merge regression cannot pass
-      // against a batch-1-only expected set
-      assert(expected.exists { case (_, id, _) => id >= 1000L },
-        "fixture defect: no late doc in the batch top-4 — displacement untested")
-      assert(sel.toSet === expected)
-    } finally query.stop()
+    val lastPerShard =
+      lastReservoirPerShard(out, input, Seq(early, late), "wres_late")
+    val sel = StreamingWeightedReservoir.selectTopK(lastPerShard, 4)
+    val expected = WeightedSampled
+      .sampleK((early ++ late).toDF("doc_id", "source", "n_chars"), 4)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
+    // the displacement property is only exercised if a LATE doc made the
+    // cut — assert it did, so a state-merge regression cannot pass
+    // against a batch-1-only expected set
+    assert(expected.exists { case (_, id, _) => id >= 1000L },
+      "fixture defect: no late doc in the batch top-4 — displacement untested")
+    assert(sel.toSet === expected)
   }
 }
