@@ -256,6 +256,15 @@ object SparkEntry {
     "dedup_shared_spans" -> ((s, dir) =>
       graft.text.SharedSpans.pairs(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
+    // exact-substring EXCISION (Lee et al. 2022, the suffix-array
+    // modality's distributed k-gram form): per-doc maximal repeated spans
+    // and the per-doc cut/kept summary — no pair table at any point
+    "docs_substring_spans" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.spans(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id", "span_start")),
+    "docs_substring_dedup" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.summary(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -493,6 +502,13 @@ object SparkEntry {
       graft.multimodal.ImageDedup.nearDupPairs(
         graft.multimodal.ImageDedup.hashes(
           s, graft.multimodal.ImageDedup.synthesizeVariants(s, nGroups = 100)))
+        .orderBy("asset_a", "asset_b")),
+    // the GATED twin: the codec step (the one thing DuckDB cannot run) is
+    // published once as a digest-keyed (asset_id, ahash) artifact, and
+    // banding + skew cap + star fallback + Hamming verify replay
+    // bit-for-bit from that parquet (VERDICT r15 item 2)
+    "mm_dedup_pairs_gated" -> ((s, _) =>
+      graft.multimodal.ImageDedup.nearDupPairsSaved(s, nGroups = 100)
         .orderBy("asset_a", "asset_b")),
     // --- native source formats: the reference reads text/XML files, not
     // --- parquet; these queries ingest through those sources (fixtures
@@ -1123,6 +1139,8 @@ object SparkEntry {
     "dedup_ngram_pairs" -> JaccardPairs.nearDupPairsOracleSql(),
     "dedup_cosine_pairs" -> CosinePairs.nearDupPairsOracleSql(),
     "dedup_shared_spans" -> graft.text.SharedSpans.pairsOracleSql,
+    "docs_substring_spans" -> graft.dedup.SubstringDedup.spansOracleSql,
+    "docs_substring_dedup" -> graft.dedup.SubstringDedup.summaryOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),
@@ -1173,6 +1191,8 @@ object SparkEntry {
     "mm_frames" -> Multimodal.videoFramesOracleSql(),
     "mm_features" -> Multimodal.featuresOracleSql(),
     "mm_audio_features" -> Multimodal.audioFeaturesOracleSql(),
+    "mm_dedup_pairs_gated" ->
+      graft.multimodal.ImageDedup.nearDupPairsSavedOracleSql(nGroups = 100),
     // same semantic result as wordcount — these queries ingest the identical
     // corpus through text / XML / gzipped-text files instead of parquet, or
     // through the percent-escape → url_decode round trip

@@ -18,17 +18,26 @@ package graft.dedup
   */
 private[graft] object SavedArtifact {
 
+  /** The artifact's deterministic path — NO build: the pure
+    * (prefix, digest, params) → path function, exposed so an oracle that
+    * must READ the artifact (e.g. the image-hash table DuckDB cannot
+    * derive itself) can name the same location the engine published to.
+    */
+  def path(prefix: String, contentDigest: String, params: Seq[Any]): String = {
+    val paramsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(params.mkString(":").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      s"${contentDigest}_$paramsKey"
+  }
+
   /** Path of the published artifact, building it first if absent.
     * `build(tmp)` must write a _SUCCESS-marked directory at `tmp`
     * (a parquet write does).
     */
   def ensure(prefix: String, contentDigest: String, params: Seq[Any])(
       build: String => Unit): String = {
-    val paramsKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(params.mkString(":").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
-    val path = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-      s"${contentDigest}_$paramsKey"
+    val path = SavedArtifact.path(prefix, contentDigest, params)
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val tmp = s"${path}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
       build(tmp)

@@ -1,0 +1,198 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GramHashes
+
+/** Cross-document EXACT-SUBSTRING dedup — the distributed k-gram
+  * approximation of suffix-array substring dedup (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+  * excise from every document each maximal character span all of whose
+  * [[GramLen]]-grams also occur verbatim in some EARLIER (smaller-id)
+  * document, keeping exactly the smallest-id carrier's copy of every
+  * repeated region.
+  *
+  * This is the missing granularity between the whole-doc layers
+  * (exact/MinHash/SimHash/embedding) and the pair-level span DETECTORS
+  * ([[graft.text.SharedSpans]] winnowing reports WHO shares spans;
+  * this operator computes per-document WHAT to remove):
+  *
+  *  1. `gram_hashes(text)` — the codegen'd O(n) rolling kernel — gives
+  *     every position's K-gram hash.
+  *  2. A gram is DUPLICATED when it occurs in ≥ 2 distinct documents;
+  *     its KEEPER is the smallest carrier doc_id (one groupBy over the
+  *     per-doc-distinct hash stream: count + min, both partial-agg'd
+  *     map-side).
+  *  3. A position is cut when its gram is duplicated and its document is
+  *     not the keeper. Runs of cut positions closer than K merge into
+  *     maximal spans (their covered [p, p+K−1] intervals overlap) — the
+  *     classic gaps-and-islands merge, partitioned per document.
+  *
+  * Scale shape (100 TB): NO pair table exists at any point — boilerplate
+  * shared by millions of documents costs exactly one dup-set row per
+  * gram, so the MaxBucket skew discipline the pair detectors need does
+  * not arise (the hot-key join side is pre-aggregated to one row per
+  * hash). The corpus is touched by two explodes of the checkpointed
+  * gram frame: the distinct-hash stream into the dup-set aggregate, and
+  * the position stream into the dup-set equi-join — the position join is
+  * the dominant shuffle, ∝ total corpus characters, the same order as
+  * the suffix array Lee et al. build (8 bytes/char); on a mostly-unique
+  * real corpus the aggregated dup side is far smaller than the position
+  * side, which is exactly the regime where AQE broadcasts it (or a
+  * [[graft.functions.BloomFilter]] pre-filter drops non-duplicated
+  * positions map-side before the exchange — the documented deployment
+  * lever when the dup set outgrows broadcast). The island merge windows
+  * over CUT positions only — a duplicated-mass-sized frame, not a
+  * corpus-sized one.
+  *
+  * Approximations vs the suffix-array original, by design: spans shorter
+  * than [[GramLen]] are invisible; a hash collision can excise a false
+  * span (~1 pair per 10⁶ corpus positions at the 40-bit modulus — see
+  * [[GramHashes]]); self-repeats inside the keeper document are kept.
+  * The DuckDB oracle replays the identical hash chain, so the gates are
+  * bit-exact about this contract.
+  */
+object SubstringDedup {
+
+  /** Minimum repeated-span length, in characters = the gram length. */
+  val GramLen: Int = GramHashes.GramLen
+
+  /** (doc_id, n_chars, hs) — one row per corpus doc, hs[i] = the gram
+    * hash at 1-based position i+1. Checkpointed: both the dup-set
+    * aggregate and the position stream consume it, and the summary reads
+    * n_chars — one scan + one kernel pass by construction.
+    */
+  private def gramFrame(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      GramHashes.gramHashes(col("text")).as("hs"))
+      .localCheckpoint(false)
+
+  /** Duplicated grams with their keeper: (h, min_doc) for every hash
+    * carried by ≥ 2 distinct docs.
+    */
+  private def dupSet(grams: DataFrame): DataFrame =
+    grams.select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("__nd"), min(col("doc_id")).as("min_doc"))
+      .filter(col("__nd") >= 2)
+      .select("h", "min_doc")
+
+  /** Maximal excised spans from a prepared gram frame: (doc_id,
+    * span_start, span_end), 1-based inclusive character bounds.
+    */
+  private def spansFromGrams(grams: DataFrame): DataFrame = {
+    val positions = grams
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("__i", "h")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"), col("h"))
+    val cut = positions
+      .join(dupSet(grams), Seq("h"))
+      .filter(col("doc_id") > col("min_doc"))
+      .select("doc_id", "pos")
+    // gaps-and-islands with the INTERVAL-overlap gap rule: two cut
+    // positions p, q (p < q) cover overlapping-or-abutting [·, ·+K−1]
+    // spans iff q − p ≤ K — runs under that gap merge into one span
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    cut
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(byDoc) > GramLen, 1).otherwise(0))
+      .withColumn("__isl",
+        sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(GramLen - 1).cast("long")).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** The span table over the duplicate-injected corpus. */
+  def spans(corpus: DataFrame): DataFrame =
+    spansFromGrams(gramFrame(corpus))
+
+  /** Per-document excision summary over the FULL corpus (docs with
+    * nothing to cut report n_spans = 0, kept_chars = n_chars): the
+    * "how much of my corpus is repeated substance" readout Lee et al.
+    * report corpus-wide, per document.
+    */
+  def summary(corpus: DataFrame): DataFrame = {
+    val grams = gramFrame(corpus)
+    val perDoc = spansFromGrams(grams)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("cut_chars"))
+    // span table ≪ corpus: the left join's build side is the aggregate
+    grams.select(col("doc_id"), col("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        (col("n_chars") - coalesce(col("cut_chars"), lit(0L))).as("kept_chars"))
+  }
+
+  // ---- DuckDB oracle (identical hash chain, identical rules) ----
+
+  /** The gram CTE: the O(n·K) per-term-mod direct sum — exactly
+    * [[GramHashes]]' rolling values (both reduce mod P with every
+    * intermediate exact in int64; see the kernel's scaladoc).
+    */
+  private def gramCtes(from: String): String = {
+    val k = GramLen
+    val p = GramHashes.PolyMod
+    val polySql = (0 until k)
+      .map(j =>
+        s"(CAST(ascii(substr(text, j + $j, 1)) AS BIGINT) * ${GramHashes.PolyPow(k - 1 - j)}) % $p")
+      .mkString(" + ")
+    s"""g AS (
+       |  SELECT doc_id, n_chars,
+       |         unnest(range(1, length(text) - ${k - 2})) AS pos,
+       |         unnest([($polySql) % $p
+       |                 for j in range(1, length(text) - ${k - 2})]) AS h
+       |  FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM $from)
+       |  WHERE length(text) >= $k),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS min_doc
+       |  FROM (SELECT DISTINCT doc_id, h FROM g)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |cut AS (
+       |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+       |  FROM g JOIN dup ON g.h = dup.h AND g.doc_id > dup.min_doc),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+       |              THEN 1 ELSE 0 END AS nw
+       |  FROM cut),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM fl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
+       |  FROM isl GROUP BY doc_id, isl)""".stripMargin
+  }
+
+  def spansOracleSql: String =
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |${gramCtes("corpus")}
+       |SELECT doc_id, span_start, span_end
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  def summaryOracleSql: String =
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |${gramCtes("corpus")},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS cut_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.cut_chars, 0) AS cut_chars,
+       |       CAST(length(c.text) AS BIGINT) - coalesce(p.cut_chars, 0) AS kept_chars
+       |FROM corpus c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+}

@@ -148,6 +148,48 @@ object ImageDedup {
       .toDF("asset_id", "ahash")
   }
 
+  /** Version tag of the decode→aHash chain — bump on ANY change to
+    * [[aHash]]/[[pixel]]/[[pngVariant]]/[[synthesizeVariants]] so the
+    * saved hash artifact rebuilds instead of serving stale fingerprints.
+    */
+  val HashChainVersion = "ahash_v1"
+
+  /** Deterministic path of the saved (asset_id, ahash) table for the
+    * `nGroups`-group synthetic asset population — the oracle reads this
+    * exact location (it cannot run a PNG codec), so the path must be a
+    * pure function of the derivation parameters.
+    */
+  def savedHashesPath(nGroups: Int): String =
+    graft.dedup.SavedArtifact.path(
+      "graft_mmahash", s"synth$nGroups",
+      Seq(Grid, GroupSize, NumBands, HashChainVersion))
+
+  /** Build-once published (asset_id, ahash) parquet over the synthetic
+    * population — the [[graft.dedup.IncrementalDedup.ensureSavedSignatures]]
+    * discipline applied at the decode seam (VERDICT r15 item 2): the ONE
+    * step DuckDB cannot replay (the ImageIO codec) is materialized as an
+    * artifact, and everything downstream — banding, the skew-capped
+    * candidate join, Hamming verification — is gated bit-for-bit through
+    * [[nearDupPairsSavedOracleSql]].
+    */
+  def ensureSavedHashes(spark: SparkSession, nGroups: Int): String = {
+    val expected = savedHashesPath(nGroups)
+    val built = graft.dedup.SavedArtifact.ensure(
+      "graft_mmahash", s"synth$nGroups",
+      Seq(Grid, GroupSize, NumBands, HashChainVersion)) { tmp =>
+      hashes(spark, synthesizeVariants(spark, nGroups))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    assert(built == expected, s"artifact path drift: $built vs $expected")
+    built
+  }
+
+  /** The gated pairs query: identical logic to [[nearDupPairs]], reading
+    * the published hash artifact instead of decoding.
+    */
+  def nearDupPairsSaved(spark: SparkSession, nGroups: Int): DataFrame =
+    nearDupPairs(spark.read.parquet(ensureSavedHashes(spark, nGroups)))
+
   /** Near-duplicate image pairs with Hamming ≤ maxHamming via 8-bit band
     * bucketing — full recall at the default threshold (pigeonhole), skew
     * capped like [[graft.dedup.SimHash.nearDupPairs]] with the same
@@ -203,5 +245,48 @@ object ImageDedup {
         bit_count(col("rep_ah").bitwiseXOR(col("ahash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
     densePairs.unionAll(starPairs).distinct()
+  }
+
+  /** DuckDB replay of [[nearDupPairsSaved]] from the saved hash artifact:
+    * same 8×8-bit banding (the arithmetic `>>` then `& 255` reads the
+    * identical low byte Spark's `shiftrightunsigned` masks out), same
+    * over-cap drop + star fallback, same `bit_count(xor)` Hamming.
+    */
+  def nearDupPairsSavedOracleSql(nGroups: Int): String = {
+    val path = savedHashesPath(nGroups)
+    s"""WITH fps AS (
+       |  SELECT asset_id, ahash FROM read_parquet('$path/*.parquet')),
+       |banded AS (
+       |  SELECT asset_id, ahash, CAST(t.band AS INTEGER) AS band,
+       |         (ahash >> (CAST(t.band AS INTEGER) * $BandBits)) & ${(1L << BandBits) - 1} AS key
+       |  FROM fps, range(0, $NumBands) AS t(band)),
+       |hot AS (
+       |  SELECT band, key FROM banded
+       |  GROUP BY band, key HAVING count(*) > $MaxBucket),
+       |bounded AS (
+       |  SELECT * FROM banded
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band = banded.band AND h.key = banded.key)),
+       |dense AS (
+       |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       |         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $MaxHamming),
+       |hot_members AS (
+       |  SELECT banded.* FROM banded JOIN hot USING (band, key)),
+       |reps AS (
+       |  SELECT band, key, min(asset_id) AS rep,
+       |         arg_min(ahash, asset_id) AS rep_ah
+       |  FROM hot_members GROUP BY band, key),
+       |star AS (
+       |  SELECT r.rep AS asset_a, m.asset_id AS asset_b,
+       |         CAST(bit_count(xor(r.rep_ah, m.ahash)) AS BIGINT) AS hamming
+       |  FROM hot_members m JOIN reps r USING (band, key)
+       |  WHERE m.asset_id <> r.rep
+       |    AND bit_count(xor(r.rep_ah, m.ahash)) <= $MaxHamming)
+       |SELECT DISTINCT asset_a, asset_b, hamming
+       |FROM (SELECT * FROM dense UNION ALL SELECT * FROM star)
+       |ORDER BY asset_a, asset_b""".stripMargin
   }
 }

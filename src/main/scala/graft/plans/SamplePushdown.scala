@@ -71,5 +71,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.BloomFilter.containDescriptor)
     extensions.injectFunction(graft.functions.SortedIntersectDot.descriptor)
     extensions.injectFunction(graft.functions.SignBandKeys.descriptor)
+    extensions.injectFunction(graft.functions.GramHashes.descriptor)
   }
 }

@@ -425,6 +425,12 @@ object ScaleProbe {
         CosinePairs.nearDupPairs(DedupCorpus.augment(explodeDocs(docs0, k)))),
       "dedup_cleaned" -> (k =>
         DedupClusters.cleaned(DedupCorpus.augment(explodeDocs(docs0, k)))),
+      // exact-substring excision (r16): no pair table — the per-copy
+      // token suffixes give copies disjoint 40-gram vocabularies, so the
+      // dup set, the position join, and the island windows all scale ~k×
+      "docs_substring_dedup" -> (k =>
+        graft.dedup.SubstringDedup.summary(
+          DedupCorpus.augment(explodeDocs(docs0, k)))),
       "text_fingerprint" -> (k =>
         graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
       "events_sessions" -> (k =>

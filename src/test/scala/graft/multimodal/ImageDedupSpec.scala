@@ -48,4 +48,18 @@ class ImageDedupSpec extends SparkSpec {
     val groupsHit = pairs.map(_._1 / ImageDedup.GroupSize).distinct.length
     assert(groupsHit >= nGroups / 2, s"only $groupsHit/$nGroups groups produced a pair")
   }
+
+  test("saved-artifact path: pairs from the published hash parquet equal " +
+    "the direct decode path, and the artifact lands at the declared location") {
+    val direct = ImageDedup.nearDupPairs(
+      ImageDedup.hashes(spark, ImageDedup.synthesizeVariants(spark, 20)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val path = ImageDedup.ensureSavedHashes(spark, 20)
+    assert(path === ImageDedup.savedHashesPath(20))
+    assert(new java.io.File(s"$path/_SUCCESS").exists())
+    val saved = ImageDedup.nearDupPairsSaved(spark, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(saved === direct)
+    assert(saved.nonEmpty)
+  }
 }
