@@ -103,6 +103,87 @@ object RatioLadder {
   def runFamily(f: Family, ratios: Seq[Double], outDir: String): Seq[Rung] =
     run(f.source, f.query, Seq(f.key), ratios, s"$outDir/${f.name}", f.countCol)
 
+  /** The ladder rungs of the DECLARED query form, as keep-percentages. */
+  val DeclaredPcts: Seq[Int] = Seq(100, 50, 25, 10)
+
+  /** The reference's full experiment protocol as ONE declared, oracle-
+    * gated query (VERDICT r15 item 6): the word-count family run at the
+    * published ladder p ∈ {1.0, 0.5, 0.25, 0.1} under UNIVERSE sampling
+    * (hash-range keeps — deterministic, so unlike the seeded-RNG harness
+    * above, every rung replays bit-for-bit in DuckDB), each rung emitting
+    * the comparator's error measure (`RSMRResultComparator.java:58-82`:
+    * Σ|exact − HT-scaled| / Σ exact, absent keys as 0 — here as exact
+    * integers sum_abs_diff / sum_exact plus a basis-point division) and
+    * the T4 achieved-error bound over the (corpus docs, kept docs) pair.
+    *
+    * Scale shape: the exact word count is computed once and checkpointed
+    * (three rung joins consume it); each rung adds one sampled aggregate
+    * (the keep-filter is a codegen'd scan predicate — 1−p of the corpus
+    * never leaves the scan loop) and one broadcast-sized full-outer join
+    * on the group key (AQE: the sampled side is an aggregate). The
+    * one-row count frames ride broadcast crossJoins.
+    */
+  def wordcountLadderU(docs: DataFrame): DataFrame = {
+    import graft.sampling.{Stats, UniverseSampled}
+    import org.apache.spark.sql.functions._
+    val exact = RQ.wordCount(docs).localCheckpoint(false)
+    val nTotal = docs.agg(count(lit(1)).as("n_docs"))
+    DeclaredPcts.map { pct =>
+      val kept = UniverseSampled.sample(docs, col("doc_id"), pct)
+      val est = RQ.wordCount(kept).select(
+        col("word"),
+        (col("cnt") * lit(UniverseSampled.scaleFor(pct))).as("__est"))
+      val diff = exact.join(est, Seq("word"), "full_outer")
+        .agg(
+          sum(abs(coalesce(col("cnt"), lit(0L)) - coalesce(col("__est"), lit(0L))))
+            .as("sum_abs_diff"),
+          sum(coalesce(col("cnt"), lit(0L))).as("sum_exact"))
+      val nKept = kept.agg(count(lit(1)).as("n_docs_kept"))
+      diff
+        .crossJoin(broadcast(nKept))
+        .crossJoin(broadcast(nTotal))
+        .select(
+          lit(pct.toLong).as("pct"),
+          col("sum_exact"), col("sum_abs_diff"),
+          expr("(10000 * sum_abs_diff) div sum_exact").as("data_error_bp"),
+          col("n_docs"), col("n_docs_kept"),
+          Stats.errBoundCol(col("n_docs"), col("n_docs_kept"), 0.95).as("err_bound"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB replay of [[wordcountLadderU]] — same keeps, same integer
+    * comparator arithmetic, same T4 chain, rung per UNION branch.
+    */
+  def wordcountLadderUOracleSql: String = {
+    import graft.sampling.{Stats, UniverseSampled}
+    val wcFrom = (cond: String) =>
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+         |        FROM documents
+         |        WHERE ($cond) AND NOT regexp_matches(lower(text), '[0-9]'))
+         |  WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$$')
+         |  GROUP BY word""".stripMargin
+    val rungs = DeclaredPcts.map { pct =>
+      val keep = UniverseSampled.keepSql("doc_id", pct)
+      s"""SELECT CAST($pct AS BIGINT) AS pct, d.sum_exact, d.sum_abs_diff,
+         |       (10000 * d.sum_abs_diff) // d.sum_exact AS data_error_bp,
+         |       nt.n_docs, nk.n_docs_kept,
+         |       ${Stats.errBoundSql("nt.n_docs", "nk.n_docs_kept", 0.95)} AS err_bound
+         |FROM (
+         |  SELECT CAST(sum(abs(coalesce(e.cnt, 0) - coalesce(s.est, 0))) AS BIGINT) AS sum_abs_diff,
+         |         CAST(sum(coalesce(e.cnt, 0)) AS BIGINT) AS sum_exact
+         |  FROM (${wcFrom("TRUE")}) e
+         |  FULL OUTER JOIN (
+         |    SELECT word, cnt * ${UniverseSampled.scaleFor(pct)} AS est
+         |    FROM (${wcFrom(keep)})) s USING (word)
+         |) d,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) nt,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_docs_kept
+         | FROM documents WHERE $keep) nk""".stripMargin
+    }
+    rungs.mkString("", "\nUNION ALL\n", "\nORDER BY pct DESC")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_ladder")

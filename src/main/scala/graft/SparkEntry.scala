@@ -104,6 +104,13 @@ object SparkEntry {
     "wordcount_sampled_u10" -> ((s, dir) =>
       RQ.sampledUniverse(Tables.documents(s, dir), col("doc_id"), 10, RQ.wordCount(_))
         .orderBy("word")),
+    // the reference's FULL experiment protocol as one gated query: the
+    // universe-sampling ladder with per-rung comparator error (integer
+    // basis points) and T4 bound (VERDICT r15 item 6)
+    "wordcount_ladder_u" -> ((s, dir) =>
+      graft.RatioLadder.wordcountLadderU(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("pct").desc)),
     "wireless_sampled_u10" -> ((s, dir) =>
       RQ.sampledUniverse(Tables.events(s, dir), col("event_id"), 10, RQ.wirelessLinks)
         .orderBy("link")),
@@ -1211,6 +1218,7 @@ object SparkEntry {
     // the universe-sampled family: deterministic hash-range predicates →
     // the sampled results themselves are oracle-gated
     "wordcount_sampled_u10" -> wordCountSampledUSql(10),
+    "wordcount_ladder_u" -> graft.RatioLadder.wordcountLadderUOracleSql,
     "wireless_sampled_u10" -> wirelessSampledUSql(10),
     "text_quality_sampled_u10" -> TextAnalysis.qualityDistributionSampledUOracleSql(10),
     "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),

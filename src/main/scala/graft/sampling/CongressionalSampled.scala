@@ -173,10 +173,7 @@ object CongressionalSampled {
     estimate(df, stratum, unit, value, targetK)
       .withColumn(
         "err_bound",
-        when(col("n_exact") <= 1, lit(0.0)).otherwise(
-          lit(Stats.zScore(confidence))
-            * sqrt(lit(0.25) / col("n_kept"))
-            * sqrt((col("n_exact") - col("n_kept")) / (col("n_exact") - lit(1L)))))
+        Stats.errBoundCol(col("n_exact"), col("n_kept"), confidence))
       // no re-sort: withColumn is a projection atop estimate's orderBy
 
   /** DuckDB oracle for [[estimate]]: the count→ceil-div→threshold→hash-keep
@@ -244,9 +241,7 @@ object CongressionalSampled {
       if (!withBounds) ""
       else
         s""",
-           |       CASE WHEN r.n_exact <= 1 THEN 0.0
-           |            ELSE ${Stats.zScore(confidence)} * sqrt(0.25 / count(*))
-           |                 * sqrt((r.n_exact - count(*)) / (r.n_exact - 1)) END
+           |       ${Stats.errBoundSql("r.n_exact", "count(*)", confidence)}
            |         AS err_bound""".stripMargin
     // both CTEs mirror sample()'s null pre-filter so n_exact counts
     // exactly the sampleable population (see the null-semantics doc)

@@ -44,28 +44,19 @@ import org.apache.spark.sql.functions._
   */
 object JoinSampled {
 
-  /** The T4 err_bound chain over a kept-key count — ONE Column spelling
-    * (used by both bounds estimators) so the fixed operation order the
-    * oracle contract rests on cannot desynchronize across copies (the
-    * [[CongressionalSampled]] ratesCteSql discipline; review finding).
-    * [[errBoundSql]] is its SQL twin — change in lockstep.
+  /** The T4 err_bound chain over a kept-key count: delegates to the ONE
+    * shared (N, n) spelling ([[Stats.errBoundCol]]/[[Stats.errBoundSql]],
+    * r16 — three estimator-local copies had accumulated) with the join
+    * estimator's N̂ = n_keys·m population.
     */
   private def errBoundCol(
       nKeys: org.apache.spark.sql.Column, m: Long,
-      confidence: Double): org.apache.spark.sql.Column = {
-    val nHat = nKeys * m
-    when(nHat <= 1, lit(0.0)).otherwise(
-      lit(Stats.zScore(confidence))
-        * sqrt(lit(0.25) / nKeys)
-        * sqrt((nHat - nKeys) / (nHat - lit(1L))))
-  }
+      confidence: Double): org.apache.spark.sql.Column =
+    Stats.errBoundCol(nKeys * m, nKeys, confidence)
 
   /** SQL twin of [[errBoundCol]] over a key-count expression. */
   private def errBoundSql(cnt: String, m: Long, confidence: Double): String =
-    s"""CASE WHEN $cnt * $m <= 1 THEN 0.0
-       |            ELSE ${Stats.zScore(confidence)} * sqrt(0.25 / $cnt)
-       |                 * sqrt(($cnt * $m - $cnt)
-       |                        / ($cnt * $m - 1)) END""".stripMargin
+    Stats.errBoundSql(s"$cnt * $m", cnt, confidence)
 
   /** Revenue in 1e4 integer units (cents × percent, the TPC-H convention of
     * [[graft.queries.TpchQueries.q3]]) — the Column twin of [[RevE4Sql]];

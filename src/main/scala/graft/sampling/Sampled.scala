@@ -134,6 +134,28 @@ final class Sampled private (
     }
   }
 
+  /** Per-partition accounting detail — S3 at full fidelity: the reference
+    * persisted a `(sampled, total)` pair PER RECORD READER (one znode per
+    * reader, RandomizedLineRecordReader.java:86-94 /
+    * RandomSamplingUtil.java:296-304); a Spark scan partition is the
+    * reader-equivalent unit, keyed here by `spark_partition_id()` (the
+    * TaskContext partition id as a codegen'd column). One zero-column
+    * pass, partial-agg'd map-side to |partitions| rows — the roll-up
+    * equals [[totalCount]]/[[sampledCount]] exactly (same seed, same
+    * partitioning, same keep predicate; pinned by SampledSpec).
+    */
+  def partitionCounts: DataFrame = {
+    val kept =
+      if (ratio >= 1.0) lit(1L)
+      else when(rand(config.seed) < lit(ratio), 1L).otherwise(0L)
+    source
+      .select(
+        spark_partition_id().cast("long").as("partition_id"),
+        kept.as("__kept"))
+      .groupBy("partition_id")
+      .agg(count(lit(1)).as("total"), sum(col("__kept")).as("sampled"))
+  }
+
   /** Exact input cardinality. */
   def totalCount: Long = counts._1
 

@@ -56,4 +56,34 @@ object Stats {
   def errorBound(confidence: Double, total: Long, sampled: Long): Double =
     math.sqrt(0.25 / sampled) * zScore(confidence) *
       math.sqrt((total - sampled).toDouble / (total - 1))
+
+  /** [[errorBound]] as ONE in-plan Column spelling over (N, n) count
+    * columns, with its SQL twin [[errBoundSql]] — the single T4 chain
+    * every bounds estimator composes (JoinSampled's review discipline,
+    * now shared with [[CongressionalSampled]] and the ratio ladder so a
+    * third hand-copy can never drift). Fixed operation order
+    * `z · sqrt(0.25/n) · sqrt((N−n)/(N−1))` — double products evaluate
+    * left-to-right identically in Spark and DuckDB, so the bound replays
+    * bit-for-bit. Degenerate populations (N ≤ 1: the FPC divides by zero)
+    * and empty keeps (n < 1) report 0.
+    */
+  def errBoundCol(
+      nTotal: org.apache.spark.sql.Column,
+      nKept: org.apache.spark.sql.Column,
+      confidence: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    when(nTotal <= 1 || nKept < 1, lit(0.0)).otherwise(
+      lit(zScore(confidence))
+        * sqrt(lit(0.25) / nKept)
+        * sqrt((nTotal - nKept) / (nTotal - lit(1L))))
+  }
+
+  /** SQL twin of [[errBoundCol]] — `nTotalExpr`/`nKeptExpr` are SQL count
+    * expressions; change in lockstep with the Column spelling.
+    */
+  def errBoundSql(nTotalExpr: String, nKeptExpr: String, confidence: Double): String =
+    s"""CASE WHEN $nTotalExpr <= 1 OR $nKeptExpr < 1 THEN 0.0
+       |            ELSE ${zScore(confidence)} * sqrt(0.25 / $nKeptExpr)
+       |                 * sqrt(($nTotalExpr - $nKeptExpr)
+       |                        / ($nTotalExpr - 1)) END""".stripMargin
 }

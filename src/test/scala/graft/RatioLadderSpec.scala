@@ -60,4 +60,28 @@ class RatioLadderSpec extends SparkSpec {
       }
     }
   }
+
+  test("declared ladder query: exact rung reports zero error, sampled rungs " +
+    "report positive kept counts and a T4 bound matching Stats.errorBound") {
+    import org.apache.spark.sql.functions._
+    assumeTestdata(sf001)
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val rows = RatioLadder.wordcountLadderU(docs).orderBy(col("pct").desc).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 50L, 25L, 10L))
+    val exactRung = rows.head
+    // pct=100: keep-all, scale 1 — the comparator must measure exactly 0
+    assert(exactRung.getLong(2) === 0L) // sum_abs_diff
+    assert(exactRung.getLong(3) === 0L) // data_error_bp
+    assert(exactRung.getLong(4) === exactRung.getLong(5)) // kept == total
+    assert(exactRung.getDouble(6) === 0.0) // FPC zeroes the bound at n == N
+    rows.tail.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(4), r.getLong(5))
+      assert(nKept > 0 && nKept < nDocs, s"rung ${r.getLong(0)}")
+      // same chain as the scalar reference implementation
+      assert(r.getDouble(6) ===
+        graft.sampling.Stats.errorBound(0.95, nDocs, nKept))
+      // sum_exact is rung-invariant (it's the exact side of the join)
+      assert(r.getLong(1) === exactRung.getLong(1))
+    }
+  }
 }

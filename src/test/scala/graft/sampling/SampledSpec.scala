@@ -29,6 +29,33 @@ class SampledSpec extends SparkSpec {
     assert(math.abs(s.actualRatio - 0.1) < 0.05)
   }
 
+  test("per-partition accounting: roll-up equals the aggregate counts, " +
+    "rates concentrate around the designed ratio (S3 reader-detail fidelity)") {
+    val events = Tables.events(spark, sf01).repartition(8)
+    val s = Sampled(events, SamplingConfig(ratio = 0.1))
+    val parts = s.partitionCounts.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the reader-equivalent breakdown: one row per scan partition
+    assert(parts.length === 8)
+    assert(parts.map(_._1).distinct.length === 8)
+    // roll-up identity vs the single-pass aggregate accounting
+    assert(parts.map(_._2).sum === s.totalCount)
+    assert(parts.map(_._3).sum === s.sampledCount)
+    // every reader's achieved rate sits near the designed ratio — the
+    // per-reader znode detail the reference reported; at ~12k rows per
+    // partition the binomial sd of the rate is ~0.003, so ±0.05 is a
+    // deterministic-seed formality, not a statistical gamble
+    parts.foreach { case (pid, total, sampled) =>
+      assert(total > 0, s"partition $pid empty")
+      assert(math.abs(sampled.toDouble / total - 0.1) < 0.05,
+        s"partition $pid rate ${sampled.toDouble / total}")
+    }
+    // exact mode: every partition reports sampled == total
+    val ex = Sampled(events, SamplingConfig.Exact).partitionCounts
+      .filter(col("sampled") =!= col("total")).count()
+    assert(ex === 0L)
+  }
+
   test("exact mode (ratio 1.0) degenerates to identity — no filter, counts equal") {
     val docs = Tables.documents(spark, sf001)
     val s = Sampled(docs, SamplingConfig.Exact)
