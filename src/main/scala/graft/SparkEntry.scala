@@ -738,6 +738,15 @@ object SparkEntry {
     "events_quantiles_sampled_u10" -> ((s, dir) =>
       RQ.eventQuantiles(graft.sampling.UniverseSampled.sample(
         Tables.events(s, dir), col("event_id"), 10)).orderBy("event_type")),
+    // the DETERMINISTIC sketch twin (VERDICT r15 item 8): base-2
+    // log-histogram quantiles — merge is per-bucket sum (order-free,
+    // unlike the t-digest), so this one IS hash-gated; ≤ 2^-4 relative
+    // error by construction, estimates as exact integer cents
+    "events_quantiles_hist" -> ((s, dir) =>
+      graft.sampling.LogHistogram.quantiles(
+        Tables.events(s, dir), col("event_type"), Tables.cents)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")),
     // first-activity-week cohorts × return-week offsets — the retention
     // triangle; distinct-collapsed (user, week) pairs bound all state
     "events_retention_cohorts" -> ((s, dir) =>
@@ -1333,6 +1342,9 @@ object SparkEntry {
          |FROM events
          |WHERE ${graft.sampling.UniverseSampled.keepSql("event_id", 10)}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_quantiles_hist" ->
+      graft.sampling.LogHistogram.quantilesOracleSql(
+        "events", "event_type", Tables.centsSql, groupAlias = "event_type"),
     "events_retention_cohorts" ->
       graft.operators.RetentionCohorts.matrixOracleSql,
     "events_winsorized" -> graft.operators.Winsorize.clippedOracleSql,

@@ -229,8 +229,18 @@ object ReferenceQueries {
     * style sketch — mergeable, bounded memory per group, one pass) instead
     * of exact `percentile` (which buffers every value per group). Plan
     * shape is identical; accuracy is bounded by `acc` (10000 ≈ 0.01%%-ile
-    * resolution). No external oracle — sketches are engine-specific —
-    * so the spec pins it against the exact result within tolerance.
+    * resolution).
+    *
+    * PERMANENTLY no_oracle BY DESIGN: the t-digest's centroids depend on
+    * sketch MERGE ORDER, which varies with task scheduling, so no external
+    * engine (nor a second Spark run) is guaranteed the same bits — the
+    * spec pins it against the exact result in RANK instead. The gated
+    * deterministic story is three-fold: this query's exact twin
+    * (`events_quantiles`), the hash-range sampled twin
+    * (`events_quantiles_sampled_u10`), and the order-free log-histogram
+    * sketch ([[graft.sampling.LogHistogram]], `events_quantiles_hist`) —
+    * the last giving the same one-pass bounded-memory shape WITH a
+    * bit-exact DuckDB gate.
     */
   def eventQuantilesApprox(events: DataFrame, acc: Int = 10000): DataFrame =
     events

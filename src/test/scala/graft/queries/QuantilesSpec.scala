@@ -45,4 +45,37 @@ class QuantilesSpec extends SparkSpec {
       }
     }
   }
+
+  test("log-histogram quantiles: bracketing guarantee vs a literal sort, " +
+    "and invariance under repartitioning (the determinism the t-digest lacks)") {
+    import graft.sampling.LogHistogram
+    val events = Tables.events(spark, sf001)
+    val got = LogHistogram.quantiles(events, col("event_type"), Tables.cents)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), Seq(
+        (1, 2, r.getLong(2)), (9, 10, r.getLong(3)), (99, 100, r.getLong(4)))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (group, (n, ests)) =>
+      val cents = events.filter(col("event_type") === group)
+        .select(Tables.cents).collect().map(_.getLong(0)).sorted
+      assert(n === cents.length)
+      ests.foreach { case (num, den, est) =>
+        val trueVal = cents(((n * num + den - 1) / den - 1).toInt) // rank is 1-based
+        // lower-bound estimate brackets the true order statistic within
+        // one bucket: est ≤ true ≤ est·(1 + 2^-SubBits)  (exact below 2^SubBits)
+        assert(est <= trueVal, s"$group $num/$den: est $est above true $trueVal")
+        assert(trueVal <= est + (est >> LogHistogram.SubBits) + 1,
+          s"$group $num/$den: true $trueVal outside est $est's bucket")
+      }
+    }
+    // merge-order/partitioning invariance: per-bucket sums commute
+    val re = LogHistogram.quantiles(
+      events.repartition(17, col("user_id")), col("event_type"), Tables.cents)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val base = got.map { case (g, (n, es)) =>
+      (g, n, es(0)._3, es(1)._3, es(2)._3) }.toSet
+    assert(re === base)
+  }
 }
