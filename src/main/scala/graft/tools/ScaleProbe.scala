@@ -800,6 +800,12 @@ object ScaleProbe {
     }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Non-default factor sets merge under a factor-suffixed row name, so
+    // an extended-factor re-probe (the ×64 drift check, VERDICT r15 item
+    // 7) lands IN the committed artifact beside the family's default row
+    // instead of evaporating with the process output.
+    def mergeName(name: String): String =
+      if (factors == Seq(1, 8, 32)) name else s"${name}__x${kLo}_$kHi"
     def cellFor(name: String): String = {
       val (ratio, ok) = verdicts(name)
       val cells = results(name).flatMap { case (k, (t, c, g)) =>
@@ -809,7 +815,7 @@ object ScaleProbe {
       }
       val note = AttributionNotes.get(name)
         .map(n => s""","note":"${n.replace("\"", "'")}"""").getOrElse("")
-      s""""$name":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok$note}"""
+      s""""${mergeName(name)}":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok$note}"""
     }
     val json = results.keys.map(cellFor).mkString("{", ",",
       s""","sf":"$sfDir","factors":[${factors.mkString(",")}],"slack":$Slack,""" +
@@ -818,7 +824,7 @@ object ScaleProbe {
     val artifact = java.nio.file.Paths.get("PROFILE_SCALE.json")
     if (only.isEmpty)
       java.nio.file.Files.writeString(artifact, json)
-    else if (java.nio.file.Files.exists(artifact) && factors == Seq(1, 8, 32)) {
+    else if (java.nio.file.Files.exists(artifact)) {
       // A restricted re-probe at the full factor set MERGES into the
       // committed sweep artifact (the advertised one-family re-probe
       // workflow): each family cell is a flat brace-free object, so a
@@ -836,14 +842,14 @@ object ScaleProbe {
           "(results printed above only)")
       } else {
         results.keys.foreach { name =>
-          val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":\\{[^}]*\\}").r
+          val pat = ("\"" + java.util.regex.Pattern.quote(mergeName(name)) + "\":\\{[^}]*\\}").r
           if (pat.findFirstIn(merged).isDefined)
             merged = pat.replaceFirstIn(merged,
               java.util.regex.Matcher.quoteReplacement(cellFor(name)))
           else {
             val at = merged.indexOf("\"sf\":")
             merged = merged.substring(0, at) + cellFor(name) + "," + merged.substring(at)
-            println(s"[probe] appended first-time family $name to PROFILE_SCALE.json")
+            println(s"[probe] appended first-time row ${mergeName(name)} to PROFILE_SCALE.json")
           }
         }
         java.nio.file.Files.writeString(artifact, merged)

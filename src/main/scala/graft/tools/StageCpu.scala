@@ -60,6 +60,9 @@ object StageCpu {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         ScaleProbe.trianglesAt(graft.queries.Tables.events(spark, sfDir), k)
       }
+      case "docs_substring_dedup" => k =>
+        graft.dedup.SubstringDedup.summary(
+          DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
       case "docs_split_incremental" => k =>
         // the ONE shared pipeline definition (review r15): diagnosing a
         // re-spelled copy could silently measure a different plan than

@@ -36,7 +36,11 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     // RangeRank global rank via per-partition offsets
     "docs_global_shuffle", "docs_shuffle_manifest", "docs_quality_deciles",
     // WeightedSampled rank-then-cut rides the same RangeRank offset frame
-    "docs_weighted_sample", "docs_weighted_sample_summary",
+    // (the _summary twin left this list in r16: its ADVICE fix checkpoints
+    // the ranked frame before the fan-out, so the analyzed plan the walker
+    // sees starts at the materialized RDD — the window still runs, inside
+    // the checkpointed fragment, with the same bounded offset frame)
+    "docs_weighted_sample",
     // the reservoir replay's final merge: a global window BOUNDED by
     // Buckets·k survivor rows (configuration-sized, never data-sized)
     "docs_weighted_sample_stream_replay",
