@@ -272,6 +272,9 @@ object SparkEntry {
     "docs_substring_dedup" -> ((s, dir) =>
       graft.dedup.SubstringDedup.summary(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    "docs_substring_cleaned" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.cleaned(DedupCorpus.augment(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -1157,6 +1160,7 @@ object SparkEntry {
     "dedup_shared_spans" -> graft.text.SharedSpans.pairsOracleSql,
     "docs_substring_spans" -> graft.dedup.SubstringDedup.spansOracleSql,
     "docs_substring_dedup" -> graft.dedup.SubstringDedup.summaryOracleSql,
+    "docs_substring_cleaned" -> graft.dedup.SubstringDedup.cleanedOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),

@@ -134,6 +134,42 @@ object SubstringDedup {
         (col("n_chars") - coalesce(col("cut_chars"), lit(0L))).as("kept_chars"))
   }
 
+  /** The excised corpus — Lee et al.'s actual deliverable: every doc's
+    * text with its repeated spans REMOVED (the keeper copies survive
+    * verbatim). Segments between spans are stitched with one bounded
+    * `aggregate` HOF per doc over its (few, sorted, non-overlapping —
+    * the island rule leaves ≥ 1 kept char between spans) span structs;
+    * the span table is aggregate-sized, so the join is broadcast-shaped
+    * and the corpus is never exploded to characters (the ORACLE rebuilds
+    * per-char — fine for DuckDB at fixture scale, wrong at 100 TB).
+    */
+  def cleaned(corpus: DataFrame): DataFrame = {
+    val grams = gramFrame(corpus)
+    val spansAgg = spansFromGrams(grams)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    corpus
+      .join(spansAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("__spans").isNull, col("text")).otherwise(expr(
+          """concat(
+            |  aggregate(
+            |    __spans,
+            |    named_struct('t', CAST('' AS STRING), 'p', CAST(1 AS BIGINT)),
+            |    (acc, sp) -> named_struct(
+            |      't', concat(acc.t,
+            |                  substring(text, CAST(acc.p AS INT),
+            |                            CAST(sp.s - acc.p AS INT))),
+            |      'p', sp.e + 1L)).t,
+            |  substring(text,
+            |            CAST(aggregate(__spans,
+            |                           CAST(1 AS BIGINT),
+            |                           (q, sp) -> sp.e + 1L) AS INT),
+            |            2147483647))""".stripMargin)).as("text_clean"))
+  }
+
   // ---- DuckDB oracle (identical hash chain, identical rules) ----
 
   /** The gram CTE: the O(n·K) per-term-mod direct sum — exactly
@@ -181,6 +217,32 @@ object SubstringDedup {
        |${gramCtes("corpus")}
        |SELECT doc_id, span_start, span_end
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** DuckDB replay of [[cleaned]]: rebuild every doc from its KEPT
+    * characters (positions outside every span), ordered concat — a
+    * per-char formulation the fixture affords; must produce the same
+    * strings as the engine's segment stitching.
+    */
+  def cleanedOracleSql: String =
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |${gramCtes("corpus")},
+       |chars AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, length(text) + 1)) AS j,
+       |         unnest([substr(text, j, 1)
+       |                 for j in range(1, length(text) + 1)]) AS ch
+       |  FROM corpus),
+       |keptc AS (
+       |  SELECT c.doc_id, c.j, c.ch FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                    WHERE s.doc_id = c.doc_id
+       |                      AND c.j BETWEEN s.span_start AND s.span_end)),
+       |reb AS (
+       |  SELECT doc_id, string_agg(ch, '' ORDER BY j) AS t
+       |  FROM keptc GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(r.t, '') AS text_clean
+       |FROM corpus c LEFT JOIN reb r ON c.doc_id = r.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   def summaryOracleSql: String =
     s"""WITH corpus AS (${DedupCorpus.augmentSql}),

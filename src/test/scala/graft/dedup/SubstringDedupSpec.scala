@@ -105,6 +105,31 @@ class SubstringDedupSpec extends SparkSpec {
       (50L, b, b + s1.length - 1L)))
   }
 
+  test("cleaned text: spans stitched out exactly, keepers and unique docs verbatim") {
+    val span = filler(40, 60)
+    val preA = filler(41, 89) + "q"
+    val postA = "q" + filler(42, 49)
+    val preB = filler(43, 72) + "z"
+    val postB = "z" + filler(44, 43)
+    val solo = filler(45, 120)
+    val docs = Seq(
+      (1L, preA + span + postA),
+      (5L, preB + span + postB),
+      (9L, solo)
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.cleaned(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, preA + span + postA), // keeper verbatim
+      (5L, preB + postB), // span stitched out
+      (9L, solo)))
+    // full duplicate → empty string survives (not null, not the text)
+    val dup = Seq((2L, filler(46, 100)), (7L, filler(46, 100))).toDF("doc_id", "text")
+    val g2 = SubstringDedup.cleaned(dup).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(g2.toSeq === Seq((2L, filler(46, 100)), (7L, "")))
+  }
+
   test("live corpus: every injected copy with >= K chars is fully excised") {
     assumeTestdata(sf001)
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
