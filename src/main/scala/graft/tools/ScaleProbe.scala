@@ -137,6 +137,21 @@ object ScaleProbe {
     * Populated from `tools/StageCpu` runs; keep each note one sentence.
     */
   val AttributionNotes: Map[String, String] = Map(
+    // extended-factor drift checks (VERDICT r15 item 7) — keyed by the
+    // factor-suffixed merge-row name
+    "dedup_minhash_pairs__x8_64" ->
+      ("StageCpu 8/64 (r16): NON-DESER stage CPU 21.7->126.8s = 5.84 vs " +
+        "linear 8.0 — the plan's own work is SUB-linear at x64; the " +
+        "process-CPU ratio is task deserialization (10.4->316.1s, 768->6144 " +
+        "tasks each carrying the k-branch union fixture plan — a probe-" +
+        "harness term growing ~k^2, not the operator) + driver planning " +
+        "(19.9->87.5s). The r15 attribution of the 6.93 x8/x32 reading " +
+        "holds and strengthens at x64"),
+    "dedup_cosine_pairs__x8_64" ->
+      ("x8/x64 = 12.91 vs linear 8.0 bound 16.0 under the same k-branch " +
+        "union deser term the minhash row's StageCpu run quantifies; the " +
+        "x64 trials were partially contended (2913->1913s monotone " +
+        "cooldown), min-of-trials carried"),
     "dedup_minhash_pairs" ->
       ("StageCpu 8/32 (r14): stage CPU 16.3->70.0s = 4.29 vs linear 4.0 — the " +
         "plan's work is linear; the former 7.02 process-CPU ratio was task " +
@@ -813,7 +828,8 @@ object ScaleProbe {
           (if (c >= 0) Seq(s""""x${k}_cpu":${fmt(c)}""") else Nil) ++
           Seq(s""""x${k}_gc":${fmt(g)}""")
       }
-      val note = AttributionNotes.get(name)
+      val note = AttributionNotes.get(mergeName(name))
+        .orElse(AttributionNotes.get(name))
         .map(n => s""","note":"${n.replace("\"", "'")}"""").getOrElse("")
       s""""${mergeName(name)}":{${cells.mkString(",")},"ratio_x${kHi}_over_x$kLo":${fmt(ratio)},"linear_ok":$ok$note}"""
     }
