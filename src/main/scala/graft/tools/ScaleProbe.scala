@@ -128,6 +128,18 @@ object ScaleProbe {
     "graph_triangles" -> Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "false"),
+    // docs_substring_dedup (r16): same plan-flip as graph_triangles — at
+    // ×8 the dup-gram set broadcasts (positions never shuffle) while at
+    // ×32 the position⋈dup join goes sort-merge, and the unforced ratio
+    // compares the two plans (StageCpu: x8 one 219 MB exchange, x32 two
+    // corpus-sized exchanges + a 3.1 GB merge stage). At 100 TB the dup
+    // set never broadcasts, so the probe runs that regime at both
+    // factors, shuffled-hash (sorting the position stream is waste when
+    // a per-partition hash build of the aggregated dup side suffices).
+    "docs_substring_dedup" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.join.preferSortMergeJoin" -> "false"))
 
   /** Stage-attribution notes carried into the artifact cell (VERDICT r13
@@ -137,6 +149,14 @@ object ScaleProbe {
     * Populated from `tools/StageCpu` runs; keep each note one sentence.
     */
   val AttributionNotes: Map[String, String] = Map(
+    "docs_substring_dedup" ->
+      ("runs under familyConf (broadcast off + preferSortMergeJoin=false): " +
+        "unforced, x8 broadcasts the dup-gram set while x32 goes " +
+        "sort-merge and the cross-plan ratio read 6.98 (StageCpu: x8 one " +
+        "219MB exchange vs x32 two corpus-sized exchanges + a 3.1GB merge " +
+        "stage, 11.4x stage CPU) — in the forced 100TB regime at both " +
+        "factors the ratio is 4.63 vs linear 4.0, and x32 runs FASTER " +
+        "than unforced (sorting the position stream was pure waste)"),
     // extended-factor drift checks (VERDICT r15 item 7) — keyed by the
     // factor-suffixed merge-row name
     "dedup_minhash_pairs__x8_64" ->

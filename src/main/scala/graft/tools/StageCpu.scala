@@ -60,9 +60,15 @@ object StageCpu {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         ScaleProbe.trianglesAt(graft.queries.Tables.events(spark, sfDir), k)
       }
-      case "docs_substring_dedup" => k =>
+      case "docs_substring_dedup" => k => {
+        // the probe runs every family at partsFor's shuffle width (32·k
+        // here) — a 32-partition diagnosis would time growing per-task
+        // agg state the sweep never had
+        spark.conf.set("spark.sql.shuffle.partitions",
+          ScaleProbe.partsFor("docs_substring_dedup", k).toString)
         graft.dedup.SubstringDedup.summary(
           DedupCorpus.augment(ScaleProbe.explodeDocs(docs0, k)))
+      }
       case "docs_split_incremental" => k =>
         // the ONE shared pipeline definition (review r15): diagnosing a
         // re-spelled copy could silently measure a different plan than
