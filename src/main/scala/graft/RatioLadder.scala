@@ -127,7 +127,10 @@ object RatioLadder {
     import graft.sampling.{Stats, UniverseSampled}
     import org.apache.spark.sql.functions._
     val exact = RQ.wordCount(docs).localCheckpoint(false)
-    val nTotal = docs.agg(count(lit(1)).as("n_docs"))
+    // one row, four consumers: without the checkpoint each rung's plan
+    // re-runs the corpus count scan (review r16 — the same reason exact
+    // is checkpointed one line up)
+    val nTotal = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint(false)
     DeclaredPcts.map { pct =>
       val kept = UniverseSampled.sample(docs, col("doc_id"), pct)
       val est = RQ.wordCount(kept).select(
@@ -157,12 +160,7 @@ object RatioLadder {
   def wordcountLadderUOracleSql: String = {
     import graft.sampling.{Stats, UniverseSampled}
     val wcFrom = (cond: String) =>
-      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-         |        FROM documents
-         |        WHERE ($cond) AND NOT regexp_matches(lower(text), '[0-9]'))
-         |  WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$$')
-         |  GROUP BY word""".stripMargin
+      RQ.wordCountOracleSql(cond, "CAST(count(*) AS BIGINT) AS cnt")
     val rungs = DeclaredPcts.map { pct =>
       val keep = UniverseSampled.keepSql("doc_id", pct)
       s"""SELECT CAST($pct AS BIGINT) AS pct, d.sum_exact, d.sum_abs_diff,

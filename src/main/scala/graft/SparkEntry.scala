@@ -1046,24 +1046,17 @@ object SparkEntry {
     * ingestion of the identical corpus).
     */
   private val WordCountSql: String =
-    """SELECT word, count(*) AS cnt
-      |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-      |      FROM documents WHERE NOT regexp_matches(lower(text), '[0-9]'))
-      |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-      |GROUP BY word ORDER BY word""".stripMargin
+    RQ.wordCountOracleSql() + "\nORDER BY word"
 
-  /** Universe-sampled word count: [[WordCountSql]] over the hash-range
-    * keep-set, counts HT-scaled ×1/p.
+  /** Universe-sampled word count: [[RQ.wordCountOracleSql]] over the
+    * hash-range keep-set, counts HT-scaled ×1/p.
     */
   private def wordCountSampledUSql(pct: Int): String = {
     import graft.sampling.UniverseSampled
-    s"""SELECT word, count(*) * ${UniverseSampled.scaleSql(pct)} AS est_cnt
-       |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
-       |      FROM documents
-       |      WHERE ${UniverseSampled.keepSql("doc_id", pct)}
-       |        AND NOT regexp_matches(lower(text), '[0-9]'))
-       |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$$')
-       |GROUP BY word ORDER BY word""".stripMargin
+    RQ.wordCountOracleSql(
+      UniverseSampled.keepSql("doc_id", pct),
+      s"count(*) * ${UniverseSampled.scaleSql(pct)} AS est_cnt") +
+      "\nORDER BY word"
   }
 
   /** Universe-sampled wireless links (unit = event row). */

@@ -154,20 +154,20 @@ object SubstringDedup {
       .select(
         col("doc_id"),
         when(col("__spans").isNull, col("text")).otherwise(expr(
-          """concat(
-            |  aggregate(
-            |    __spans,
-            |    named_struct('t', CAST('' AS STRING), 'p', CAST(1 AS BIGINT)),
-            |    (acc, sp) -> named_struct(
-            |      't', concat(acc.t,
-            |                  substring(text, CAST(acc.p AS INT),
-            |                            CAST(sp.s - acc.p AS INT))),
-            |      'p', sp.e + 1L)).t,
-            |  substring(text,
-            |            CAST(aggregate(__spans,
-            |                           CAST(1 AS BIGINT),
-            |                           (q, sp) -> sp.e + 1L) AS INT),
-            |            2147483647))""".stripMargin)).as("text_clean"))
+          // ONE fold: the finish lambda reads the accumulator's cursor for
+          // the tail segment (review r16 — a second aggregate() re-folded
+          // the whole span array just to recompute acc.p)
+          """aggregate(
+            |  __spans,
+            |  named_struct('t', CAST('' AS STRING), 'p', CAST(1 AS BIGINT)),
+            |  (acc, sp) -> named_struct(
+            |    't', concat(acc.t,
+            |                substring(text, CAST(acc.p AS INT),
+            |                          CAST(sp.s - acc.p AS INT))),
+            |    'p', sp.e + 1L),
+            |  acc -> concat(acc.t,
+            |                substring(text, CAST(acc.p AS INT), 2147483647)))"""
+            .stripMargin)).as("text_clean"))
   }
 
   // ---- DuckDB oracle (identical hash chain, identical rules) ----

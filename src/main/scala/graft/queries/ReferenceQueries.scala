@@ -29,6 +29,25 @@ object ReferenceQueries {
     */
   val WordDelims = "[^a-z0-9]+"
 
+  /** The ONE DuckDB spelling of [[wordCount]]'s token pipeline (tokenize,
+    * digit-doc drop, empty/numeric token drop, group) — every word-count
+    * oracle composes THIS (review r16: four hand-copies had accumulated
+    * across the plain, sampled-universe, and ladder oracles; an edit to
+    * the convention applied to one would silently desynchronize gates).
+    * `docCond` filters the corpus (a keep-predicate or TRUE);
+    * `countSelect` is the aggregate projection; no ORDER BY — callers
+    * append their own.
+    */
+  def wordCountOracleSql(
+      docCond: String = "TRUE",
+      countSelect: String = "count(*) AS cnt"): String =
+    s"""SELECT word, $countSelect
+       |FROM (SELECT unnest(regexp_split_to_array(lower(text), '$WordDelims')) AS word
+       |      FROM documents
+       |      WHERE ($docCond) AND NOT regexp_matches(lower(text), '[0-9]'))
+       |WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$$')
+       |GROUP BY word""".stripMargin
+
   /** P1+P2+P3 → A1: word count.
     * Faithful to the reference pipeline (RandomizedWordCount.java:31-53):
     * lowercase, drop lines containing digits, tokenize, drop empty and

@@ -226,17 +226,29 @@ object ScaleProbe {
     * copies" premise holds only while every BASE id sits below the
     * per-copy shift block — a fixture regeneration whose ids reach
     * [[DedupCorpus.IdBlock]] would overlap blocks and silently distort
-    * the scaling verdict. One-row agg over the (small) base frame, run
-    * once per helper call, outside any timed window (fixture
-    * construction precedes timing).
+    * the scaling verdict. One-row agg over the (small) base frame,
+    * MEMOIZED per helper per process (review r16): the helpers are
+    * invoked lazily inside the probe's timed window (runOnce takes the
+    * plan by name — the r12 discipline), so an every-call scan would add
+    * a constant base-fixture pass to both factors and deflate the ratio
+    * toward linear_ok; with the memo only the untimed warmup trial pays
+    * it. A probe process runs one fixture, so one check per helper is
+    * the full guarantee.
     */
+  private val idGuardPassed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def requireIdsBelowBlock(
       base: DataFrame, idCol: org.apache.spark.sql.Column, block: Long,
       what: String): Unit = {
-    val mx = base.agg(max(idCol)).head.getLong(0)
-    require(mx < block,
-      s"ScaleProbe $what: max base id $mx >= shift block $block — " +
-        "exploded copies would overlap; fix the fixture or raise the block")
+    if (idGuardPassed.contains(what)) return
+    val row = base.agg(max(idCol)).head
+    // empty base (max = NULL): no ids, trivially collision-free
+    if (!row.isNullAt(0)) {
+      val mx = row.getLong(0)
+      require(mx < block,
+        s"ScaleProbe $what: max base id $mx >= shift block $block — " +
+          "exploded copies would overlap; fix the fixture or raise the block")
+    }
+    idGuardPassed.add(what)
   }
 
   def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame = {
@@ -258,12 +270,19 @@ object ScaleProbe {
     * the [[tinyRowParts]] regime (must then match the shuffle-partition
     * rule so map- and reduce-side counts stay in the same bytes regime).
     */
-  def explodeEvents(events: DataFrame, k: Int, parts: Int = -1): DataFrame =
+  def explodeEvents(events: DataFrame, k: Int, parts: Int = -1): DataFrame = {
+    // two blocks, one agg: user_id shifts by i·10⁸, event_id by i·10⁹ —
+    // greatest(user_id, event_id div 10) < 10⁸ ⟺ both ids under their
+    // own block (review r16: the docs helpers were guarded, these not)
+    requireIdsBelowBlock(
+      events, greatest(col("user_id"), expr("event_id div 10")),
+      DedupCorpus.IdBlock, "explodeEvents")
     (0 until k).map { i =>
       events
         .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
         .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
     }.reduce(_ unionAll _).repartition(if (parts > 0) parts else 32 * k)
+  }
 
   /** Fixture embedding dimensionality. [[explodeEmbeddings]]' per-copy
     * rotations are distinct only below this; the require makes the
@@ -406,6 +425,8 @@ object ScaleProbe {
   }
 
   def explodeEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    requireIdsBelowBlock(
+      emb, col("vec_id"), DedupCorpus.IdBlock, "explodeEmbeddings")
     require(k <= EmbeddingDims,
       s"explodeEmbeddings: k=$k exceeds the $EmbeddingDims-dim fixture — " +
         "rotations would wrap and collide copies (fixture artifact, not engine behavior)")

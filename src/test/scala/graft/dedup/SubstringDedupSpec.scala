@@ -48,6 +48,20 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("gram count tracks Spark's numChars on malformed UTF-8 tails " +
+    "(span positions index the same characters substring() does)") {
+    val clean = filler(50, 60).getBytes("UTF-8")
+    Seq(
+      clean :+ 0xE4.toByte :+ 0xB8.toByte, // truncated 3-byte tail
+      clean :+ 0xF0.toByte :+ 0x9F.toByte, // truncated 4-byte tail
+      clean :+ 0x80.toByte // stray continuation
+    ).foreach { bytes =>
+      val s = UTF8String.fromBytes(bytes)
+      assert(GramHashes.compute(s).numElements() === s.numChars - K + 1,
+        s"numChars=${s.numChars}")
+    }
+  }
+
   test("an injected shared span is excised exactly, from the larger id only") {
     val span = filler(10, 60)
     // pin DISTINCT boundary chars around the planted span in each doc —

@@ -63,13 +63,16 @@ class WinnowMinsSpec extends SparkSpec {
     assert(out.forall(_.nonEmpty))
   }
 
-  test("malformed UTF-8 never reads out of bounds and decodes one byte per invalid lead") {
+  test("malformed UTF-8 never reads out of bounds and counts exactly numChars") {
     import org.apache.spark.unsafe.types.UTF8String
     // parquet strings are not validated on write, so dirty corpora carry
     // stray continuation bytes (0x80–0xBF), invalid leads (≥ 0xF8), and
-    // sequences truncated by end-of-string; each must decode as ONE code
-    // point (the unsigned byte — Spark's numBytesForFirstByte convention)
-    // instead of overrunning the byte array
+    // sequences truncated by end-of-string. The load-bearing invariant
+    // (review r16): the decode's character count must equal Spark's OWN
+    // numChars — what `length(text)` and `substring` index by — or every
+    // position downstream (gram spans, excision boundaries) is off in
+    // the malformed tail. The earlier per-invalid-byte convention broke
+    // this on truncated multi-byte tails (decode 2 chars, numChars 1).
     val cases = Seq(
       // stray continuation byte mid-ASCII
       Array[Int](0x61, 0x80, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B),
@@ -77,14 +80,18 @@ class WinnowMinsSpec extends SparkSpec {
       Array[Int](0xFF, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B),
       // truncated 2-byte sequence at end-of-string
       Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B, 0xC3),
-      // truncated 4-byte sequence at end-of-string
-      Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0xF0, 0x9F))
+      // truncated 4-byte sequence at end-of-string (numChars counts ONE
+      // trailing char here, not two — the reviewer's divergence case)
+      Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B, 0xF0, 0x9F),
+      // truncated 3-byte sequence at end-of-string
+      Array[Int](0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B, 0xE4, 0xB8))
     cases.foreach { ints =>
       val s = UTF8String.fromBytes(ints.map(_.toByte))
       val out = WinnowMins.compute(s) // must not throw
-      // every byte decodes to exactly one code point here (singles), so
-      // the winnowing shape matches a 12-code-point document
-      assert(out.numElements() === ints.length - G - W + 2)
+      // the winnowing shape derives from numChars — Spark's count, so
+      // every substring/length computed on the same string lines up
+      assert(out.numElements() === s.numChars - G - W + 2,
+        s"numChars=${s.numChars} for ${ints.map(i => f"$i%02x").mkString(" ")}")
       // deterministic: a second pass is identical
       val out2 = WinnowMins.compute(UTF8String.fromBytes(ints.map(_.toByte)))
       assert(out.toLongArray().toSeq === out2.toLongArray().toSeq)
@@ -94,7 +101,8 @@ class WinnowMinsSpec extends SparkSpec {
     val mixed = UTF8String.fromBytes(
       (Seq(0x80) ++ "héllo wörld!".getBytes("UTF-8").map(_ & 0xFF)).map(_.toByte).toArray)
     val o = WinnowMins.compute(mixed)
-    assert(o.numElements() === 1 + 12 - G - W + 2) // 13 code points total
+    assert(o.numElements() === mixed.numChars - G - W + 2)
+    assert(mixed.numChars === 13)
   }
 
   test("too-short yields empty array, null yields null, non-string rejected") {
