@@ -50,7 +50,11 @@ class ScaleProbePartsSpec extends AnyFunSuite {
     // forced-shuffle family in the broadcast regime — the exact
     // unexecuted-claim failure the override exists to remove
     assert(ScaleProbe.familyConf.keySet ===
-      Set("tpch_revenue_monthly_sampled_shuffle", "graph_triangles"))
+      Set("tpch_revenue_monthly_sampled_shuffle", "graph_triangles",
+        // r16: the substring-dedup position⋈dup join flips broadcast→
+        // sort-merge between factors unforced (StageCpu-attributed); the
+        // probe runs its 100 TB regime at every factor
+        "docs_substring_dedup"))
     // and the shuffle family must disable BOTH thresholds (AQE re-converts
     // to broadcast at stage materialization if only the static one is off)
     val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
