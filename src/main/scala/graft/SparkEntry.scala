@@ -275,6 +275,11 @@ object SparkEntry {
     "docs_substring_cleaned" -> ((s, dir) =>
       graft.dedup.SubstringDedup.cleaned(DedupCorpus.augment(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    // base-atomic universe-sampled twin: the position pipeline over 10 %
+    // of base docs (copies ride with their originals), fully gated
+    "docs_substring_dedup_sampled_u10" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.summarySampledU(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -1154,6 +1159,8 @@ object SparkEntry {
     "docs_substring_spans" -> graft.dedup.SubstringDedup.spansOracleSql,
     "docs_substring_dedup" -> graft.dedup.SubstringDedup.summaryOracleSql,
     "docs_substring_cleaned" -> graft.dedup.SubstringDedup.cleanedOracleSql,
+    "docs_substring_dedup_sampled_u10" ->
+      graft.dedup.SubstringDedup.summarySampledUOracleSql(),
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),

@@ -244,8 +244,12 @@ object SubstringDedup {
        |FROM corpus c LEFT JOIN reb r ON c.doc_id = r.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
-  def summaryOracleSql: String =
-    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+  /** [[summaryOracleSql]] over an arbitrary corpus CTE body — the sampled
+    * twin passes its keep-filtered base through `augmentSqlFrom` so the
+    * injected duplicate structure replays over the slice.
+    */
+  def summaryOracleSqlFrom(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
        |${gramCtes("corpus")},
        |per_doc AS (
        |  SELECT doc_id, count(*) AS n_spans,
@@ -257,4 +261,27 @@ object SubstringDedup {
        |       CAST(length(c.text) AS BIGINT) - coalesce(p.cut_chars, 0) AS kept_chars
        |FROM corpus c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
        |ORDER BY c.doc_id""".stripMargin
+
+  def summaryOracleSql: String = summaryOracleSqlFrom(DedupCorpus.augmentSql)
+
+  /** The BASE-atomic universe-sampled twin: keep 10 % of base documents
+    * by the deterministic doc_id hash, augment the KEPT base (a base doc
+    * and its injected copies travel together — sampling the augmented id
+    * space instead would drop keepers independently of their copies and
+    * destroy the very structure the operator reports), then the full
+    * substring-excision summary of the slice. Quantile-style AQP
+    * contract: the report IS the sub-corpus's own result (cut structure
+    * is pairwise, so a first-order HT scale-up of cut mass would be
+    * biased — the honest use is profiling repeated-substring structure
+    * at 10 % of the position-pipeline cost), and the deterministic keep
+    * set makes the whole chain oracle-gated.
+    */
+  def summarySampledU(documents: DataFrame, pct: Int = 10): DataFrame =
+    summary(DedupCorpus.augment(
+      documents.filter(graft.sampling.UniverseSampled.keep(col("doc_id"), pct))))
+
+  def summarySampledUOracleSql(pct: Int = 10): String =
+    summaryOracleSqlFrom(DedupCorpus.augmentSqlFrom(
+      s"""(SELECT * FROM documents
+         | WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)})""".stripMargin))
 }

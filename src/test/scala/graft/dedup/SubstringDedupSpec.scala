@@ -144,6 +144,26 @@ class SubstringDedupSpec extends SparkSpec {
     assert(g2.toSeq === Seq((2L, filler(46, 100)), (7L, "")))
   }
 
+  test("sampled twin is base-atomic: copies travel with their originals") {
+    assumeTestdata(sf001)
+    val twin = SubstringDedup.summarySampledU(Tables.documents(spark, sf001))
+    val ids = twin.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    val base = ids.filter(_ < DedupCorpus.ExactDupOffset)
+    // every kept %7 base brought its exact copy, every kept %11 its near
+    // copy — and every kept copy's base is in the slice (no orphaned
+    // copies whose keeper was sampled away)
+    base.filter(_ % 7 == 0).foreach(b =>
+      assert(ids.contains(b + DedupCorpus.ExactDupOffset), s"base $b missing copy"))
+    base.filter(_ % 11 == 0).foreach(b =>
+      assert(ids.contains(b + DedupCorpus.NearDupOffset), s"base $b missing near copy"))
+    ids.filter(_ >= DedupCorpus.ExactDupOffset).foreach { c =>
+      val b = if (c >= DedupCorpus.NearDupOffset) c - DedupCorpus.NearDupOffset
+        else c - DedupCorpus.ExactDupOffset
+      assert(base.contains(b), s"copy $c orphaned (base $b not kept)")
+    }
+  }
+
   test("live corpus: every injected copy with >= K chars is fully excised") {
     assumeTestdata(sf001)
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
