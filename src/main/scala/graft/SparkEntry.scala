@@ -280,6 +280,11 @@ object SparkEntry {
     "docs_substring_dedup_sampled_u10" -> ((s, dir) =>
       graft.dedup.SubstringDedup.summarySampledU(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // incremental ingest: the delta batch excised against the SAVED base
+    // gram index (the suffix-array-class artifact) — the existing corpus
+    // is never re-scanned in the query path
+    "docs_substring_incremental" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.summaryIncremental(s, dir).orderBy("doc_id")),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -1161,6 +1166,8 @@ object SparkEntry {
     "docs_substring_cleaned" -> graft.dedup.SubstringDedup.cleanedOracleSql,
     "docs_substring_dedup_sampled_u10" ->
       graft.dedup.SubstringDedup.summarySampledUOracleSql(),
+    "docs_substring_incremental" ->
+      graft.dedup.SubstringDedup.summaryIncrementalOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),

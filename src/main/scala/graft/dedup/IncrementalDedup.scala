@@ -146,9 +146,9 @@ object IncrementalDedup {
   // ---- DuckDB oracle (recomputes the saved index from its derivation —
   // ---- the artifact is deterministic, the qualityModelSaved pattern) ----
 
-  private def baseSql: String =
+  private[dedup] def baseSql: String =
     s"SELECT doc_id, text FROM aug WHERE doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod <> 0"
-  private def deltaSql: String =
+  private[dedup] def deltaSql: String =
     s"SELECT doc_id, text FROM aug WHERE (doc_id < ${DedupCorpus.ExactDupOffset} AND doc_id % $DeltaMod = 0) OR doc_id >= ${DedupCorpus.ExactDupOffset}"
 
   private def corpusSplitSql: String = {

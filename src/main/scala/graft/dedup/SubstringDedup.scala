@@ -81,20 +81,19 @@ object SubstringDedup {
       .filter(col("__nd") >= 2)
       .select("h", "min_doc")
 
-  /** Maximal excised spans from a prepared gram frame: (doc_id,
-    * span_start, span_end), 1-based inclusive character bounds.
-    */
-  private def spansFromGrams(grams: DataFrame): DataFrame = {
-    val positions = grams
+  /** (doc_id, pos, h) position stream of a gram frame. */
+  private def positions(grams: DataFrame): DataFrame =
+    grams
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("__i", "h")))
       .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"), col("h"))
-    val cut = positions
-      .join(dupSet(grams), Seq("h"))
-      .filter(col("doc_id") > col("min_doc"))
-      .select("doc_id", "pos")
-    // gaps-and-islands with the INTERVAL-overlap gap rule: two cut
-    // positions p, q (p < q) cover overlapping-or-abutting [·, ·+K−1]
-    // spans iff q − p ≤ K — runs under that gap merge into one span
+
+  /** Maximal spans from a (doc_id, pos) CUT-position stream — the
+    * gaps-and-islands merge with the INTERVAL-overlap gap rule: two cut
+    * positions p, q (p < q) cover overlapping-or-abutting [·, ·+K−1]
+    * spans iff q − p ≤ K, so runs under that gap merge into one span.
+    * Shared by the batch (dup-set) and incremental (saved-index) paths.
+    */
+  private def spansFromCut(cut: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     cut
       .withColumn("__new",
@@ -108,6 +107,16 @@ object SubstringDedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** Maximal excised spans from a prepared gram frame: (doc_id,
+    * span_start, span_end), 1-based inclusive character bounds.
+    */
+  private def spansFromGrams(grams: DataFrame): DataFrame =
+    spansFromCut(
+      positions(grams)
+        .join(dupSet(grams), Seq("h"))
+        .filter(col("doc_id") > col("min_doc"))
+        .select("doc_id", "pos"))
+
   /** The span table over the duplicate-injected corpus. */
   def spans(corpus: DataFrame): DataFrame =
     spansFromGrams(gramFrame(corpus))
@@ -119,7 +128,15 @@ object SubstringDedup {
     */
   def summary(corpus: DataFrame): DataFrame = {
     val grams = gramFrame(corpus)
-    val perDoc = spansFromGrams(grams)
+    summarize(grams, spansFromGrams(grams))
+  }
+
+  /** Per-doc (n_chars, n_spans, cut_chars, kept_chars) report for every
+    * doc in `grams` from a span table — shared by the batch and
+    * incremental paths.
+    */
+  private def summarize(grams: DataFrame, spansDf: DataFrame): DataFrame = {
+    val perDoc = spansDf
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
@@ -170,38 +187,93 @@ object SubstringDedup {
             .stripMargin)).as("text_clean"))
   }
 
+  /** Version tag of the gram-index derivation — bump on any change to
+    * the kernel constants or the index shape.
+    */
+  val IndexVersion = "subidx_v1"
+
+  /** Build-once saved GRAM INDEX of the base corpus: one row per DISTINCT
+    * base gram hash with its smallest carrier — the suffix-array-class
+    * artifact of this operator (corpus-sized on disk, like Lee et al.'s
+    * 8-bytes-per-char suffix array; built once per content digest +
+    * derivation params, the [[IncrementalDedup.ensureSavedSignatures]]
+    * discipline). Ingesting a delta batch then touches ONLY delta
+    * characters plus one equi-join against this table — the existing
+    * corpus is never re-scanned.
+    */
+  def ensureSavedGramIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    SavedArtifact.ensure(
+      "graft_subidx",
+      graft.queries.Tables.contentDigest(
+        graft.queries.Tables.path(dir, "documents")),
+      Seq(GramHashes.GramLen, GramHashes.PolyBase, GramHashes.PolyMod,
+        IncrementalDedup.DeltaMod, IndexVersion)) { tmp =>
+      val base = IncrementalDedup.baseCorpus(
+        graft.queries.Tables.documents(spark, dir))
+      gramFrame(base)
+        .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("min_doc"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Incremental excision summary of a delta batch against a prepared
+    * gram index: a delta position is cut when its gram occurs ANYWHERE in
+    * the indexed base — the base corpus is the keeper regardless of id
+    * (ingest semantics: existing data wins; the batch operator's min-id
+    * rule applies within one corpus snapshot). Cross-DELTA duplicates are
+    * deliberately out of scope, like [[IncrementalDedup.matchesFrom]]'s
+    * within-batch dedup: run the batch operator over the merged corpus
+    * for that.
+    */
+  def summaryIncrementalFrom(index: DataFrame, delta: DataFrame): DataFrame = {
+    val grams = gramFrame(delta)
+    val cut = positions(grams)
+      .join(index.select("h"), Seq("h"))
+      .select("doc_id", "pos")
+    summarize(grams, spansFromCut(cut))
+  }
+
+  /** The dir-based declared-query form: delta batch vs the SAVED index. */
+  def summaryIncremental(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    summaryIncrementalFrom(
+      spark.read.parquet(ensureSavedGramIndex(spark, dir)),
+      IncrementalDedup.deltaCorpus(graft.queries.Tables.documents(spark, dir)))
+
   // ---- DuckDB oracle (identical hash chain, identical rules) ----
 
   /** The gram CTE: the O(n·K) per-term-mod direct sum — exactly
     * [[GramHashes]]' rolling values (both reduce mod P with every
     * intermediate exact in int64; see the kernel's scaladoc).
     */
-  private def gramCtes(from: String): String = {
+  /** Per-position gram-hash CTE over any corpus relation — the O(n·K)
+    * per-term-mod direct sum, exactly [[GramHashes]]' rolling values.
+    */
+  private def positionsCteSql(from: String, name: String): String = {
     val k = GramLen
     val p = GramHashes.PolyMod
     val polySql = (0 until k)
       .map(j =>
         s"(CAST(ascii(substr(text, j + $j, 1)) AS BIGINT) * ${GramHashes.PolyPow(k - 1 - j)}) % $p")
       .mkString(" + ")
-    s"""g AS (
+    s"""$name AS (
        |  SELECT doc_id, n_chars,
        |         unnest(range(1, length(text) - ${k - 2})) AS pos,
        |         unnest([($polySql) % $p
        |                 for j in range(1, length(text) - ${k - 2})]) AS h
        |  FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM $from)
-       |  WHERE length(text) >= $k),
-       |dup AS (
-       |  SELECT h, min(doc_id) AS min_doc
-       |  FROM (SELECT DISTINCT doc_id, h FROM g)
-       |  GROUP BY h HAVING count(*) >= 2),
-       |cut AS (
-       |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
-       |  FROM g JOIN dup ON g.h = dup.h AND g.doc_id > dup.min_doc),
-       |fl AS (
+       |  WHERE length(text) >= $k)""".stripMargin
+  }
+
+  /** fl/isl/spans island-merge chain over a `cut(doc_id, pos)` CTE. */
+  private def islandsCtesSql(cutName: String): String = {
+    val k = GramLen
+    s"""fl AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
        |              THEN 1 ELSE 0 END AS nw
-       |  FROM cut),
+       |  FROM $cutName),
        |isl AS (
        |  SELECT doc_id, pos,
        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
@@ -211,6 +283,17 @@ object SubstringDedup {
        |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end
        |  FROM isl GROUP BY doc_id, isl)""".stripMargin
   }
+
+  private def gramCtes(from: String): String =
+    s"""${positionsCteSql(from, "g")},
+       |dup AS (
+       |  SELECT h, min(doc_id) AS min_doc
+       |  FROM (SELECT DISTINCT doc_id, h FROM g)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |cut AS (
+       |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+       |  FROM g JOIN dup ON g.h = dup.h AND g.doc_id > dup.min_doc),
+       |${islandsCtesSql("cut")}""".stripMargin
 
   def spansOracleSql: String =
     s"""WITH corpus AS (${DedupCorpus.augmentSql}),
@@ -284,4 +367,31 @@ object SubstringDedup {
     summaryOracleSqlFrom(DedupCorpus.augmentSqlFrom(
       s"""(SELECT * FROM documents
          | WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)})""".stripMargin))
+
+  /** DuckDB replay of [[summaryIncremental]]: the saved index recomputed
+    * from its derivation (deterministic — the ensureSavedSignatures
+    * oracle pattern), delta positions cut on ANY index hit, same island
+    * merge, summary over the delta batch only.
+    */
+  def summaryIncrementalOracleSql: String =
+    s"""WITH aug AS (${DedupCorpus.augmentSql}),
+       |b AS (${IncrementalDedup.baseSql}),
+       |d AS (${IncrementalDedup.deltaSql}),
+       |${positionsCteSql("b", "gb")},
+       |${positionsCteSql("d", "gd")},
+       |idx AS (SELECT DISTINCT h FROM gb),
+       |cut AS (
+       |  SELECT gd.doc_id, CAST(gd.pos AS BIGINT) AS pos
+       |  FROM gd JOIN idx ON gd.h = idx.h),
+       |${islandsCtesSql("cut")},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS cut_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.cut_chars, 0) AS cut_chars,
+       |       CAST(length(c.text) AS BIGINT) - coalesce(p.cut_chars, 0) AS kept_chars
+       |FROM d c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 }

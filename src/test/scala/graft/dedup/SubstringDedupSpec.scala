@@ -164,6 +164,45 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental: delta spans cut against the index regardless of id order; " +
+    "novel delta text untouched; base never rescanned semantics on the live corpus") {
+    val span = filler(60, 70)
+    val base = Seq((50L, filler(61, 80) + "q" + span + "q" + filler(62, 45)))
+      .toDF("doc_id", "text")
+    val idx = base
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.GramHashes.gramHashes(col("text")))).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("min_doc"))
+    val pre = filler(63, 66) + "z"
+    val delta = Seq(
+      (3L, pre + span + "z" + filler(64, 41)), // smaller id than base: still cut
+      (7L, filler(65, 130)) // novel
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.summaryIncrementalFrom(idx, delta)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d1len = (pre + span + "z" + filler(64, 41)).length.toLong
+    assert(got.toSeq === Seq(
+      (3L, d1len, 1L, 70L, d1len - 70L), // exactly the planted span
+      (7L, 130L, 0L, 0L, 130L)))
+
+    // live corpus: delta copies of INDEXED bases (base % DeltaMod != 0)
+    // are fully excised; the artifact lands where declared and is reused
+    assumeTestdata(sf001)
+    val p1 = SubstringDedup.ensureSavedGramIndex(spark, sf001)
+    assert(new java.io.File(s"$p1/_SUCCESS").exists())
+    assert(SubstringDedup.ensureSavedGramIndex(spark, sf001) === p1)
+    val inc = SubstringDedup.summaryIncremental(spark, sf001)
+    val leaky = inc.filter(
+      col("doc_id") >= DedupCorpus.ExactDupOffset &&
+        (col("doc_id") % DedupCorpus.ExactDupOffset) % IncrementalDedup.DeltaMod =!= 0 &&
+        col("n_chars") >= K && col("kept_chars") =!= 0)
+    assert(leaky.count() === 0L)
+    // and delta-original copies (base also in the delta, NOT indexed) are
+    // not cut by their own base — within-batch dedup is out of scope
+    assert(inc.count() > 0)
+  }
+
   test("live corpus: every injected copy with >= K chars is fully excised") {
     assumeTestdata(sf001)
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
