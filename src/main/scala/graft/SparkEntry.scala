@@ -285,6 +285,17 @@ object SparkEntry {
     // is never re-scanned in the query path
     "docs_substring_incremental" -> ((s, dir) =>
       graft.dedup.SubstringDedup.summaryIncremental(s, dir).orderBy("doc_id")),
+    // BATCH REPLAY of the streaming bloom excision: the SAME stateless
+    // per-row form (gram hashes → bloom-probed cuts → in-row island fold)
+    // over the batch delta frame, bits from the saved index — bloom false
+    // positives replay bit-for-bit in the oracle
+    "docs_substring_stream_replay" -> ((s, dir) => {
+      val bits = graft.dedup.SubstringDedup.indexBloomBits(
+        s.read.parquet(graft.dedup.SubstringDedup.ensureSavedGramIndex(s, dir)))
+      graft.dedup.SubstringDedup.summaryPerRowBloom(
+        graft.dedup.IncrementalDedup.deltaCorpus(Tables.documents(s, dir)), bits)
+        .orderBy("doc_id")
+    }),
     // incremental ingest: delta batch probed against the SAVED base-corpus
     // signature index (no base re-shingling in the query path)
     "dedup_incremental" -> ((s, dir) =>
@@ -1168,6 +1179,8 @@ object SparkEntry {
       graft.dedup.SubstringDedup.summarySampledUOracleSql(),
     "docs_substring_incremental" ->
       graft.dedup.SubstringDedup.summaryIncrementalOracleSql,
+    "docs_substring_stream_replay" ->
+      graft.dedup.SubstringDedup.summaryStreamReplayOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,
     "dedup_incremental_novel" -> graft.dedup.IncrementalDedup.novelOracleSql,
     "dedup_stream_replay" -> graft.dedup.IncrementalDedup.streamReplayOracleSql(),

@@ -241,6 +241,77 @@ object SubstringDedup {
       spark.read.parquet(ensureSavedGramIndex(spark, dir)),
       IncrementalDedup.deltaCorpus(graft.queries.Tables.documents(spark, dir)))
 
+  /** Bloom bit table over the saved gram index — the STREAMING-shape
+    * artifact: the full index is corpus-sized (join-only territory), but
+    * its Bloom is `m/8` bytes of broadcastable state, the
+    * [[graft.text.Decontaminate.benchBloomBits]] trade. Width derived
+    * from the live index cardinality by the shared `mLogFor` rule.
+    */
+  def indexBloomBits(index: DataFrame): Array[Long] = {
+    import graft.text.Decontaminate
+    val hs = index.select(col("h")).localCheckpoint(false) // count + agg
+    val mLog = Decontaminate.mLogFor(hs.count())
+    hs.agg(graft.functions.BloomFilter
+      .bloomAgg(col("h"), mLog, Decontaminate.BloomJ).as("bits"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** PER-ROW bloom excision summary — the STREAMING form: every step is
+    * an in-row array op (gram hashes → bloom-probed cut positions → the
+    * island merge as one arithmetic fold), so the whole operator is a
+    * stateless projection — no join, no window, no state store — legal in
+    * append mode at any trigger and trivially stream ≡ batch per
+    * micro-batch ([[graft.streaming.StreamingSubstringDedup]]).
+    *
+    * Bloom contract (the decontaminate-bloom trade, inverted): false
+    * positives EXCISE clean text (never the reverse — blooms have no
+    * false negatives, so every true repeated span IS cut); per-doc
+    * `kept_chars` here is a lower bound of the exact incremental path's,
+    * spec-pinned. The oracle replays the bit table's false positives
+    * bit-for-bit, so the gate is exact about this contract.
+    */
+  def summaryPerRowBloom(delta: DataFrame, bits: Array[Long]): DataFrame = {
+    import graft.text.Decontaminate.BloomJ
+    val cut = filter(
+      transform(
+        GramHashes.gramHashes(col("text")),
+        (h, i) => when(
+          graft.functions.BloomFilter.mightContain(h, bits, BloomJ),
+          (i + 1).cast("long")).otherwise(lit(-1L))),
+      p => p =!= -1L)
+    val k = GramLen
+    delta
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cut.as("__cut"))
+      .withColumn("__st", expr(
+        // the island merge as ONE fold over the (sorted by construction)
+        // cut positions: state (ns runs closed, cc chars cut, rs run
+        // start, pp previous pos); rs = 0 is the no-open-run sentinel
+        // (positions are 1-based); a closing run [rs, pp] covers
+        // pp + K − rs characters
+        s"""aggregate(
+           |  __cut,
+           |  named_struct('ns', 0L, 'cc', 0L, 'rs', 0L, 'pp', 0L),
+           |  (a, p) -> IF(a.rs = 0L,
+           |    named_struct('ns', 0L, 'cc', 0L, 'rs', p, 'pp', p),
+           |    IF(p - a.pp > ${k}L,
+           |      named_struct('ns', a.ns + 1L,
+           |                   'cc', a.cc + a.pp + ${k}L - a.rs,
+           |                   'rs', p, 'pp', p),
+           |      named_struct('ns', a.ns, 'cc', a.cc, 'rs', a.rs, 'pp', p))),
+           |  a -> IF(a.rs = 0L,
+           |    named_struct('n_spans', a.ns, 'cut_chars', a.cc),
+           |    named_struct('n_spans', a.ns + 1L,
+           |                 'cut_chars', a.cc + a.pp + ${k}L - a.rs)))""".stripMargin))
+      .select(
+        col("doc_id"), col("n_chars"),
+        col("__st.n_spans").as("n_spans"),
+        col("__st.cut_chars").as("cut_chars"),
+        (col("n_chars") - col("__st.cut_chars")).as("kept_chars"))
+  }
+
   // ---- DuckDB oracle (identical hash chain, identical rules) ----
 
   /** The gram CTE: the O(n·K) per-term-mod direct sum — exactly
@@ -367,6 +438,48 @@ object SubstringDedup {
     summaryOracleSqlFrom(DedupCorpus.augmentSqlFrom(
       s"""(SELECT * FROM documents
          | WHERE ${graft.sampling.UniverseSampled.keepSql("doc_id", pct)})""".stripMargin))
+
+  /** DuckDB replay of the bloom per-row form over the batch delta frame —
+    * index grams → width derivation → Kirsch–Mitzenmacher probe positions
+    * (the [[graft.text.Decontaminate.cleanBloomOracleSql]] replay: a delta
+    * position is cut iff ALL [[graft.text.Decontaminate.BloomJ]] of its
+    * probes land in the index's DISTINCT position set — false positives
+    * reproduce bit-for-bit), then the shared island chain and summary.
+    */
+  def summaryStreamReplayOracleSql: String = {
+    import graft.text.Decontaminate.{BloomJ, mLogSql}
+    val m = s"(CAST(1 AS BIGINT) << (SELECT ml FROM ml))"
+    def probe(g: String, i: String): String =
+      s"(($g % 1073741824) + $i * (2 * ($g // 1073741824) + 1)) % $m"
+    s"""WITH aug AS (${DedupCorpus.augmentSql}),
+       |b AS (${IncrementalDedup.baseSql}),
+       |d AS (${IncrementalDedup.deltaSql}),
+       |${positionsCteSql("b", "gb")},
+       |${positionsCteSql("d", "gd")},
+       |idx AS (SELECT DISTINCT h FROM gb),
+       |ml AS (SELECT ${mLogSql("SELECT count(*) FROM idx")} AS ml),
+       |bpos AS (
+       |  SELECT DISTINCT ${probe("h", "i")} AS p
+       |  FROM idx CROSS JOIN range(0, $BloomJ) t(i)),
+       |dprobe AS (
+       |  SELECT doc_id, pos, ${probe("h", "i")} AS p
+       |  FROM gd CROSS JOIN range(0, $BloomJ) t(i)),
+       |cut AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos
+       |  FROM dprobe JOIN bpos USING (p)
+       |  GROUP BY doc_id, pos HAVING count(*) = $BloomJ),
+       |${islandsCtesSql("cut")},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS cut_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.cut_chars, 0) AS cut_chars,
+       |       CAST(length(c.text) AS BIGINT) - coalesce(p.cut_chars, 0) AS kept_chars
+       |FROM d c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[summaryIncremental]]: the saved index recomputed
     * from its derivation (deterministic — the ensureSavedSignatures

@@ -203,6 +203,46 @@ class SubstringDedupSpec extends SparkSpec {
     assert(inc.count() > 0)
   }
 
+  test("streaming bloom form: stream == batch across micro-batches, and " +
+    "per-doc kept_chars never exceeds the exact incremental path's (no false negatives)") {
+    assumeTestdata(sf001)
+    val idx = spark.read.parquet(SubstringDedup.ensureSavedGramIndex(spark, sf001))
+    val bits = SubstringDedup.indexBloomBits(idx)
+    val delta = IncrementalDedup.deltaCorpus(Tables.documents(spark, sf001))
+      .select("doc_id", "text")
+    val batch = SubstringDedup.summaryPerRowBloom(delta, bits)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // stateless ⇒ the union of per-micro-batch outputs equals the batch run
+    val rows = delta.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val out = graft.streaming.StreamingSubstringDedup.excise(
+      input.toDF().toDF("doc_id", "text"), bits)
+    val q = out.writeStream.format("memory").queryName("sub_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("sub_stream").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(streamed === batch)
+    } finally q.stop()
+
+    // bloom polarity: false positives only ever CUT MORE — every doc's
+    // bloom kept_chars is bounded by the exact index-join path's
+    val exact = SubstringDedup.summaryIncremental(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(batch.keySet === exact.keySet)
+    batch.foreach { case (id, (_, _, _, kept)) =>
+      assert(kept <= exact(id), s"doc $id: bloom kept $kept > exact ${exact(id)}")
+    }
+    // and the paths agree on the fully-excised set being non-trivial
+    assert(batch.values.count(_._4 == 0L) > 0)
+  }
+
   test("live corpus: every injected copy with >= K chars is fully excised") {
     assumeTestdata(sf001)
     val corpus = DedupCorpus.augment(Tables.documents(spark, sf001))
