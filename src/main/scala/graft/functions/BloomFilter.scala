@@ -226,6 +226,94 @@ case class BloomMightContain(first: Expression, second: Expression, third: Expre
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `bloom_cut_positions(hs)` — the 1-based positions i+1 of the hash
+  * array `hs` whose element probes POSITIVE in the bit table, as ONE
+  * compiled pass. Exists because the composable spelling —
+  * `filter(transform(hs, (h, i) -> IF(bloom_might_contain(h, …), i+1,
+  * -1)), …)` — walks two interpreted higher-order lambdas per element and
+  * measured 85 s CPU where this expression costs 4 s (r16
+  * `docs_substring_stream_replay` bisect); a streaming-legal per-row
+  * operator cannot fall back to explode+join, so the probe loop must
+  * compile.
+  *
+  * The bit table rides as a PLAIN CONSTRUCTOR FIELD, not a child
+  * literal: a 2 MB BINARY literal measured ~180 s CPU per bench entry —
+  * jstack-attributed NOT to the probe loop but to the DRIVER re-rendering
+  * the formatted plan description on every execution
+  * (`ExplainUtils.processPlanSkippingSubqueries` → `stripMargin` over the
+  * literal's 4 MB hex). As a field it renders as an opaque array
+  * reference, ships once per task as a codegen reference object, and the
+  * expression tree stays flat. ([[BloomMightContain]] keeps its literal
+  * child — its tables are the ≤128 KB decontamination blooms, and the
+  * literal is what the SQL-function registry form requires.) Same bit
+  * layout, same Kirsch–Mitzenmacher probes as [[BloomMightContain]].
+  */
+case class BloomCutPositions(
+    child: Expression,
+    bitsArr: Array[Long],
+    probes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (bitsArr == null || bitsArr.isEmpty ||
+        java.lang.Long.bitCount(bitsArr.length.toLong) != 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName bits must hold a power-of-two count of longs")
+      else if (probes < 1 || probes > 16)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName j out of range: $probes")
+      else TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "bloom_cut_positions"
+
+  /** One compiled pass — called from both the interpreted eval and the
+    * generated code (the [[graft.functions.GramHashes]] static-call
+    * shape, keeping the operator inside whole-stage codegen).
+    */
+  def compute(hs: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val bits = bitsArr
+    val n = hs.numElements()
+    val mask = bits.length.toLong * 64L - 1L
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val g = hs.getLong(i)
+      val h1 = g & ((1L << 30) - 1L)
+      val h2 = 2L * (g >>> 30) + 1L
+      var q = 0
+      var hit = true
+      while (hit && q < probes) {
+        val p = (h1 + q * h2) & mask
+        if ((bits((p >>> 6).toInt) & (1L << (p & 63L))) == 0L) hit = false
+        q += 1
+      }
+      if (hit) { out(k) = (i + 1).toLong; k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def nullSafeEval(hs: Any): Any =
+    compute(hs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomCut", this, classOf[BloomCutPositions].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BloomFilter {
 
   /** Registration descriptors for `SparkSessionExtensions.injectFunction`. */
@@ -267,4 +355,13 @@ object BloomFilter {
     bits.foreach(bb.putLong)
     call_function("bloom_might_contain", g, lit(bb.array()), lit(j))
   }
+
+  /** Column-API: the compiled probe-all-positions pass over a BIGINT hash
+    * array (see [[BloomCutPositions]] for why this is neither a HOF nor a
+    * registry function with a literal child).
+    */
+  def cutPositions(hs: Column, bits: Array[Long], j: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BloomCutPositions(
+        org.apache.spark.sql.GraftColumnBridge.expression(hs), bits, j))
 }
