@@ -226,6 +226,65 @@ case class BloomMightContain(first: Expression, second: Expression, third: Expre
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** The FIELD-CARRYING probe twin of [[BloomMightContain]] — same bit
+  * layout, same Kirsch–Mitzenmacher probes, but the table rides as a
+  * plain constructor field instead of a binary literal child. This is
+  * what the Column API builds: the literal form's plan renderings
+  * re-hex the whole table per execution (the [[BloomCutPositions]]
+  * pathology — ~180 s CPU at a 2 MB table, and [[graft.text
+  * .Decontaminate.mLogFor]] legitimately grows tables to 2^30 bits =
+  * 128 MB at web-scale gram counts, where a literal would be fatal).
+  * [[BloomMightContain]] stays registered for the plain-SQL surface,
+  * where tables arrive as expressions and stay decontamination-sized.
+  */
+case class BloomMightContainRef(
+    child: Expression,
+    bitsArr: Array[Long],
+    probes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType =>
+      if (bitsArr == null || bitsArr.isEmpty ||
+        java.lang.Long.bitCount(bitsArr.length.toLong) != 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName bits must hold a power-of-two count of longs")
+      else if (probes < 1 || probes > 16)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName j out of range: $probes")
+      else TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint, got ${t.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "bloom_might_contain_ref"
+
+  def probe(g: Long): Boolean = {
+    val bits = bitsArr
+    val mask = bits.length.toLong * 64L - 1L
+    val h1 = g & ((1L << 30) - 1L)
+    val h2 = 2L * (g >>> 30) + 1L
+    var i = 0
+    while (i < probes) {
+      val p = (h1 + i * h2) & mask
+      if ((bits((p >>> 6).toInt) & (1L << (p & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def nullSafeEval(g: Any): Any = probe(g.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bloomRef", this, classOf[BloomMightContainRef].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.probe($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bloom_cut_positions(hs)` — the 1-based positions i+1 of the hash
   * array `hs` whose element probes POSITIVE in the bit table, as ONE
   * compiled pass. Exists because the composable spelling —
@@ -349,12 +408,10 @@ object BloomFilter {
   /** Column-API: probe a driver-built bit table (shipped as one compact
     * binary literal — see [[BloomMightContain]]).
     */
-  def mightContain(g: Column, bits: Array[Long], j: Int): Column = {
-    ensure(containDescriptor)
-    val bb = ByteBuffer.allocate(8 * bits.length)
-    bits.foreach(bb.putLong)
-    call_function("bloom_might_contain", g, lit(bb.array()), lit(j))
-  }
+  def mightContain(g: Column, bits: Array[Long], j: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BloomMightContainRef(
+        org.apache.spark.sql.GraftColumnBridge.expression(g), bits, j))
 
   /** Column-API: the compiled probe-all-positions pass over a BIGINT hash
     * array (see [[BloomCutPositions]] for why this is neither a HOF nor a
