@@ -201,6 +201,16 @@ object SubstringDedup {
     * characters plus one equi-join against this table — the existing
     * corpus is never re-scanned.
     */
+  /** The gram index frame of a base corpus: one row per DISTINCT gram
+    * hash with its smallest carrier. Public for the probe's
+    * build-in-run path; the declared query reads the SAVED artifact.
+    */
+  def gramIndex(base: DataFrame): DataFrame =
+    gramFrame(base)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("min_doc"))
+
   def ensureSavedGramIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     SavedArtifact.ensure(
       "graft_subidx",
@@ -208,12 +218,8 @@ object SubstringDedup {
         graft.queries.Tables.path(dir, "documents")),
       Seq(GramHashes.GramLen, GramHashes.PolyBase, GramHashes.PolyMod,
         IncrementalDedup.DeltaMod, IndexVersion)) { tmp =>
-      val base = IncrementalDedup.baseCorpus(
-        graft.queries.Tables.documents(spark, dir))
-      gramFrame(base)
-        .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
-        .groupBy("h")
-        .agg(min(col("doc_id")).as("min_doc"))
+      gramIndex(IncrementalDedup.baseCorpus(
+        graft.queries.Tables.documents(spark, dir)))
         .write.mode("overwrite").parquet(tmp)
     }
 

@@ -140,6 +140,11 @@ object ScaleProbe {
     "docs_substring_dedup" -> Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "false"),
+    // same position⋈index join shape, same flip risk, same 100 TB regime
+    "docs_substring_incremental" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.join.preferSortMergeJoin" -> "false"))
 
   /** Stage-attribution notes carried into the artifact cell (VERDICT r13
@@ -487,6 +492,16 @@ object ScaleProbe {
       "docs_substring_dedup" -> (k =>
         graft.dedup.SubstringDedup.summary(
           DedupCorpus.augment(explodeDocs(docs0, k)))),
+      // the incremental path at ×k: ONE ingest cycle — index build over
+      // the exploded base (shift-aware base/delta split) + the delta
+      // batch's excision against it; both halves must scale linearly,
+      // and the sum is what an ingest pays
+      "docs_substring_incremental" -> (k => {
+        val full = DedupCorpus.augment(explodeDocs(docs0, k))
+        graft.dedup.SubstringDedup.summaryIncrementalFrom(
+          graft.dedup.SubstringDedup.gramIndex(full.filter(isBaseSnapshot)),
+          full.filter(!isBaseSnapshot))
+      }),
       "text_fingerprint" -> (k =>
         graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
       "events_sessions" -> (k =>

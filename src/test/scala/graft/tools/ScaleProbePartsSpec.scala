@@ -53,8 +53,9 @@ class ScaleProbePartsSpec extends AnyFunSuite {
       Set("tpch_revenue_monthly_sampled_shuffle", "graph_triangles",
         // r16: the substring-dedup position⋈dup join flips broadcast→
         // sort-merge between factors unforced (StageCpu-attributed); the
-        // probe runs its 100 TB regime at every factor
-        "docs_substring_dedup"))
+        // probe runs its 100 TB regime at every factor, and the
+        // incremental ingest shares the join shape
+        "docs_substring_dedup", "docs_substring_incremental"))
     // and the shuffle family must disable BOTH thresholds (AQE re-converts
     // to broadcast at stage materialization if only the static one is off)
     val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
