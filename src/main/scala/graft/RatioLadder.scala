@@ -148,7 +148,10 @@ object RatioLadder {
         .select(
           lit(pct.toLong).as("pct"),
           col("sum_exact"), col("sum_abs_diff"),
-          expr("(10000 * sum_abs_diff) div sum_exact").as("data_error_bp"),
+          // nullif: a degenerate corpus (sum_exact = 0) must report NULL in
+          // BOTH engines — DuckDB's // would raise where Spark's div yields
+          // NULL (ADVICE r16), so the zero case is made explicit lockstep
+          expr("(10000 * sum_abs_diff) div nullif(sum_exact, 0)").as("data_error_bp"),
           col("n_docs"), col("n_docs_kept"),
           Stats.errBoundCol(col("n_docs"), col("n_docs_kept"), 0.95).as("err_bound"))
     }.reduce(_ unionAll _)
@@ -164,7 +167,7 @@ object RatioLadder {
     val rungs = DeclaredPcts.map { pct =>
       val keep = UniverseSampled.keepSql("doc_id", pct)
       s"""SELECT CAST($pct AS BIGINT) AS pct, d.sum_exact, d.sum_abs_diff,
-         |       (10000 * d.sum_abs_diff) // d.sum_exact AS data_error_bp,
+         |       (10000 * d.sum_abs_diff) // nullif(d.sum_exact, 0) AS data_error_bp,
          |       nt.n_docs, nk.n_docs_kept,
          |       ${Stats.errBoundSql("nt.n_docs", "nk.n_docs_kept", 0.95)} AS err_bound
          |FROM (

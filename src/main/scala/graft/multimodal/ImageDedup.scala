@@ -253,6 +253,13 @@ object ImageDedup {
     * over-cap drop + star fallback, same `bit_count(xor)` Hamming.
     */
   def nearDupPairsSavedOracleSql(nGroups: Int): String = {
+    // the artifact's EXISTENCE is part of the oracle contract (ADVICE
+    // r16): the SQL bakes in a tmpdir-dependent absolute path, so if the
+    // generator runs before the engine query has built the artifact (or
+    // in a different-tmpdir process), read_parquet would error instead of
+    // gating — ensure it here whenever a session is available to do so
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(s => ensureSavedHashes(s, nGroups))
     val path = savedHashesPath(nGroups)
     s"""WITH fps AS (
        |  SELECT asset_id, ahash FROM read_parquet('$path/*.parquet')),

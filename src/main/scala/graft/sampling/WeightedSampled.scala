@@ -106,7 +106,11 @@ object WeightedSampled {
   /** The ranked frame with the in-plan k: every doc, its global rank in
     * (akey DESC, doc_id ASC) order, and the live-count-derived cutoff.
     */
-  private def rankedWithK(docs: DataFrame): DataFrame = {
+  // private[graft]: GlobalWindowTripwireSpec walks this UN-checkpointed
+  // fragment directly — summary() checkpoints it, which hides its windows
+  // from the declared-query plan walk (the tripwire's documented blind
+  // spot), so the spec pins the fragment's global-window count here
+  private[graft] def rankedWithK(docs: DataFrame): DataFrame = {
     val kFrame = docs.select(
       greatest(lit(1L),
         call_function("div", count(lit(1)).cast("long"), lit(SampleDiv))).as("__k"))

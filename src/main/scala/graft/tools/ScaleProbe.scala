@@ -237,14 +237,18 @@ object ScaleProbe {
     * plan by name — the r12 discipline), so an every-call scan would add
     * a constant base-fixture pass to both factors and deflate the ratio
     * toward linear_ok; with the memo only the untimed warmup trial pays
-    * it. A probe process runs one fixture, so one check per helper is
-    * the full guarantee.
+    * it. The memo keys on (helper, input-plan semantic hash) — not the
+    * helper name alone — so a multi-fixture JVM (a test process probing
+    * several datasets) re-checks each distinct base frame instead of
+    * letting the first fixture's pass suppress the guard for the rest
+    * (ADVICE r16).
     */
   private val idGuardPassed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def requireIdsBelowBlock(
       base: DataFrame, idCol: org.apache.spark.sql.Column, block: Long,
       what: String): Unit = {
-    if (idGuardPassed.contains(what)) return
+    val memoKey = s"$what:${base.queryExecution.analyzed.semanticHash()}"
+    if (idGuardPassed.contains(memoKey)) return
     val row = base.agg(max(idCol)).head
     // empty base (max = NULL): no ids, trivially collision-free
     if (!row.isNullAt(0)) {
@@ -253,7 +257,7 @@ object ScaleProbe {
         s"ScaleProbe $what: max base id $mx >= shift block $block — " +
           "exploded copies would overlap; fix the fixture or raise the block")
     }
-    idGuardPassed.add(what)
+    idGuardPassed.add(memoKey)
   }
 
   def explodeDocs(docs: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame = {

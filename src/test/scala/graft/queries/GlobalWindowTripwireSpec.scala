@@ -71,4 +71,26 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"whitelist entries no longer carrying a global window (update the doc): $stale")
   }
+
+  /** BLIND SPOT of the sweep above (ADVICE r16): a `localCheckpoint`
+    * inside a query truncates the lineage the walker sees, so a window
+    * added INSIDE a checkpointed fragment is invisible to the declared-
+    * query walk. `docs_weighted_sample_summary` is the one declared query
+    * whose window-bearing fragment is fully checkpointed — pin that
+    * fragment's pre-checkpoint plan directly: exactly ONE global window
+    * (the RangeRank per-partition offset frame, bounded by the shuffle
+    * partition count). A future window added inside the fragment fails
+    * here even though the sweep can't see it.
+    */
+  test("the checkpointed weighted-sample fragment carries exactly the RangeRank offset window") {
+    assumeTestdata(sf001)
+    val frag = graft.sampling.WeightedSampled.rankedWithK(
+      graft.queries.Tables.documents(spark, sf001))
+    val globals = frag.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.size == 1,
+      s"rankedWithK fragment global-window count drifted: ${globals.size} " +
+        "(expected exactly the bounded RangeRank offset window — document any addition)")
+  }
 }
