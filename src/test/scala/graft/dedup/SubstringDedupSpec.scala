@@ -81,6 +81,66 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, c.length + 1L, c.length + 60L)))
   }
 
+  /** A REAL 40-bit collision under [[GramHashes]]' polynomial (found by
+    * seeded birthday search over 26^40): two different 40-char grams with
+    * the same hash — the exact failure the confirm step exists for.
+    */
+  private val CollA = "gftlgcjysihrghyqxtdchafjiululfwlktzmgyho"
+  private val CollB = "qakftjzqeulppvwzyzurpadkfcdsphnxcnxbqsmu"
+
+  test("a forced hash collision never excises real content (byte-exact confirm)") {
+    // the collision is real: equal 40-bit hashes, different bytes
+    assert(CollA !== CollB)
+    val hA = GramHashes.compute(UTF8String.fromString(CollA)).toLongArray().toSeq
+    val hB = GramHashes.compute(UTF8String.fromString(CollB)).toLongArray().toSeq
+    assert(hA.size === 1 && hA === hB, s"collision pair drifted: $hA vs $hB")
+
+    // doc 1 carries gram A (the keeper copy), doc 5 carries the COLLIDING
+    // gram B (different bytes, same hash), doc 9 carries a TRUE copy of A.
+    // Distinct boundary chars pin the expected span exactly (see above).
+    val pre9 = filler(71, 66) + "z"
+    val docs = Seq(
+      (1L, filler(70, 83) + "q" + CollA + "q" + filler(72, 47)),
+      (5L, filler(73, 58) + "x" + CollB + "x" + filler(74, 52)),
+      (9L, pre9 + CollA + "z" + filler(75, 44))
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.spans(docs).orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 9's true duplicate is cut; doc 5's collision is refused — the
+    // UNCONFIRMED chain would have cut doc 5 at position 60 too
+    assert(got.toSeq === Seq((9L, pre9.length + 1L, pre9.length + 40L)))
+
+    // the documented MISS side of the trade: when the colliding gram wins
+    // the keeper slot (smallest doc carries B), the true A-duplicate pair
+    // fails the compare against B and is NOT cut — a missed excision,
+    // never a false one
+    val missDocs = Seq(
+      (1L, filler(76, 61) + "q" + CollB + "q" + filler(77, 42)),
+      (5L, filler(78, 57) + "x" + CollA + "x" + filler(79, 51)),
+      (9L, filler(80, 64) + "z" + CollA + "z" + filler(81, 46))
+    ).toDF("doc_id", "text")
+    assert(SubstringDedup.spans(missDocs).isEmpty)
+  }
+
+  test("confirm_cuts kernel: bounds, wrong-length grams, order preserved") {
+    import graft.functions.ConfirmCuts
+    val text = filler(90, 100)
+    def arr(ps: Seq[Long]): org.apache.spark.sql.catalyst.util.ArrayData =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(ps.toArray)
+    def sarr(ss: Seq[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        ss.map(UTF8String.fromString).toArray[Any])
+    val g5 = text.substring(4, 44) // gram at 1-based pos 5
+    val g61 = text.substring(60, 100) // the LAST valid gram (pos 61)
+    val got = ConfirmCuts.compute(
+      UTF8String.fromString(text),
+      arr(Seq(0L, 5L, 5L, 61L, 62L, 200L)),
+      sarr(Seq(g5, g5, "wrong-bytes-" + g5.drop(12), g61, g61, g5)))
+    // pos 0 (out of range low), wrong bytes, pos 62 (gram would overrun),
+    // pos 200 (out of range) all refused; true matches kept in order
+    assert(got.toLongArray().toSeq === Seq(5L, 61L))
+  }
+
   test("an exact copy is excised end-to-end; summary reports kept_chars 0") {
     val text = filler(20, 150)
     val docs = Seq((3L, text), (8L, text)).toDF("doc_id", "text")
