@@ -1046,6 +1046,12 @@ object SparkEntry {
     "docs_training_shard_neardup" -> ((s, dir) =>
       graft.text.TrainingShard.manifestNearDup(Tables.documents(s, dir))
         .orderBy("doc_id", "copy")),
+    // the full Lee-et-al.-plus-RefinedWeb chain: curate → byte-exact
+    // substring EXCISION → near-dup quality-keep → mixture → pack — the
+    // strongest dedup modality as a stage of the production pipeline
+    "docs_training_shard_substring" -> ((s, dir) =>
+      graft.text.TrainingShard.manifestSubstring(Tables.documents(s, dir))
+        .orderBy("doc_id", "copy")),
     // the AQP twin of the composed pipeline: the same 4-stage chain over a
     // 10 % doc-atomic universe sample, HT-scaled to the one-row summary a
     // planner reads ("how many kept docs / tokens / packs would the full
@@ -1443,6 +1449,8 @@ object SparkEntry {
     "docs_training_shard" -> graft.text.TrainingShard.manifestOracleSql(),
     "docs_training_shard_neardup" ->
       graft.text.TrainingShard.manifestNearDupOracleSql(),
+    "docs_training_shard_substring" ->
+      graft.text.TrainingShard.manifestSubstringOracleSql(),
     "docs_training_shard_sampled_u10" ->
       graft.text.TrainingShard.manifestSampledOracleSql(),
     "docs_shard_summary" -> graft.text.TrainingShard.shardSummaryOracleSql())

@@ -447,20 +447,22 @@ object SubstringDedup {
        |SELECT doc_id, span_start, span_end
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
 
-  /** DuckDB replay of [[cleaned]]: rebuild every doc from its KEPT
-    * characters (positions outside every span), ordered concat — a
-    * per-char formulation the fixture affords; must produce the same
-    * strings as the engine's segment stitching.
+  /** DuckDB replay of [[cleaned]] as a composable CTE chain over any
+    * corpus relation, ending in `outName(doc_id, text_clean)`: rebuild
+    * every doc from its KEPT characters (positions outside every span),
+    * ordered concat — a per-char formulation the fixture affords; must
+    * produce the same strings as the engine's segment stitching.
+    * [[graft.text.TrainingShard.manifestSubstringOracleSql]] splices this
+    * between its curation and dedup stages.
     */
-  def cleanedOracleSql: String =
-    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
-       |${gramCtes("corpus")},
+  def cleanedCtesSql(from: String, outName: String = "sclean"): String =
+    s"""${gramCtes(from)},
        |chars AS (
        |  SELECT doc_id,
        |         unnest(range(1, length(text) + 1)) AS j,
        |         unnest([substr(text, j, 1)
        |                 for j in range(1, length(text) + 1)]) AS ch
-       |  FROM corpus),
+       |  FROM $from),
        |keptc AS (
        |  SELECT c.doc_id, c.j, c.ch FROM chars c
        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
@@ -468,10 +470,15 @@ object SubstringDedup {
        |                      AND c.j BETWEEN s.span_start AND s.span_end)),
        |reb AS (
        |  SELECT doc_id, string_agg(ch, '' ORDER BY j) AS t
-       |  FROM keptc GROUP BY doc_id)
-       |SELECT c.doc_id, coalesce(r.t, '') AS text_clean
-       |FROM corpus c LEFT JOIN reb r ON c.doc_id = r.doc_id
-       |ORDER BY c.doc_id""".stripMargin
+       |  FROM keptc GROUP BY doc_id),
+       |$outName AS MATERIALIZED (
+       |  SELECT c.doc_id, coalesce(r.t, '') AS text_clean
+       |  FROM $from c LEFT JOIN reb r ON c.doc_id = r.doc_id)""".stripMargin
+
+  def cleanedOracleSql: String =
+    s"""WITH corpus AS (${DedupCorpus.augmentSql}),
+       |${cleanedCtesSql("corpus")}
+       |SELECT doc_id, text_clean FROM sclean ORDER BY doc_id""".stripMargin
 
   /** [[summaryOracleSql]] over an arbitrary corpus CTE body — the sampled
     * twin passes its keep-filtered base through `augmentSqlFrom` so the

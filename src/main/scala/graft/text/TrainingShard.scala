@@ -197,6 +197,88 @@ object TrainingShard {
        |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id, copy""".stripMargin
 
+  /** The FULL Lee-et-al.-plus-RefinedWeb production chain (VERDICT r16
+    * item 2): curate → exact-substring EXCISION (every repeated ≥40-char
+    * span byte-exact-confirmed and cut, keeper copies survive —
+    * [[graft.dedup.SubstringDedup.cleaned]]) → near-dup connected
+    * components with the quality-keep winner rule → mixture → pack, as
+    * ONE declared plan. The substring stage runs BETWEEN curation and
+    * doc-level dedup, where Lee et al. apply it: excising boilerplate
+    * first means the doc-level near-dup stage clusters on the UNIQUE
+    * substance of each document, and the packed tokens downstream count
+    * no repeated span twice. Documents whose text is entirely repeated
+    * excise to empty and drop (nothing left to train on).
+    *
+    * Scale shape: [[manifestNearDup]]'s plan with the substring family's
+    * position pipeline spliced in — the gram frame is checkpointed once
+    * inside `cleaned`, the curated frame once here (the excision's three
+    * text consumers + the source projection), and the cleaned corpus once
+    * (the LSH signature pass and the winners join); stages still hand
+    * each other id-keyed frames, and all three checkpoints are the narrow
+    * (id, text, source) rows, never verdict or position columns.
+    *
+    * Output: doc_id, source, copy, tok, cum, pack_id.
+    */
+  def manifestSubstring(
+      documents: DataFrame,
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val corpus = graft.dedup.DedupCorpus.augmentWithSource(documents)
+    val kept = CurationPipeline.verdicts(corpus)
+      .filter(col("keep")).select(col("doc_id"))
+    val curated = corpus.join(kept, "doc_id").localCheckpoint(false)
+    val cleanedCorpus = curated.select(col("doc_id"), col("source"))
+      .join(
+        graft.dedup.SubstringDedup.cleaned(curated.select(col("doc_id"), col("text")))
+          .filter(length(col("text_clean")) > 0),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text_clean").as("text"), col("source"))
+      .localCheckpoint(false)
+    val canon = graft.dedup.DedupClusters
+      .canonicalByQuality(cleanedCorpus.select(col("doc_id"), col("text")))
+      .select(col("canonical_id").as("doc_id"))
+    mixAndPack(cleanedCorpus.join(canon, "doc_id"), weightsBp, packTokens, buckets)
+  }
+
+  /** DuckDB oracle for [[manifestSubstring]] — the substring-excision CTE
+    * chain spliced between the curation and canonical-CC stages, every
+    * stage replayed bit-for-bit (confirm step included).
+    */
+  def manifestSubstringOracleSql(
+      weightsBp: Map[String, Long] = MixtureResample.DefaultWeightsBp,
+      packTokens: Long = SequencePacking.PackTokens,
+      buckets: Int = TokenBudget.Buckets): String =
+    s"""WITH RECURSIVE
+       |corpus0 AS (${graft.dedup.DedupCorpus.augmentWithSourceSqlFrom("documents")}),
+       |curated AS MATERIALIZED (
+       |  SELECT * FROM corpus0 WHERE doc_id IN (
+       |${CurationPipeline.keptIdsSql("corpus0")}
+       |  )
+       |),
+       |${graft.dedup.SubstringDedup.cleanedCtesSql("curated")},
+       |scorpus AS MATERIALIZED (
+       |  SELECT cu.doc_id, s.text_clean AS text, cu.source
+       |  FROM curated cu JOIN sclean s ON s.doc_id = cu.doc_id
+       |  WHERE length(s.text_clean) > 0
+       |),
+       |${graft.dedup.DedupClusters.canonicalCtesOverCorpus("scorpus")},
+       |uniq AS (
+       |  SELECT *, ${TokenBudget.TokOfTextSql} AS tok
+       |  FROM scorpus WHERE doc_id IN (SELECT doc_id FROM canon)
+       |),
+       |m AS (
+       |${MixtureResample.manifestSql(weightsBp, extraCols = Seq("tok"), from = "uniq")}
+       |),
+       |${TokenBudget.cumCteSql(
+           buckets, from = "m", keyCols = Seq("doc_id", "copy", "source"),
+           unitSql = "CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)",
+           tokSql = "tok")}
+       |SELECT doc_id, source, copy, tok, cum,
+       |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id, copy""".stripMargin
+
   /** Packs per physical shard file-set. The fixture default is tiny —
     * 4 packs × the 2 048-token budget ≈ 8 k tokens — because the sf
     * corpora are ~13 packs total and the contract (several shards, pack

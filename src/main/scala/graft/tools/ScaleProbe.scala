@@ -506,6 +506,14 @@ object ScaleProbe {
           graft.dedup.SubstringDedup.gramIndex(full.filter(isBaseSnapshot)),
           full.filter(!isBaseSnapshot))
       }),
+      // the full composed production chain with the substring stage (r17):
+      // curate → byte-exact excision → near-dup quality-keep → mix → pack
+      // over the source-carrying exploded corpus — every stage must scale
+      // together (unforced regime like docs_training_shard_neardup: the
+      // composed plan's id joins are the broadcast-friendly shapes)
+      "docs_training_shard_substring" -> (k =>
+        graft.text.TrainingShard.manifestSubstring(
+          explodeDocs(docsS0, k, carry = Seq("source")))),
       "text_fingerprint" -> (k =>
         graft.text.TextAnalysis.fingerprints(explodeDocs(docs0, k))),
       "events_sessions" -> (k =>

@@ -32,7 +32,8 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     // composed pipelines embedding the packing stage (the sampled-summary
     // twin is absent: its HT estimate ceiling-divides totals and never
     // runs the pack-assignment window)
-    "docs_training_shard", "docs_training_shard_neardup", "docs_shard_summary",
+    "docs_training_shard", "docs_training_shard_neardup",
+    "docs_training_shard_substring", "docs_shard_summary",
     // RangeRank global rank via per-partition offsets
     "docs_global_shuffle", "docs_shuffle_manifest", "docs_quality_deciles",
     // WeightedSampled rank-then-cut rides the same RangeRank offset frame

@@ -86,6 +86,63 @@ class TrainingShardSpec extends SparkSpec {
     } finally { out.unpersist(); spark.catalog.clearCache() }
   }
 
+  test("substring variant: survivors are the quality-keep canonical set of " +
+    "the substring-cleaned curated corpus, and excision bites before packing") {
+    import graft.dedup.{DedupClusters, DedupCorpus, SubstringDedup}
+    val out = TrainingShard.manifestSubstring(docs).cache()
+    try {
+      // recompose stages 1-3 independently: curation keep-set, substring
+      // excision (empty survivors drop), then the canonical winners over
+      // the CLEANED text
+      val corpus = DedupCorpus.augmentWithSource(docs)
+      val keptIds = CurationPipeline.verdicts(corpus)
+        .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+      val curated = corpus.filter(col("doc_id").isin(keptIds.toSeq: _*))
+      val cleaned = SubstringDedup.cleaned(curated.select(col("doc_id"), col("text")))
+        .filter(length(col("text_clean")) > 0)
+      val cleanedCorpus = curated.select(col("doc_id"), col("source"))
+        .join(cleaned, "doc_id")
+        .select(col("doc_id"), col("text_clean").as("text"), col("source"))
+      val canon = DedupClusters
+        .canonicalByQuality(cleanedCorpus.select(col("doc_id"), col("text")))
+        .select("canonical_id").as[Long].collect().toSet
+      val outIds = out.select("doc_id").distinct().as[Long].collect().toSet
+      assert(outIds.nonEmpty)
+      def h60(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+      }
+      val srcOf = cleanedCorpus.select("doc_id", "source")
+        .as[(Long, String)].collect().toMap
+      val expected = canon.filter { id =>
+        val w = MixtureResample.DefaultWeightsBp
+          .getOrElse(srcOf(id), MixtureResample.DefaultBp)
+        val frac = if (h60(s"m:$id") % MixtureResample.Mod < w % MixtureResample.Mod) 1 else 0
+        w / MixtureResample.Mod + frac > 0
+      }
+      assert(outIds === expected)
+      // every injected exact copy excised to EMPTY (its keeper carries the
+      // text verbatim) and left the chain before the near-dup stage even
+      // saw it — the substring stage subsumes exact dedup
+      val exactCopies = outIds.filter(id =>
+        id >= DedupCorpus.ExactDupOffset && id < DedupCorpus.NearDupOffset)
+      assert(exactCopies.isEmpty, s"exact copies survived excision: $exactCopies")
+      // excision bites the token budget: per surviving doc the packed tok
+      // never exceeds the UNCLEANED count (cutting characters cannot add
+      // whitespace tokens), and the corpus-wide total strictly shrinks
+      // (the injected near copies share >= 40-char spans with their bases)
+      val perDoc = out.select("doc_id", "tok").distinct()
+        .join(
+          curated.select(col("doc_id"),
+            graft.sampling.TokenBudget.tokOfText.as("tok_orig")),
+          "doc_id")
+      assert(perDoc.filter(col("tok") > col("tok_orig")).isEmpty)
+      val Row2 = perDoc.agg(sum(col("tok")), sum(col("tok_orig"))).collect().head
+      assert(Row2.getLong(0) < Row2.getLong(1),
+        s"excision removed no tokens: clean=${Row2.getLong(0)} orig=${Row2.getLong(1)}")
+    } finally { out.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("sampled twin: summary equals the HT-scaled aggregate of the chain " +
     "run on the sampled slice, and estimates land near the full-run truth") {
     val pct = 10
