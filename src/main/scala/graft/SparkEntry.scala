@@ -474,6 +474,16 @@ object SparkEntry {
     // scale = the dict join carries the segmentation, never re-tokenizing
     "bpe_token_counts" -> ((s, dir) =>
       graft.text.BpeVocab.tokenCounts(Tables.documents(s, dir)).orderBy("token")),
+    // BPE APPLY against the SAVED merges artifact: per-doc REAL tokenizer
+    // counts (encode runs once per distinct word, the dict join carries
+    // the segmentation to every occurrence)
+    "docs_bpe_tokens" -> ((s, dir) =>
+      graft.text.BpeVocab.perDocTokensSaved(s, dir).orderBy("doc_id")),
+    // the token-budget twin re-based on real tokenizer counts — same
+    // hash-order prefix selection, honest token unit (whitespace-proxy vs
+    // BPE budgets provably differ on the fixture, spec-pinned)
+    "docs_token_budget_bpe" -> ((s, dir) =>
+      graft.text.BpeVocab.tokenBudgetBpe(s, dir).orderBy("doc_id")),
     // Count-Min sketch heavy hitters: d·w-bounded aggregation state per
     // partition (vs vocabulary-sized exact counting), merge-order-invariant
     // counters → the sketch family's first fully oracle-gated member
@@ -1226,6 +1236,8 @@ object SparkEntry {
     "text_lm_bigram" -> graft.text.BigramLm.scoresOracleSql,
     "bpe_merges" -> graft.text.BpeVocab.mergesOracleSql(),
     "bpe_token_counts" -> graft.text.BpeVocab.tokenCountsOracleSql(),
+    "docs_bpe_tokens" -> graft.text.BpeVocab.perDocTokensOracleSql(),
+    "docs_token_budget_bpe" -> graft.text.BpeVocab.tokenBudgetBpeOracleSql(),
     "text_heavy_hitters_cm" -> graft.sampling.CountMin.heavyHittersOracleSql(),
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,

@@ -148,8 +148,22 @@ object TokenBudget {
       docs: DataFrame,
       num: Long = 2,
       den: Long = 5,
+      buckets: Int = Buckets): DataFrame =
+    selectWith(docs, tokOfText, num, den, buckets)
+
+  /** [[select]] under an ARBITRARY per-row token column — the seam
+    * [[graft.text.BpeVocab.tokenBudgetBpe]] uses to budget on REAL
+    * tokenizer counts instead of the whitespace proxy. Same hash order,
+    * same integer budget arithmetic; only the token unit changes.
+    */
+  def selectWith(
+      docs: DataFrame,
+      tok: org.apache.spark.sql.Column,
+      num: Long = 2,
+      den: Long = 5,
       buckets: Int = Buckets): DataFrame = {
-    val (tb, cum) = withCum(docs, buckets)
+    val (tb, cum) = withCumKeyed(
+      docs, buckets, Seq("doc_id"), col("doc_id").cast("string"), tok = tok)
     val budget = tb.agg(sum(col("tok")).as("corpus_tok"))
       .select(expr(s"corpus_tok * $num DIV $den").as("budget"))
     cum

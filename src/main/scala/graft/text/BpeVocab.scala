@@ -148,6 +148,114 @@ object BpeVocab {
       .groupBy("token")
       .agg(sum("cnt").as("n"))
 
+  // ---- BPE APPLY: encode against the SAVED merges artifact ----
+
+  /** Version tag of the merges derivation — bump on any change to the
+    * learning constants or the artifact shape.
+    */
+  val MergesVersion = "bpemerges_v1"
+
+  /** Build-once saved MERGES table of the corpus — the trained tokenizer
+    * as a published artifact (the
+    * [[graft.dedup.SubstringDedup.ensureSavedGramIndex]] discipline):
+    * (round, left_sym, right_sym, merged, pair_count), one row per
+    * learned round. Everything downstream ENCODES with this table
+    * instead of re-learning.
+    */
+  def ensureSavedMerges(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.dedup.SavedArtifact.ensure(
+      "graft_bpemerges",
+      graft.queries.Tables.contentDigest(
+        graft.queries.Tables.path(dir, "documents")),
+      Seq(Rounds, EndMark, MergesVersion)) { tmp =>
+      merges(graft.queries.Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The saved merges in application order — a BOUNDED driver read
+    * (≤ [[Rounds]] rows, the IVF-centroid discipline: a tokenizer's merge
+    * table is configuration, not data; production BPE vocabularies are
+    * tens of thousands of rows and ship to every task as broadcast
+    * constants exactly like this).
+    */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("round")
+      .select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Apply the merge sequence to a symbol-string column — the SAME
+    * left-to-right non-overlapping `replace` per round the learner ran,
+    * so encoding a corpus word reproduces the final dict's segmentation
+    * exactly (the oracle exploits this: its replay applies the learned
+    * recurrence and reads the final dict). All literals — one codegen'd
+    * projection, no joins, no loop state.
+    */
+  private def applyMerges(s: Column, ms: Seq[(String, String)]): Column =
+    ms.foldLeft(s) { case (acc, (l, r)) =>
+      replace(acc, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+
+  /** Per-word BPE token counts of the corpus VOCABULARY under a merge
+    * sequence: (word, n_tok). The corpus tokenizes once into distinct
+    * words (one aggregate, vocabulary-width shuffle); the encode chain
+    * runs once per DISTINCT word, never per occurrence — how a trained
+    * BPE is applied at scale.
+    */
+  def wordTokens(docs: DataFrame, ms: Seq[(String, String)]): DataFrame =
+    docs
+      .select(explode(Hashing.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .select(
+        col("word"),
+        size(symsOf(applyMerges(initSymbols(col("word")), ms))).cast("long").as("n_tok"))
+
+  /** Per-document REAL-tokenizer token counts: every word occurrence
+    * joins the vocabulary dict (aggregate side — AQE broadcasts it while
+    * it fits, shuffle-hash beyond; a 100 TB corpus's heavy-tailed
+    * vocabulary is tens of MB either way) and sums per doc; wordless
+    * docs report 0. Output: doc_id, bpe_tok — the honest unit
+    * [[graft.sampling.TokenBudget]]'s whitespace proxy approximates.
+    */
+  def perDocTokens(docs: DataFrame, ms: Seq[(String, String)]): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(Hashing.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordTokens(docs, ms), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_tok")).as("bpe_tok"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bpe_tok"), lit(0L)).as("bpe_tok"))
+  }
+
+  /** The dir-based declared-query form: per-doc counts under the SAVED
+    * merges artifact.
+    */
+  def perDocTokensSaved(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ms = loadMerges(spark, ensureSavedMerges(spark, dir))
+    perDocTokens(graft.queries.Tables.documents(spark, dir), ms)
+  }
+
+  /** Token-budget selection re-based on REAL tokenizer counts (VERDICT
+    * r16 item 3): [[graft.sampling.TokenBudget.selectWith]] driven by the
+    * per-doc BPE counts instead of the whitespace proxy — same
+    * deterministic hash order, same integer budget arithmetic, different
+    * (honest) token unit, so the kept PREFIX can differ from the proxy
+    * twin's (spec-pinned).
+    */
+  def tokenBudgetBpe(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      num: Long = 2, den: Long = 5): DataFrame = {
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val ms = loadMerges(spark, ensureSavedMerges(spark, dir))
+    graft.sampling.TokenBudget.selectWith(
+      docs.join(perDocTokens(docs, ms), Seq("doc_id")),
+      col("bpe_tok"), num, den)
+  }
+
   // ---- DuckDB oracle generation (same constants, same recurrence) ----
 
   /** The unrolled CTE chain: wc → w0 → (p_i, b_i, w_i) × [[Rounds]],
@@ -196,4 +304,46 @@ object BpeVocab {
        |  SELECT cnt, unnest(list_filter(string_split(s, '||'), x -> x <> '')) AS token
        |  FROM w$Rounds
        |) GROUP BY token ORDER BY token""".stripMargin
+
+  /** Per-word/per-doc BPE-count CTEs over the learned recurrence's FINAL
+    * dict `w[[Rounds]]` — the oracle replay of the SAVED-merges encode:
+    * greedy merge application is deterministic, so applying the saved
+    * table to a corpus word reproduces exactly the dict row the learner
+    * left behind (engine and oracle meet at the segmentation, not at the
+    * artifact file). MATERIALIZED: `dt` feeds both the final projection
+    * and (in the budget twin) the cum chain.
+    */
+  private def perDocCtes(from: String): String =
+    s"""pw AS (
+       |  SELECT word,
+       |         CAST(len(list_filter(string_split(s, '||'), x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM w$Rounds),
+       |dw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+       |  FROM $from),
+       |dt AS MATERIALIZED (
+       |  SELECT dw.doc_id, CAST(sum(pw.n_tok) AS BIGINT) AS bpe_tok
+       |  FROM dw JOIN pw USING (word) WHERE dw.word <> ''
+       |  GROUP BY dw.doc_id)""".stripMargin
+
+  def perDocTokensOracleSql(from: String = "documents"): String =
+    s"""WITH ${learnCtes(from)},
+       |${perDocCtes(from)}
+       |SELECT d.doc_id, coalesce(dt.bpe_tok, 0) AS bpe_tok
+       |FROM $from d LEFT JOIN dt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  def tokenBudgetBpeOracleSql(num: Long = 2, den: Long = 5): String = {
+    import graft.sampling.TokenBudget
+    s"""WITH ${learnCtes("documents")},
+       |${perDocCtes("documents")},
+       |bd AS (
+       |  SELECT d.doc_id, coalesce(dt.bpe_tok, 0) AS btok
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |${TokenBudget.cumCteSql(TokenBudget.Buckets, from = "bd", tokSql = "btok")},
+       |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb)
+       |SELECT doc_id, tok, cum FROM c, lim
+       |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+  }
 }

@@ -67,6 +67,56 @@ class BpeVocabSpec extends SparkSpec {
       got.filter(_._1.endsWith(BpeVocab.EndMark)).values.sum === wc.values.sum)
   }
 
+  test("saved-merges encode reproduces the learner's final segmentation, " +
+    "and BPE budgets measurably differ from the whitespace proxy") {
+    assumeTestdata(sf001)
+    val docs = Tables.documents(spark, sf001)
+    // the APPLY path (saved artifact -> fold of replaces) must equal the
+    // learner's final dict segmentation word for word — the invariant the
+    // DuckDB oracle leans on (it replays the recurrence and reads w8)
+    val path = BpeVocab.ensureSavedMerges(spark, sf001)
+    assert(new java.io.File(s"$path/_SUCCESS").exists())
+    assert(BpeVocab.ensureSavedMerges(spark, sf001) === path) // reused, not rebuilt
+    val ms = BpeVocab.loadMerges(spark, path)
+    assert(ms.size === BpeVocab.Rounds)
+    val encoded = BpeVocab.wordTokens(docs, ms).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wc = BpeVocab.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (_, segs) = naiveBpe(wc, BpeVocab.Rounds)
+    assert(encoded === segs.map { case (w, syms) => w -> syms.size.toLong })
+    // per-doc counts: the dict-join roll-up equals re-encoding each doc's
+    // words directly, and wordless docs report 0 (spot-check by recompute)
+    val perDoc = BpeVocab.perDocTokens(docs, ms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docWords = docs.select(col("doc_id"),
+      graft.dedup.Hashing.words(col("text")).as("ws")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).filter(_.nonEmpty)))
+    docWords.foreach { case (id, ws) =>
+      assert(perDoc(id) === ws.map(w => encoded(w)).sum, s"doc $id")
+    }
+    // the honest unit is MEASURABLY different from the proxy: with only 8
+    // learned merges almost every word still splits near character level,
+    // so corpus BPE mass must exceed whitespace mass, and no doc may
+    // report fewer BPE tokens than words
+    val proxy = docWords.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    assert(docWords.forall { case (id, _) => perDoc(id) >= proxy(id) })
+    val (bpeTotal, wsTotal) = (perDoc.values.sum, proxy.values.sum)
+    assert(bpeTotal > 2 * wsTotal,
+      s"BPE mass $bpeTotal not measurably above whitespace mass $wsTotal")
+    // and the budget twin therefore cuts at a different token line: same
+    // kept ORDER (the hash is token-unit-independent), different cum unit
+    val bpeSel = BpeVocab.tokenBudgetBpe(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val proxySel = graft.sampling.TokenBudget.select(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bpeSel.nonEmpty && proxySel.nonEmpty)
+    val shared = bpeSel.keySet intersect proxySel.keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(id => bpeSel(id) > proxySel(id) || proxySel(id) == 0L),
+      "expected every shared worded doc to cost strictly more BPE tokens than proxy tokens")
+  }
+
   test("pair exhaustion stops learning and preserves the dict (no annihilation)") {
     import spark.implicits._
     // one single-char word: round 1 merges (a, $); round 2 has NO adjacent
