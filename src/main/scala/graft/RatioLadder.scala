@@ -123,25 +123,52 @@ object RatioLadder {
     * on the group key (AQE: the sampled side is an aggregate). The
     * one-row count frames ride broadcast crossJoins.
     */
-  def wordcountLadderU(docs: DataFrame): DataFrame = {
+  def wordcountLadderU(docs: DataFrame): DataFrame =
+    ladderU(docs, RQ.wordCount(_), "word", col("doc_id"), "n_docs")
+
+  /** The SAME declared ladder protocol over the reference's apachelog
+    * family (VERDICT r16 item 4 — `randApacheLogAnalysis.sh:22-26` ran the
+    * identical ladder the wordcount/charcount scripts did): the `host`
+    * task over raw CLF lines, sampled by LINE (the reference's sampling
+    * unit is the input line, so n/N count raw events incl. the malformed
+    * ones the parse drops on both the exact and sampled sides).
+    */
+  def logHostLadderU(events: DataFrame): DataFrame =
+    ladderU(events, e => RQ.clfHost(RQ.clfParsed(e)), "host",
+      col("event_id"), "n_lines")
+
+  /** The generic declared-ladder core shared by the families above: run
+    * `query` (→ (key, cnt)) exact and at every [[DeclaredPcts]] rung under
+    * UNIVERSE sampling of `unitId`, emitting the comparator's integer
+    * error measure and the T4 bound per rung. See [[wordcountLadderU]]'s
+    * original scaladoc for the scale shape (checkpointed exact + one
+    * sampled aggregate and one broadcast-sized full-outer join per rung).
+    */
+  private def ladderU(
+      source: DataFrame,
+      query: DataFrame => DataFrame,
+      keyCol: String,
+      unitId: org.apache.spark.sql.Column,
+      nCol: String): DataFrame = {
     import graft.sampling.{Stats, UniverseSampled}
     import org.apache.spark.sql.functions._
-    val exact = RQ.wordCount(docs).localCheckpoint(false)
+    val exact = query(source).localCheckpoint(false)
     // one row, four consumers: without the checkpoint each rung's plan
     // re-runs the corpus count scan (review r16 — the same reason exact
     // is checkpointed one line up)
-    val nTotal = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint(false)
+    val nTotal = source.agg(count(lit(1)).as(nCol)).localCheckpoint(false)
+    val nKeptCol = s"${nCol}_kept"
     DeclaredPcts.map { pct =>
-      val kept = UniverseSampled.sample(docs, col("doc_id"), pct)
-      val est = RQ.wordCount(kept).select(
-        col("word"),
+      val kept = UniverseSampled.sample(source, unitId, pct)
+      val est = query(kept).select(
+        col(keyCol),
         (col("cnt") * lit(UniverseSampled.scaleFor(pct))).as("__est"))
-      val diff = exact.join(est, Seq("word"), "full_outer")
+      val diff = exact.join(est, Seq(keyCol), "full_outer")
         .agg(
           sum(abs(coalesce(col("cnt"), lit(0L)) - coalesce(col("__est"), lit(0L))))
             .as("sum_abs_diff"),
           sum(coalesce(col("cnt"), lit(0L))).as("sum_exact"))
-      val nKept = kept.agg(count(lit(1)).as("n_docs_kept"))
+      val nKept = kept.agg(count(lit(1)).as(nKeptCol))
       diff
         .crossJoin(broadcast(nKept))
         .crossJoin(broadcast(nTotal))
@@ -152,8 +179,8 @@ object RatioLadder {
           // BOTH engines — DuckDB's // would raise where Spark's div yields
           // NULL (ADVICE r16), so the zero case is made explicit lockstep
           expr("(10000 * sum_abs_diff) div nullif(sum_exact, 0)").as("data_error_bp"),
-          col("n_docs"), col("n_docs_kept"),
-          Stats.errBoundCol(col("n_docs"), col("n_docs_kept"), 0.95).as("err_bound"))
+          col(nCol), col(nKeptCol),
+          Stats.errBoundCol(col(nCol), col(nKeptCol), 0.95).as("err_bound"))
     }.reduce(_ unionAll _)
   }
 
@@ -181,6 +208,38 @@ object RatioLadder {
          |(SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) nt,
          |(SELECT CAST(count(*) AS BIGINT) AS n_docs_kept
          | FROM documents WHERE $keep) nk""".stripMargin
+    }
+    rungs.mkString("", "\nUNION ALL\n", "\nORDER BY pct DESC")
+  }
+
+  /** DuckDB replay of [[logHostLadderU]] — the `log_host` oracle's CLF
+    * convention (events synthesize to lines, `event_id % 97 = 0` lines
+    * are malformed and drop at parse) under the same rung arithmetic;
+    * n/N count RAW events like the engine side.
+    */
+  def logHostLadderUOracleSql: String = {
+    import graft.sampling.{Stats, UniverseSampled}
+    val hostFrom = (cond: String) =>
+      s"""SELECT 'h' || CAST(user_id AS VARCHAR) || '.example.com' AS host,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM events WHERE event_id % 97 <> 0 AND ($cond) GROUP BY 1""".stripMargin
+    val rungs = DeclaredPcts.map { pct =>
+      val keep = UniverseSampled.keepSql("event_id", pct)
+      s"""SELECT CAST($pct AS BIGINT) AS pct, d.sum_exact, d.sum_abs_diff,
+         |       (10000 * d.sum_abs_diff) // nullif(d.sum_exact, 0) AS data_error_bp,
+         |       nt.n_lines, nk.n_lines_kept,
+         |       ${Stats.errBoundSql("nt.n_lines", "nk.n_lines_kept", 0.95)} AS err_bound
+         |FROM (
+         |  SELECT CAST(sum(abs(coalesce(e.cnt, 0) - coalesce(s.est, 0))) AS BIGINT) AS sum_abs_diff,
+         |         CAST(sum(coalesce(e.cnt, 0)) AS BIGINT) AS sum_exact
+         |  FROM (${hostFrom("TRUE")}) e
+         |  FULL OUTER JOIN (
+         |    SELECT host, cnt * ${UniverseSampled.scaleFor(pct)} AS est
+         |    FROM (${hostFrom(keep)})) s USING (host)
+         |) d,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_lines FROM events) nt,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_lines_kept
+         | FROM events WHERE $keep) nk""".stripMargin
     }
     rungs.mkString("", "\nUNION ALL\n", "\nORDER BY pct DESC")
   }

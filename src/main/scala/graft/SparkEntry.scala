@@ -111,6 +111,12 @@ object SparkEntry {
       graft.RatioLadder.wordcountLadderU(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy(col("pct").desc)),
+    // the SAME declared ladder over the reference's apachelog family
+    // (randApacheLogAnalysis.sh ran the identical protocol): host counts
+    // over raw CLF lines, sampled by line
+    "log_host_ladder_u" -> ((s, dir) =>
+      graft.RatioLadder.logHostLadderU(Tables.events(s, dir))
+        .orderBy(col("pct").desc)),
     "wireless_sampled_u10" -> ((s, dir) =>
       RQ.sampledUniverse(Tables.events(s, dir), col("event_id"), 10, RQ.wirelessLinks)
         .orderBy("link")),
@@ -1270,6 +1276,7 @@ object SparkEntry {
     // the sampled results themselves are oracle-gated
     "wordcount_sampled_u10" -> wordCountSampledUSql(10),
     "wordcount_ladder_u" -> graft.RatioLadder.wordcountLadderUOracleSql,
+    "log_host_ladder_u" -> graft.RatioLadder.logHostLadderUOracleSql,
     "wireless_sampled_u10" -> wirelessSampledUSql(10),
     "text_quality_sampled_u10" -> TextAnalysis.qualityDistributionSampledUOracleSql(10),
     "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),
