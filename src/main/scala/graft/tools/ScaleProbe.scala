@@ -157,11 +157,12 @@ object ScaleProbe {
     "docs_substring_dedup" ->
       ("runs under familyConf (broadcast off + preferSortMergeJoin=false): " +
         "unforced, x8 broadcasts the dup-gram set while x32 goes " +
-        "sort-merge and the cross-plan ratio read 6.98 (StageCpu: x8 one " +
-        "219MB exchange vs x32 two corpus-sized exchanges + a 3.1GB merge " +
-        "stage, 11.4x stage CPU) — in the forced 100TB regime at both " +
-        "factors the ratio is 4.63 vs linear 4.0, and x32 runs FASTER " +
-        "than unforced (sorting the position stream was pure waste)"),
+        "sort-merge and the cross-plan ratio read 6.98 in r16 (StageCpu: " +
+        "x8 one 219MB exchange vs x32 two corpus-sized exchanges + a " +
+        "3.1GB merge stage, 11.4x stage CPU) — in the forced 100TB regime " +
+        "at both factors the r17 byte-exact-confirm chain reads 4.23 vs " +
+        "linear 4.0 (r16 pre-confirm: 4.63); the confirm's candidate " +
+        "collect + corpus join rides the same dup-mass scaling"),
     // extended-factor drift checks (VERDICT r15 item 7) — keyed by the
     // factor-suffixed merge-row name
     "dedup_minhash_pairs__x8_64" ->
@@ -172,6 +173,13 @@ object ScaleProbe {
         "harness term growing ~k^2, not the operator) + driver planning " +
         "(19.9->87.5s). The r15 attribution of the 6.93 x8/x32 reading " +
         "holds and strengthens at x64"),
+    "docs_substring_dedup__x8_64" ->
+      ("x8/x64 = 9.92 vs linear 8.0 bound 16.0 in the same forced-shuffle " +
+        "regime as the base row, confirm chain included; x64 trials were " +
+        "partially contended (3552->2509s CPU across the interleaved set, " +
+        "min carried) and pay the k-branch union deser term the " +
+        "dedup_minhash_pairs__x8_64 StageCpu run quantified (~k^2 harness " +
+        "cost, not operator work)"),
     "dedup_cosine_pairs__x8_64" ->
       ("x8/x64 = 12.91 vs linear 8.0 bound 16.0 under the same k-branch " +
         "union deser term the minhash row's StageCpu run quantifies; the " +
