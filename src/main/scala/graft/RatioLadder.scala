@@ -137,6 +137,12 @@ object RatioLadder {
     ladderU(events, e => RQ.clfHost(RQ.clfParsed(e)), "host",
       col("event_id"), "n_lines")
 
+  /** The third and last reference ladder family — `randCharCount.sh` ran
+    * the same protocol over character counts.
+    */
+  def charcountLadderU(docs: DataFrame): DataFrame =
+    ladderU(docs, RQ.charCount(_), "ch", col("doc_id"), "n_docs")
+
   /** The generic declared-ladder core shared by the families above: run
     * `query` (→ (key, cnt)) exact and at every [[DeclaredPcts]] rung under
     * UNIVERSE sampling of `unitId`, emitting the comparator's integer
@@ -204,6 +210,37 @@ object RatioLadder {
          |  FULL OUTER JOIN (
          |    SELECT word, cnt * ${UniverseSampled.scaleFor(pct)} AS est
          |    FROM (${wcFrom(keep)})) s USING (word)
+         |) d,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) nt,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_docs_kept
+         | FROM documents WHERE $keep) nk""".stripMargin
+    }
+    rungs.mkString("", "\nUNION ALL\n", "\nORDER BY pct DESC")
+  }
+
+  /** DuckDB replay of [[charcountLadderU]] — the `charcount` oracle's
+    * char-explode convention under the same rung arithmetic.
+    */
+  def charcountLadderUOracleSql: String = {
+    import graft.sampling.{Stats, UniverseSampled}
+    val ccFrom = (cond: String) =>
+      s"""SELECT ch, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(string_split(text, '')) AS ch
+         |      FROM documents WHERE ($cond))
+         |WHERE ch <> '' GROUP BY ch""".stripMargin
+    val rungs = DeclaredPcts.map { pct =>
+      val keep = UniverseSampled.keepSql("doc_id", pct)
+      s"""SELECT CAST($pct AS BIGINT) AS pct, d.sum_exact, d.sum_abs_diff,
+         |       (10000 * d.sum_abs_diff) // nullif(d.sum_exact, 0) AS data_error_bp,
+         |       nt.n_docs, nk.n_docs_kept,
+         |       ${Stats.errBoundSql("nt.n_docs", "nk.n_docs_kept", 0.95)} AS err_bound
+         |FROM (
+         |  SELECT CAST(sum(abs(coalesce(e.cnt, 0) - coalesce(s.est, 0))) AS BIGINT) AS sum_abs_diff,
+         |         CAST(sum(coalesce(e.cnt, 0)) AS BIGINT) AS sum_exact
+         |  FROM (${ccFrom("TRUE")}) e
+         |  FULL OUTER JOIN (
+         |    SELECT ch, cnt * ${UniverseSampled.scaleFor(pct)} AS est
+         |    FROM (${ccFrom(keep)})) s USING (ch)
          |) d,
          |(SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) nt,
          |(SELECT CAST(count(*) AS BIGINT) AS n_docs_kept

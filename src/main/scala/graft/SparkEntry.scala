@@ -117,6 +117,11 @@ object SparkEntry {
     "log_host_ladder_u" -> ((s, dir) =>
       graft.RatioLadder.logHostLadderU(Tables.events(s, dir))
         .orderBy(col("pct").desc)),
+    // charcount completes the reference's ladder trio (randCharCount.sh)
+    "charcount_ladder_u" -> ((s, dir) =>
+      graft.RatioLadder.charcountLadderU(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("pct").desc)),
     "wireless_sampled_u10" -> ((s, dir) =>
       RQ.sampledUniverse(Tables.events(s, dir), col("event_id"), 10, RQ.wirelessLinks)
         .orderBy("link")),
@@ -1277,6 +1282,7 @@ object SparkEntry {
     "wordcount_sampled_u10" -> wordCountSampledUSql(10),
     "wordcount_ladder_u" -> graft.RatioLadder.wordcountLadderUOracleSql,
     "log_host_ladder_u" -> graft.RatioLadder.logHostLadderUOracleSql,
+    "charcount_ladder_u" -> graft.RatioLadder.charcountLadderUOracleSql,
     "wireless_sampled_u10" -> wirelessSampledUSql(10),
     "text_quality_sampled_u10" -> TextAnalysis.qualityDistributionSampledUOracleSql(10),
     "text_tokens_sampled_u10" -> TextAnalysis.tokenTotalsSampledUOracleSql(10),
