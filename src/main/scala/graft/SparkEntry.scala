@@ -296,6 +296,14 @@ object SparkEntry {
     // is never re-scanned in the query path
     "docs_substring_incremental" -> ((s, dir) =>
       graft.dedup.SubstringDedup.summaryIncremental(s, dir).orderBy("doc_id")),
+    // the byte-exact ingest twin: any index hit must ALSO match the
+    // keeper's verbatim gram (located via the v2 index coordinates, one
+    // pruned base-text read) before cutting — the batch operator's
+    // confirm contract at ingest; the hash-only twin above stays the
+    // zero-base-IO path
+    "docs_substring_incremental_confirmed" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.summaryIncrementalConfirmed(s, dir)
+        .orderBy("doc_id")),
     // BATCH REPLAY of the streaming bloom excision: the SAME stateless
     // per-row form (gram hashes → bloom-probed cuts → in-row island fold)
     // over the batch delta frame, bits from the saved index — bloom false
@@ -1206,6 +1214,8 @@ object SparkEntry {
       graft.dedup.SubstringDedup.summarySampledUOracleSql(),
     "docs_substring_incremental" ->
       graft.dedup.SubstringDedup.summaryIncrementalOracleSql,
+    "docs_substring_incremental_confirmed" ->
+      graft.dedup.SubstringDedup.summaryIncrementalConfirmedOracleSql,
     "docs_substring_stream_replay" ->
       graft.dedup.SubstringDedup.summaryStreamReplayOracleSql,
     "dedup_incremental" -> graft.dedup.IncrementalDedup.matchesOracleSql,

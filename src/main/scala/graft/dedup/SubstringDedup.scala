@@ -57,11 +57,12 @@ import graft.functions.GramHashes
   * document are kept; and a hash collision can only MISS a cut (when a
   * colliding foreign gram wins the keeper-gram slot for that hash), never
   * excise real content — the confirm step compares every candidate's
-  * characters against the keeper's copy before cutting. The INCREMENTAL
-  * and BLOOM forms below keep the hash-only contract deliberately: the
-  * saved gram index stores hashes (adding keeper grams would grow it ~6×
-  * and confirming would re-scan base text, breaking the delta-only-ingest
-  * guarantee), and the bloom form is explicitly probabilistic (its false
+  * characters against the keeper's copy before cutting. At INGEST the
+  * contract is a declared choice: [[summaryIncremental]] keeps the
+  * hash-only form (zero base IO per delta batch), while
+  * [[summaryIncrementalConfirmed]] replays the batch confirm through the
+  * v2 index's keeper coordinates at the cost of one pruned base-text
+  * read. The BLOOM form stays explicitly probabilistic (its false
   * positives are the documented trade). The DuckDB oracle replays each
   * form's exact contract, confirm step included, so the gates are
   * bit-exact about all of this.
@@ -156,14 +157,25 @@ object SubstringDedup {
     * [[cleaned]] stitch-join shape) runs the compiled confirm kernel per
     * doc before the shared island merge.
     */
-  private def spansFromGrams(corpus: DataFrame, grams: DataFrame): DataFrame = {
-    val cands = positions(grams)
-      .join(dupGrams(corpus, grams), Seq("h"))
-      .filter(col("doc_id") > col("min_doc"))
+  private def spansFromGrams(corpus: DataFrame, grams: DataFrame): DataFrame =
+    confirmedSpans(corpus,
+      positions(grams)
+        .join(dupGrams(corpus, grams), Seq("h"))
+        .filter(col("doc_id") > col("min_doc"))
+        .select(col("doc_id"), col("pos"), col("kg")))
+
+  /** The shared CONFIRM core: candidates (doc_id, pos, kg) collapse to one
+    * sorted per-doc struct array, one corpus join (aggregate build side)
+    * runs the compiled verbatim compare, and the survivors feed the island
+    * merge. Used by the batch dup-set path and the confirmed incremental
+    * path.
+    */
+  private def confirmedSpans(corpus: DataFrame, cands: DataFrame): DataFrame = {
+    val perDoc = cands
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("kg")))).as("__cands"))
     val confirmed = corpus
-      .join(cands, Seq("doc_id")) // inner: no candidates, no spans
+      .join(perDoc, Seq("doc_id")) // inner: no candidates, no spans
       .select(
         col("doc_id"),
         explode(graft.functions.ConfirmCuts.confirmCuts(
@@ -244,9 +256,12 @@ object SubstringDedup {
   }
 
   /** Version tag of the gram-index derivation — bump on any change to
-    * the kernel constants or the index shape.
+    * the kernel constants or the index shape. v2 (r17): the index carries
+    * the keeper's COORDINATES (min_doc, min_pos) so the confirmed
+    * incremental path can locate the verbatim reference gram; +8
+    * bytes/row on a suffix-array-class artifact.
     */
-  val IndexVersion = "subidx_v1"
+  val IndexVersion = "subidx_v2"
 
   /** Build-once saved GRAM INDEX of the base corpus: one row per DISTINCT
     * base gram hash with its smallest carrier — the suffix-array-class
@@ -258,14 +273,17 @@ object SubstringDedup {
     * corpus is never re-scanned.
     */
   /** The gram index frame of a base corpus: one row per DISTINCT gram
-    * hash with its smallest carrier. Public for the probe's
-    * build-in-run path; the declared query reads the SAVED artifact.
+    * hash with its smallest carrier's coordinates (min_doc, min_pos) —
+    * the [[dupKeepers]] two-level aggregate without the ≥2 filter (an
+    * index covers every base gram). Public for the probe's build-in-run
+    * path; the declared queries read the SAVED artifact.
     */
   def gramIndex(base: DataFrame): DataFrame =
-    gramFrame(base)
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+    positions(gramFrame(base))
+      .groupBy("h", "doc_id").agg(min(col("pos")).as("mp"))
       .groupBy("h")
-      .agg(min(col("doc_id")).as("min_doc"))
+      .agg(min(struct(col("doc_id"), col("mp"))).as("__k"))
+      .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.mp").as("min_pos"))
 
   def ensureSavedGramIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     SavedArtifact.ensure(
@@ -302,6 +320,41 @@ object SubstringDedup {
     summaryIncrementalFrom(
       spark.read.parquet(ensureSavedGramIndex(spark, dir)),
       IncrementalDedup.deltaCorpus(graft.queries.Tables.documents(spark, dir)))
+
+  /** The CONFIRMED incremental form — the batch operator's byte-exact
+    * contract brought to ingest: delta candidates (any index hit) are cut
+    * only after the verbatim compare against the keeper's copy, located
+    * through the v2 index's (min_doc, min_pos) coordinates. The price vs
+    * the hash-only twin is ONE column-pruned base-text read filtered to
+    * the matched keepers (the index semi-joins down to hashes the delta
+    * actually carries first, so unmatched base docs contribute no keeper
+    * rows and — with the keeper set broadcast — base text never
+    * shuffles); the hash-only [[summaryIncremental]] remains the
+    * zero-base-IO path, both declared.
+    */
+  def summaryIncrementalConfirmedFrom(
+      index: DataFrame, base: DataFrame, delta: DataFrame): DataFrame = {
+    val grams = gramFrame(delta)
+    val deltaHs = grams
+      .select(explode(array_distinct(col("hs"))).as("h")).distinct()
+    val kgFrame = index.join(deltaHs, Seq("h"))
+      .join(base.select(col("doc_id").as("min_doc"), col("text")), Seq("min_doc"))
+      .select(col("h"),
+        expr(s"substring(text, CAST(min_pos AS INT), $GramLen)").as("kg"))
+    val cands = positions(grams)
+      .join(kgFrame, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("kg"))
+    summarize(grams, confirmedSpans(delta.select("doc_id", "text"), cands))
+  }
+
+  def summaryIncrementalConfirmed(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.queries.Tables.documents(spark, dir)
+    summaryIncrementalConfirmedFrom(
+      spark.read.parquet(ensureSavedGramIndex(spark, dir)),
+      IncrementalDedup.baseCorpus(docs),
+      IncrementalDedup.deltaCorpus(docs))
+  }
 
   /** Bloom bit table over the saved gram index — the STREAMING-shape
     * artifact: the full index is corpus-sized (join-only territory), but
@@ -562,6 +615,43 @@ object SubstringDedup {
        |FROM d c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
        |ORDER BY c.doc_id""".stripMargin
   }
+
+  /** DuckDB replay of [[summaryIncrementalConfirmed]]: the v2 index
+    * recomputed from its derivation (keeper coordinates via the same
+    * min/arg_min chain), keeper grams extracted from base text, delta
+    * cuts kept only where the verbatim compare holds.
+    */
+  def summaryIncrementalConfirmedOracleSql: String =
+    s"""WITH aug AS (${DedupCorpus.augmentSql}),
+       |b AS (${IncrementalDedup.baseSql}),
+       |d AS (${IncrementalDedup.deltaSql}),
+       |${positionsCteSql("b", "gb")},
+       |${positionsCteSql("d", "gd")},
+       |g1b AS (
+       |  SELECT h, doc_id, min(pos) AS mp FROM gb GROUP BY h, doc_id),
+       |idxk AS (
+       |  SELECT h, min(doc_id) AS min_doc, arg_min(mp, doc_id) AS min_pos
+       |  FROM g1b GROUP BY h),
+       |kgr AS (
+       |  SELECT k.h, substr(c.text, CAST(k.min_pos AS INT), $GramLen) AS kgram
+       |  FROM idxk k JOIN b c ON c.doc_id = k.min_doc),
+       |cut AS (
+       |  SELECT gd.doc_id, CAST(gd.pos AS BIGINT) AS pos
+       |  FROM gd
+       |  JOIN kgr ON gd.h = kgr.h
+       |  JOIN d c2 ON c2.doc_id = gd.doc_id
+       |  WHERE substr(c2.text, CAST(gd.pos AS INT), $GramLen) = kgr.kgram),
+       |${islandsCtesSql("cut")},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS cut_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.cut_chars, 0) AS cut_chars,
+       |       CAST(length(c.text) AS BIGINT) - coalesce(p.cut_chars, 0) AS kept_chars
+       |FROM d c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   /** DuckDB replay of [[summaryIncremental]]: the saved index recomputed
     * from its derivation (deterministic — the ensureSavedSignatures

@@ -145,6 +145,10 @@ object ScaleProbe {
     "docs_substring_incremental" -> Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "false"),
+    "docs_substring_incremental_confirmed" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.join.preferSortMergeJoin" -> "false"))
 
   /** Stage-attribution notes carried into the artifact cell (VERDICT r13
@@ -512,6 +516,15 @@ object ScaleProbe {
         val full = DedupCorpus.augment(explodeDocs(docs0, k))
         graft.dedup.SubstringDedup.summaryIncrementalFrom(
           graft.dedup.SubstringDedup.gramIndex(full.filter(isBaseSnapshot)),
+          full.filter(!isBaseSnapshot))
+      }),
+      // the byte-exact ingest twin (r17): same cycle plus the keeper-gram
+      // extraction (pruned base-text read) and the confirm kernel
+      "docs_substring_incremental_confirmed" -> (k => {
+        val full = DedupCorpus.augment(explodeDocs(docs0, k))
+        val base = full.filter(isBaseSnapshot)
+        graft.dedup.SubstringDedup.summaryIncrementalConfirmedFrom(
+          graft.dedup.SubstringDedup.gramIndex(base), base,
           full.filter(!isBaseSnapshot))
       }),
       // the full composed production chain with the substring stage (r17):

@@ -263,6 +263,31 @@ class SubstringDedupSpec extends SparkSpec {
     assert(inc.count() > 0)
   }
 
+  test("confirmed incremental: an index-hash collision cuts in the hash-only " +
+    "twin but not in the confirmed one; true repeats cut in both") {
+    val base = Seq(
+      (50L, filler(100, 73) + "q" + CollA + "q" + filler(101, 48)))
+      .toDF("doc_id", "text")
+    val idx = SubstringDedup.gramIndex(base)
+    val pre2 = filler(104, 59) + "z"
+    val delta = Seq(
+      (3L, filler(102, 61) + "x" + CollB + "x" + filler(103, 44)), // collider
+      (7L, pre2 + CollA + "z" + filler(105, 51)) // true repeat of the base gram
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq // (id, n_spans, cut)
+    // hash-only: BOTH delta docs cut (the collider falsely)
+    assert(rows(SubstringDedup.summaryIncrementalFrom(idx, delta)) ===
+      Seq((3L, 1L, 40L), (7L, 1L, 40L)))
+    // confirmed: only the true repeat is cut
+    assert(rows(SubstringDedup.summaryIncrementalConfirmedFrom(idx, base, delta)) ===
+      Seq((3L, 0L, 0L), (7L, 1L, 40L)))
+    // and the v2 index carries usable keeper coordinates
+    val k = idx.filter(org.apache.spark.sql.functions.col("min_pos").isNull).count()
+    assert(k === 0L)
+  }
+
   test("streaming bloom form: stream == batch across micro-batches, and " +
     "per-doc kept_chars never exceeds the exact incremental path's (no false negatives)") {
     assumeTestdata(sf001)

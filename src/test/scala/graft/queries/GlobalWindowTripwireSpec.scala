@@ -24,8 +24,10 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     * by partition count, not data size).
     */
   private val DocumentedGlobalWindows: Set[String] = Set(
-    // TokenBudget.select prefix sum over per-bucket offsets
+    // TokenBudget.select prefix sum over per-bucket offsets (the _bpe
+    // twin rides the same selectWith core with the BPE tok column)
     "docs_token_budget", "docs_token_budget_sampled_u10",
+    "docs_token_budget_bpe",
     // SequencePacking pack assignment rides the same offset frame
     "docs_packed", "docs_pack_fill", "docs_pack_boundaries",
     "docs_packed_mixture",
