@@ -55,7 +55,9 @@ class ScaleProbePartsSpec extends AnyFunSuite {
         // sort-merge between factors unforced (StageCpu-attributed); the
         // probe runs its 100 TB regime at every factor, and the
         // incremental ingest shares the join shape
-        "docs_substring_dedup", "docs_substring_incremental"))
+        "docs_substring_dedup", "docs_substring_incremental",
+        // r17: the confirmed ingest twin shares the position⋈index shape
+        "docs_substring_incremental_confirmed"))
     // and the shuffle family must disable BOTH thresholds (AQE re-converts
     // to broadcast at stage materialization if only the static one is off)
     val conf = ScaleProbe.familyConf("tpch_revenue_monthly_sampled_shuffle").toMap
