@@ -503,6 +503,10 @@ object SparkEntry {
     // BPE budgets provably differ on the fixture, spec-pinned)
     "docs_token_budget_bpe" -> ((s, dir) =>
       graft.text.BpeVocab.tokenBudgetBpe(s, dir).orderBy("doc_id")),
+    // sequence packing on real tokenizer counts — the ~2k pack budget
+    // means model tokens, not whitespace words
+    "docs_packed_bpe" -> ((s, dir) =>
+      graft.text.BpeVocab.packsBpe(s, dir).orderBy("doc_id")),
     // Count-Min sketch heavy hitters: d·w-bounded aggregation state per
     // partition (vs vocabulary-sized exact counting), merge-order-invariant
     // counters → the sketch family's first fully oracle-gated member
@@ -1259,6 +1263,7 @@ object SparkEntry {
     "bpe_token_counts" -> graft.text.BpeVocab.tokenCountsOracleSql(),
     "docs_bpe_tokens" -> graft.text.BpeVocab.perDocTokensOracleSql(),
     "docs_token_budget_bpe" -> graft.text.BpeVocab.tokenBudgetBpeOracleSql(),
+    "docs_packed_bpe" -> graft.text.BpeVocab.packsBpeOracleSql(),
     "text_heavy_hitters_cm" -> graft.sampling.CountMin.heavyHittersOracleSql(),
     "text_pii" -> graft.text.PiiScrub.OracleSql,
     "text_repetition" -> TextAnalysis.repetitionSignalsOracleSql,

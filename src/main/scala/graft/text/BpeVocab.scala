@@ -256,6 +256,20 @@ object BpeVocab {
       col("bpe_tok"), num, den)
   }
 
+  /** Sequence packing on REAL tokenizer counts (the [[tokenBudgetBpe]]
+    * companion): the same deterministic hash-order concat-and-chunk
+    * layout, pack budgets in model tokens.
+    */
+  def packsBpe(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      packTokens: Long = SequencePacking.PackTokens): DataFrame = {
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val ms = loadMerges(spark, ensureSavedMerges(spark, dir))
+    SequencePacking.packsWith(
+      docs.join(perDocTokens(docs, ms), Seq("doc_id")),
+      col("bpe_tok"), packTokens)
+  }
+
   // ---- DuckDB oracle generation (same constants, same recurrence) ----
 
   /** The unrolled CTE chain: wc → w0 → (p_i, b_i, w_i) × [[Rounds]],
@@ -345,5 +359,18 @@ object BpeVocab {
        |lim AS (SELECT CAST(sum(tok) * $num // $den AS BIGINT) AS budget FROM tb)
        |SELECT doc_id, tok, cum FROM c, lim
        |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+  }
+
+  def packsBpeOracleSql(packTokens: Long = SequencePacking.PackTokens): String = {
+    import graft.sampling.TokenBudget
+    s"""WITH ${learnCtes("documents")},
+       |${perDocCtes("documents")},
+       |bd AS (
+       |  SELECT d.doc_id, coalesce(dt.bpe_tok, 0) AS btok
+       |  FROM documents d LEFT JOIN dt USING (doc_id)),
+       |${TokenBudget.cumCteSql(TokenBudget.Buckets, from = "bd", tokSql = "btok")}
+       |SELECT doc_id, tok, cum,
+       |       CAST((cum - tok) // $packTokens AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 }

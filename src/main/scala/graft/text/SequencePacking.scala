@@ -33,9 +33,22 @@ object SequencePacking {
   def packs(
       docs: DataFrame,
       packTokens: Long = PackTokens,
+      buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame =
+    packsWith(docs, graft.sampling.TokenBudget.tokOfText, packTokens, buckets)
+
+  /** [[packs]] under an ARBITRARY per-row token column — the
+    * [[graft.sampling.TokenBudget.selectWith]] seam applied to layout:
+    * [[graft.text.BpeVocab.packsBpe]] packs on REAL tokenizer counts so
+    * the ~2k-token budget means model tokens, not whitespace words.
+    */
+  def packsWith(
+      docs: DataFrame,
+      tok: org.apache.spark.sql.Column,
+      packTokens: Long = PackTokens,
       buckets: Int = graft.sampling.TokenBudget.Buckets): DataFrame = {
     require(packTokens > 0, s"packTokens must be positive, got $packTokens")
-    val (_, cum) = graft.sampling.TokenBudget.withCum(docs, buckets)
+    val (_, cum) = graft.sampling.TokenBudget.withCumKeyed(
+      docs, buckets, Seq("doc_id"), col("doc_id").cast("string"), tok = tok)
     cum
       .withColumn("pack_id", expr(s"(cum - tok) DIV $packTokens"))
       .select(col("doc_id"), col("tok"), col("cum"), col("pack_id"))

@@ -27,7 +27,7 @@ class GlobalWindowTripwireSpec extends SparkSpec {
     // TokenBudget.select prefix sum over per-bucket offsets (the _bpe
     // twin rides the same selectWith core with the BPE tok column)
     "docs_token_budget", "docs_token_budget_sampled_u10",
-    "docs_token_budget_bpe",
+    "docs_token_budget_bpe", "docs_packed_bpe",
     // SequencePacking pack assignment rides the same offset frame
     "docs_packed", "docs_pack_fill", "docs_pack_boundaries",
     "docs_packed_mixture",
