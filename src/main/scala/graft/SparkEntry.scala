@@ -894,6 +894,21 @@ object SparkEntry {
     "events_sessions_stream_replay" -> ((s, dir) =>
       graft.streaming.StreamingSessionize.sessionsBatchReplay(s, Tables.events(s, dir))
         .orderBy("user_id", "session_id")),
+    // STREAM-STREAM windowed attribution (r17): the two-live-streams join
+    // shape the streaming surface lacked — clicks ⋈ purchases per user
+    // within a 4 h window, both sides watermarked, the range bound in the
+    // join condition so state stays (delay + window)-bounded. The batch
+    // replay runs the IDENTICAL pairs() plan (watermarks inert in batch);
+    // StreamingAttributionSpec pins triggered ≡ batch and late-input drop
+    "events_attribution_stream_replay" -> ((s, dir) =>
+      graft.streaming.StreamingAttribution.pairsBatchReplay(Tables.events(s, dir))
+        .orderBy("purchase_id", "click_id")),
+    // last-touch attribution over the pair table: one map-side-combining
+    // min(struct(gap, click)) argmax per purchase — no per-user ordered
+    // window scan at any history length
+    "events_attribution_last_touch" -> ((s, dir) =>
+      graft.streaming.StreamingAttribution.lastTouch(Tables.events(s, dir))
+        .orderBy("purchase_id")),
     "events_topk_group" -> ((s, dir) =>
       graft.operators.GroupTopK.topK(Tables.events(s, dir))
         .orderBy("event_type", "rn")),
@@ -1450,6 +1465,10 @@ object SparkEntry {
     // the replay emits exactly the batch operator's session set (sentinels
     // close the finals; sentinel sessions stay open and unemitted)
     "events_sessions_stream_replay" -> graft.operators.Sessionize.sessionsOracleSql(),
+    "events_attribution_stream_replay" ->
+      graft.streaming.StreamingAttribution.pairsOracleSql,
+    "events_attribution_last_touch" ->
+      graft.streaming.StreamingAttribution.lastTouchOracleSql,
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,

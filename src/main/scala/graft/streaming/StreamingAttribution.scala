@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream windowed event attribution — the one Structured
+  * Streaming join shape the engine's streaming surface lacked: two LIVE
+  * streams (clicks, purchases) joined on user with an event-time range
+  * condition, the canonical "attribute each purchase to the clicks that
+  * preceded it within the attribution window" pipeline.
+  *
+  * Semantics: a (click, purchase) pair is emitted iff they share a user
+  * and `0 < purchase_ts − click_ts ≤ [[WindowUs]]` (strictly after the
+  * click — the [[graft.operators.SequenceFunnel]] strictness convention —
+  * and at most the window later). Gaps are integer epoch micros, so every
+  * output value replays bit-for-bit in the DuckDB oracle.
+  *
+  * Streaming contract: BOTH sides carry a [[WatermarkDelay]] watermark and
+  * the range condition bounds each side's event time by the other's, so
+  * Spark evicts click state older than `purchaseWatermark − window` and
+  * purchase state older than `clickWatermark` — per-user state is bounded
+  * by (delay + window) of activity regardless of stream length. Inner
+  * joins emit pairs as soon as both sides arrive (no watermark wait on
+  * the EMIT path), so the triggered output equals the batch join — pinned
+  * by StreamingAttributionSpec across out-of-order micro-batches, and by
+  * the late-click case: a click arriving after the purchase watermark
+  * passed its window can no longer match (state already evicted).
+  *
+  * Scale design (100 TB): one ONE-pipeline definition ([[pairs]]) serves
+  * the triggered query AND the batch replay (`withWatermark` is a no-op
+  * on a batch frame), so the declared gate exercises the exact streaming
+  * plan. Both sides shuffle once on `user_id` (the stream-stream join's
+  * state key); event-type filters sit in the scans (pushed to parquet in
+  * the batch replay). Output is bounded by per-user click rate × window —
+  * the self-join never goes quadratic in a user's history because the
+  * range condition is part of the JOIN predicate, not a post-filter.
+  */
+object StreamingAttribution {
+
+  /** Attribution window: 4 hours, in epoch micros. */
+  val WindowUs: Long = 4L * 3600L * 1000000L
+
+  /** Allowed out-of-orderness on both streams. */
+  val WatermarkDelay: String = "30 minutes"
+
+  /** The click side: (cuser, click_id, click_ts). The user key is renamed
+    * so the join condition never touches two same-name attributes of one
+    * parent frame (no ambiguous-self-join resolution in the batch replay).
+    */
+  def clicksOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("cuser"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+
+  /** The purchase side: (user_id, purchase_id, purchase_ts). */
+  def purchasesOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+
+  /** The shared pair join — works unchanged on two streaming frames and
+    * on two batch frames: watermarks are applied HERE (no-ops in batch)
+    * and the time-range bound lives in the join condition (required for
+    * streaming state cleanup; also what keeps the batch self-join from
+    * pairing a user's full history quadratically).
+    *
+    * The bound is spelled `purchase_ts <= click_ts + INTERVAL 4 HOURS` —
+    * the timestamp±interval shape Spark's StreamingJoinHelper parses into
+    * state-eviction watermarks; an arithmetically equal `unix_micros`
+    * difference would run but keep join state FOREVER (no derivable
+    * bound). Timestamps are micro-precision, so the interval form and the
+    * oracle's epoch-micros subtraction agree exactly.
+    *
+    * Output: (click_id, purchase_id, user_id, gap_us), gap in (0, window].
+    */
+  def pairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", WatermarkDelay)
+    val p = purchases.withWatermark("purchase_ts", WatermarkDelay)
+    c.join(
+        p,
+        col("cuser") === col("user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <=
+            col("click_ts") + expr(s"INTERVAL ${WindowUs / 1000000L} SECONDS"))
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Batch replay of the streaming pipeline over one events frame — the
+    * identical [[pairs]] plan (watermarks inert), declared and gated as
+    * `events_attribution_stream_replay`.
+    */
+  def pairsBatchReplay(events: DataFrame): DataFrame =
+    pairs(clicksOf(events), purchasesOf(events))
+
+  /** LAST-TOUCH attribution: for every purchase, the single most recent
+    * in-window click (smallest gap; ties — two clicks on the same
+    * microsecond — break to the smaller click_id) plus the total number
+    * of in-window clicks. One map-side-combining `min(struct(gap_us,
+    * click_id))` argmax over the pair table — no per-user ordered window
+    * scan; the aggregate state is one struct per purchase.
+    */
+  def lastTouch(events: DataFrame): DataFrame =
+    pairsBatchReplay(events)
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(
+        min(struct(col("gap_us"), col("click_id"))).as("__w"),
+        count(lit(1)).as("n_clicks"))
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        col("__w.click_id").as("click_id"),
+        col("__w.gap_us").as("gap_us"),
+        col("n_clicks"))
+
+  /** Pair CTE shared by both oracle spellings. */
+  private def pairsCte: String =
+    s"""WITH c AS (
+       |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+       |  FROM events WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+       |  FROM events WHERE event_type = 'purchase'
+       |), pairs AS (
+       |  SELECT c.click_id, p.purchase_id, p.user_id, p.pts - c.cts AS gap_us
+       |  FROM c JOIN p ON c.user_id = p.user_id
+       |   AND p.pts > c.cts AND p.pts - c.cts <= CAST($WindowUs AS BIGINT)
+       |)""".stripMargin
+
+  def pairsOracleSql: String =
+    s"""$pairsCte
+       |SELECT click_id, purchase_id, user_id, gap_us FROM pairs
+       |ORDER BY purchase_id, click_id""".stripMargin
+
+  def lastTouchOracleSql: String =
+    s"""$pairsCte
+       |SELECT purchase_id, user_id, click_id, gap_us, n_clicks FROM (
+       |  SELECT purchase_id, user_id, click_id, gap_us,
+       |         count(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+       |         row_number() OVER (
+       |           PARTITION BY purchase_id ORDER BY gap_us, click_id) AS rn
+       |  FROM pairs
+       |) WHERE rn = 1
+       |ORDER BY purchase_id""".stripMargin
+}
