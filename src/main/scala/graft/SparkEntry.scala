@@ -935,6 +935,13 @@ object SparkEntry {
     "docs_decontaminated" -> ((s, dir) =>
       graft.text.Decontaminate.clean(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // quantified contamination: per-doc shared-gram counts + basis-point
+    // dirtiness (the threshold-picking report BEFORE the binary drop) —
+    // same broadcast probe, two partial-agg'd aggregates, text never
+    // shuffles
+    "docs_contamination_report" -> ((s, dir) =>
+      graft.text.Decontaminate.overlapReport(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1476,6 +1483,8 @@ object SparkEntry {
       graft.operators.ZOrder.zHistogramLineitemOracleSql(),
     "events_rolling" -> graft.operators.RollingWindow.eventsRollingOracleSql(),
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
+    "docs_contamination_report" ->
+      graft.text.Decontaminate.overlapReportOracleSql(),
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

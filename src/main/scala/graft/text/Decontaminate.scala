@@ -307,6 +307,84 @@ object Decontaminate {
     * inclusive 1-based k-slice, `range(1, len(w)-k+2)` is empty for docs
     * shorter than k words).
     */
+  /** Per-document contamination OVERLAP report — the quantified form of
+    * [[clean]]'s binary verdict (the GPT-3 App. C "dirtiness" measurement):
+    * for every training doc, how many of its distinct `k`-gram hashes
+    * appear in the benchmark set, as exact integers plus a basis-point
+    * fraction (`n_shared·10⁴ div n_grams`; docs with < k words report
+    * 0/0/0). A curation team reads this to pick the drop threshold BEFORE
+    * committing to [[clean]]'s drop-on-any-overlap rule.
+    *
+    * Scale shape: same broadcast probe as [[clean]] — the corpus-side
+    * distinct (doc, gram) collapse is one partial-agg'd aggregate, the
+    * benchmark set rides broadcast with a hit flag, and the per-doc
+    * roll-up is a second partial-agg'd aggregate; text never shuffles.
+    * Output: (doc_id, n_grams, n_shared, dirt_bp), one row per corpus doc.
+    */
+  def overlapReport(docs: DataFrame, benchEvery: Long = BenchEvery, k: Int = GramK): DataFrame = {
+    val bench = docs.filter(col("doc_id") % benchEvery === 0)
+    val corpus = docs.filter(col("doc_id") % benchEvery =!= 0)
+    val benchGrams = Hashing.explodeShingles(bench, k)
+      .select(Hashing.hash60(col("shingle")).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val perDoc = Hashing.explodeShingles(corpus, k)
+      .select(col("doc_id"), Hashing.hash60(col("shingle")).as("g"))
+      .distinct()
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dirt_bp",
+        expr("CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_shared * 10000 DIV n_grams END"))
+  }
+
+  def overlapReportOracleSql(benchEvery: Long = BenchEvery, k: Int = GramK): String =
+    s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % $benchEvery = 0),
+       |corpus AS (SELECT * FROM documents WHERE doc_id % $benchEvery <> 0),
+       |bg AS (
+       |  SELECT DISTINCT ${Hashing.hash60Sql("shingle")} AS g
+       |  FROM (
+       |    SELECT unnest([array_to_string(w[i:i+${k - 1}], ' ')
+       |                   for i in range(1, len(w) - ${k - 2})]) AS shingle
+       |    FROM (SELECT regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |          FROM bench)
+       |  )
+       |),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, ${Hashing.hash60Sql("shingle")} AS g
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest([array_to_string(w[i:i+${k - 1}], ' ')
+       |                   for i in range(1, len(w) - ${k - 2})]) AS shingle
+       |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS w
+       |          FROM corpus)
+       |  )
+       |),
+       |per AS (
+       |  SELECT cg.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_shared
+       |  FROM cg LEFT JOIN bg USING (g)
+       |  GROUP BY cg.doc_id
+       |)
+       |SELECT c.doc_id,
+       |       coalesce(n_grams, 0) AS n_grams,
+       |       coalesce(n_shared, 0) AS n_shared,
+       |       CASE WHEN coalesce(n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE coalesce(n_shared, 0) * 10000 // n_grams END AS dirt_bp
+       |FROM corpus c LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def cleanOracleSql(benchEvery: Long = BenchEvery, k: Int = GramK): String =
     s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % $benchEvery = 0),
        |corpus AS (SELECT * FROM documents WHERE doc_id % $benchEvery <> 0),

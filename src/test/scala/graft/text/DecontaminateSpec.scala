@@ -147,4 +147,35 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept === Set(60L, 61L),
       s"star members leaked past cluster decontamination: ${kept -- Set(60L, 61L)}")
   }
+
+  test("overlap report matches a brute-force per-doc gram intersection") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val benchGrams = docs
+      .filter(_._1 % Decontaminate.BenchEvery == 0)
+      .flatMap(d => grams(d._2)).toSet
+    val expected = docs
+      .filter(_._1 % Decontaminate.BenchEvery != 0)
+      .map { case (id, text) =>
+        val g = grams(text)
+        val shared = g.intersect(benchGrams).size.toLong
+        val dirt = if (g.isEmpty) 0L else shared * 10000L / g.size
+        (id, g.size.toLong, shared, dirt)
+      }
+      .sortBy(_._1)
+    val got = Decontaminate.overlapReport(Tables.documents(spark, sf001))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // fixture exercises both clean and dirty docs, and the report agrees
+    // with the binary cleaner: clean == zero shared grams
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
+    val cleanIds = Decontaminate.clean(Tables.documents(spark, sf001))
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, _, shared, _) =>
+      assert(cleanIds(id) == (shared == 0L),
+        s"report/clean disagree on doc $id (n_shared=$shared)")
+    }
+  }
 }
