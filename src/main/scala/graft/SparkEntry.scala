@@ -942,6 +942,20 @@ object SparkEntry {
     "docs_contamination_report" -> ((s, dir) =>
       graft.text.Decontaminate.overlapReport(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // inverted-index retrieval (r17): conjunctive keyword search against
+    // the SAVED bucket-partitioned posting artifact — the query's bucket
+    // IN-list prunes the scan to ≤ |terms| of 64 directories at plan time
+    // (PartitionFilters, spec-pinned); the oracle recomputes the
+    // deterministic index content from the corpus, so the saved path
+    // itself gates (the incremental-dedup artifact discipline)
+    "docs_search_and" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchAnd(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
+    // index observability: per-bucket term/posting/tf mass off the same
+    // saved artifact (bucket-balance check before shipping an index)
+    "docs_search_index_stats" -> ((s, dir) =>
+      graft.text.InvertedIndex.bucketStats(s, Tables.documents(s, dir), dir)
+        .orderBy("b")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1485,6 +1499,8 @@ object SparkEntry {
     "docs_decontaminated" -> graft.text.Decontaminate.cleanOracleSql(),
     "docs_contamination_report" ->
       graft.text.Decontaminate.overlapReportOracleSql(),
+    "docs_search_and" -> graft.text.InvertedIndex.searchOracleSql(),
+    "docs_search_index_stats" -> graft.text.InvertedIndex.bucketStatsOracleSql,
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** [[InvertedIndex]]: search correctness vs a brute-force tokenization,
+  * driver/plan bucket-derivation lockstep, saved-artifact reuse, and the
+  * partition-pruned scan the 100 TB story rests on.
+  */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def docsOf = Tables.documents(spark, sf001)
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+", -1).toSeq.filter(_.nonEmpty)
+
+  test("conjunctive search equals brute force, tf mass included") {
+    val docs = docsOf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = InvertedIndex.QueryTerms.distinct
+    val expected = docs.flatMap { case (id, text) =>
+      val tf = tokens(text).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      if (terms.forall(tf.contains)) Some((id, terms.map(tf).sum)) else None
+    }.sortBy(_._1)
+    val got = InvertedIndex.searchAnd(spark, docsOf, sf001)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "fixture search came back empty")
+    // and the conjunction is genuinely selective (not a full-corpus echo)
+    assert(got.length < docs.length / 2)
+  }
+
+  test("driver-side bucketOf is lockstep with the plan's hash60 bucket over the live vocabulary") {
+    val vocab = InvertedIndex.postings(docsOf)
+      .select(col("term"), col("b")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(vocab.nonEmpty)
+    vocab.foreach { case (term, b) =>
+      assert(InvertedIndex.bucketOf(term) == b,
+        s"driver/plan bucket drift for term '$term'")
+    }
+  }
+
+  test("saved index: built once, reused, and the search scan prunes to the query buckets") {
+    val p1 = InvertedIndex.ensureSavedIndex(spark, docsOf, sf001)
+    val stamp = new java.io.File(s"$p1/_SUCCESS").lastModified()
+    val p2 = InvertedIndex.ensureSavedIndex(spark, docsOf, sf001)
+    assert(p1 == p2)
+    assert(new java.io.File(s"$p2/_SUCCESS").lastModified() == stamp,
+      "second ensure rebuilt the artifact")
+    assert(new java.io.File(p1).listFiles().exists(_.getName.startsWith("b=")),
+      "index is not bucket-partitioned on disk")
+
+    val q = InvertedIndex.searchAnd(spark, docsOf, sf001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("b#") || scanLine.contains("(b"),
+      s"no bucket partition filter in scan: $scanLine")
+  }
+
+  test("bucket stats roll up exactly from the postings frame") {
+    val direct = InvertedIndex.postings(docsOf)
+      .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
+      .groupBy("b").agg(
+        count(lit(1)).as("n_terms"),
+        sum("df").as("n_postings"),
+        sum("tft").as("tf_total"))
+      .orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaIndex = InvertedIndex.bucketStats(spark, docsOf, sf001)
+      .orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaIndex.toSeq == direct.toSeq)
+    // postings conserve the corpus token count (empty tokens excluded)
+    val tokenMass = viaIndex.map(_._4).sum
+    val directMass = docsOf.select(col("text")).collect()
+      .map(r => tokens(r.getString(0)).size.toLong).sum
+    assert(tokenMass == directMass)
+  }
+}
