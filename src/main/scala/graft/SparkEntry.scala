@@ -956,6 +956,11 @@ object SparkEntry {
     "docs_search_index_stats" -> ((s, dir) =>
       graft.text.InvertedIndex.bucketStats(s, Tables.documents(s, dir), dir)
         .orderBy("b")),
+    // ranked OR search: integer tf-idf prominence (tf·10⁶ div df) over the
+    // pruned buckets, top-20 as TakeOrderedAndProject (plan-pinned — no
+    // global sort at any corpus size)
+    "docs_search_ranked" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchRanked(s, Tables.documents(s, dir), dir)),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1501,6 +1506,7 @@ object SparkEntry {
       graft.text.Decontaminate.overlapReportOracleSql(),
     "docs_search_and" -> graft.text.InvertedIndex.searchOracleSql(),
     "docs_search_index_stats" -> graft.text.InvertedIndex.bucketStatsOracleSql,
+    "docs_search_ranked" -> graft.text.InvertedIndex.rankedOracleSql(),
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

@@ -117,6 +117,36 @@ object InvertedIndex {
         sum(col("df")).as("n_postings"),
         sum(col("tf_t")).as("tf_total"))
 
+  /** Ranked DISJUNCTIVE (OR) search: documents matching ANY query term,
+    * scored by the [[TfIdf]] integer prominence convention
+    * (`Σ tf·10⁶ div df` over matched terms — rarer terms weigh more, no
+    * float log in an oracle path), top [[RankK]] by (score desc, doc_id).
+    *
+    * Scale shape: the same ≤ |terms| pruned bucket scan; the per-term df
+    * table is an aggregate over ONLY the matched postings (broadcast back,
+    * |terms| rows); ranking compiles to TakeOrderedAndProject — every
+    * partition keeps k rows, no global sort (spec-pinned).
+    */
+  val RankK = 20
+
+  def searchRanked(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val uniq = terms.distinct
+    val idx = spark.read.parquet(ensureSavedIndex(spark, docs, dir))
+    val matched = idx
+      .filter(col("b").isin(uniq.map(bucketOf): _*) && col("term").isin(uniq: _*))
+    val dfTable = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    matched
+      .join(broadcast(dfTable), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * 1000000 DIV df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(RankK)
+  }
+
   /** Posting CTE shared by both oracle spellings — recomputes the
     * deterministic index content directly from the documents table (the
     * artifact is a pure function of it).
@@ -140,6 +170,20 @@ object InvertedIndex {
        |FROM post WHERE term IN ($inList)
        |GROUP BY doc_id HAVING count(*) = ${uniq.size}
        |ORDER BY doc_id""".stripMargin
+  }
+
+  def rankedOracleSql(terms: Seq[String] = QueryTerms): String = {
+    val uniq = terms.distinct
+    val inList = uniq.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""$postCte,
+       |matched AS (SELECT * FROM post WHERE term IN ($inList)),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM matched GROUP BY term)
+       |SELECT doc_id, CAST(sum(tf * 1000000 // df) AS BIGINT) AS score
+       |FROM matched JOIN dfs USING (term)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $RankK""".stripMargin
   }
 
   def bucketStatsOracleSql: String =

@@ -61,6 +61,30 @@ class InvertedIndexSpec extends SparkSpec {
       s"no bucket partition filter in scan: $scanLine")
   }
 
+  test("ranked OR search equals brute-force integer tf-idf, and ranks without a global sort") {
+    val docs = docsOf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = InvertedIndex.QueryTerms.distinct
+    val tfByDoc = docs.map { case (id, text) =>
+      id -> tokens(text).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    }
+    val dfs = terms.map(t => t -> tfByDoc.count(_._2.contains(t)).toLong).toMap
+    val expected = tfByDoc
+      .flatMap { case (id, tf) =>
+        val matched = terms.filter(tf.contains)
+        if (matched.isEmpty) None
+        else Some((id, matched.map(t => tf(t) * 1000000L / dfs(t)).sum))
+      }
+      .sortBy { case (id, score) => (-score, id) }
+      .take(InvertedIndex.RankK)
+    val q = InvertedIndex.searchRanked(spark, docsOf, sf001)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("bucket stats roll up exactly from the postings frame") {
     val direct = InvertedIndex.postings(docsOf)
       .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
