@@ -909,6 +909,12 @@ object SparkEntry {
     "events_attribution_last_touch" -> ((s, dir) =>
       graft.streaming.StreamingAttribution.lastTouch(Tables.events(s, dir))
         .orderBy("purchase_id")),
+    // ORGANIC purchases (no in-window click): the batch LEFT-ANTI spelling
+    // of the streaming LEFT-OUTER join's null rows — spec pins anti ≡
+    // outer-nulls ≡ the triggered stream's watermark-released rows
+    "events_attribution_organic" -> ((s, dir) =>
+      graft.streaming.StreamingAttribution.organic(Tables.events(s, dir))
+        .orderBy("purchase_id")),
     "events_topk_group" -> ((s, dir) =>
       graft.operators.GroupTopK.topK(Tables.events(s, dir))
         .orderBy("event_type", "rn")),
@@ -1495,6 +1501,8 @@ object SparkEntry {
       graft.streaming.StreamingAttribution.pairsOracleSql,
     "events_attribution_last_touch" ->
       graft.streaming.StreamingAttribution.lastTouchOracleSql,
+    "events_attribution_organic" ->
+      graft.streaming.StreamingAttribution.organicOracleSql,
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,

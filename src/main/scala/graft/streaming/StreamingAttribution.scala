@@ -77,15 +77,17 @@ object StreamingAttribution {
     *
     * Output: (click_id, purchase_id, user_id, gap_us), gap in (0, window].
     */
+  /** The shared join condition — user equality + the in-window range. */
+  private def joinCond =
+    col("cuser") === col("user_id") &&
+      col("purchase_ts") > col("click_ts") &&
+      col("purchase_ts") <=
+        col("click_ts") + expr(s"INTERVAL ${WindowUs / 1000000L} SECONDS")
+
   def pairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
     val c = clicks.withWatermark("click_ts", WatermarkDelay)
     val p = purchases.withWatermark("purchase_ts", WatermarkDelay)
-    c.join(
-        p,
-        col("cuser") === col("user_id") &&
-          col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <=
-            col("click_ts") + expr(s"INTERVAL ${WindowUs / 1000000L} SECONDS"))
+    c.join(p, joinCond)
       .select(
         col("click_id"),
         col("purchase_id"),
@@ -99,6 +101,38 @@ object StreamingAttribution {
     */
   def pairsBatchReplay(events: DataFrame): DataFrame =
     pairs(clicksOf(events), purchasesOf(events))
+
+  /** LEFT-OUTER stream-stream join, purchases retained: matched pairs
+    * emit as both sides arrive; an unmatched purchase emits with null
+    * click columns only once the CLICK watermark passes its timestamp (no
+    * earlier click can still arrive — the outer-emission contract the
+    * spec pins with a watermark-advancing sentinel batch). Same state
+    * bounds as [[pairs]].
+    */
+  def pairsLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", WatermarkDelay)
+    val p = purchases.withWatermark("purchase_ts", WatermarkDelay)
+    p.join(c, joinCond, "left_outer")
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** ORGANIC purchases — no click by the same user in the preceding
+    * window: the batch LEFT-ANTI spelling of [[pairsLeftOuter]]'s null
+    * rows (spec-pinned equal), declared and gated as
+    * `events_attribution_organic`. Output keeps the purchase timestamp as
+    * integer micros so the row is self-describing.
+    */
+  def organic(events: DataFrame): DataFrame =
+    purchasesOf(events)
+      .join(clicksOf(events), joinCond, "left_anti")
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
 
   /** LAST-TOUCH attribution: for every purchase, the single most recent
     * in-window click (smallest gap; ties — two clicks on the same
@@ -138,6 +172,20 @@ object StreamingAttribution {
     s"""$pairsCte
        |SELECT click_id, purchase_id, user_id, gap_us FROM pairs
        |ORDER BY purchase_id, click_id""".stripMargin
+
+  def organicOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, epoch_us(ts) AS cts
+       |  FROM events WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT purchase_id, user_id, pts AS purchase_us FROM p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM c WHERE c.user_id = p.user_id
+       |   AND p.pts > c.cts AND p.pts - c.cts <= CAST($WindowUs AS BIGINT))
+       |ORDER BY purchase_id""".stripMargin
 
   def lastTouchOracleSql: String =
     s"""$pairsCte

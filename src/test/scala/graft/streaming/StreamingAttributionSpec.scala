@@ -65,6 +65,62 @@ class StreamingAttributionSpec extends SparkSpec {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("left-outer stream: unmatched purchases emit null rows once the watermark releases them") {
+    assumeTestdata(sf001)
+    val events = Tables.events(spark, sf001)
+    // batch truths on the fixture
+    val organicExpected = StreamingAttribution.organic(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedExpected = StreamingAttribution.pairsBatchReplay(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (purchase_id, user_id)
+    assert(organicExpected.nonEmpty && matchedExpected.nonEmpty)
+    // outer-nulls of the batch left-outer equal the anti spelling
+    val batchOuterNulls = StreamingAttribution
+      .pairsLeftOuter(
+        StreamingAttribution.clicksOf(events), StreamingAttribution.purchasesOf(events))
+      .filter(col("click_id").isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchOuterNulls === organicExpected)
+
+    // triggered: feed the fixture, then one far-future sentinel pair on
+    // BOTH streams to push the watermark past every real purchase — the
+    // null rows must then be exactly the organic set
+    def side(tpe: String) = events.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"), col("ts")).orderBy("ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val farFuture = new Timestamp(
+      side("purchase").map(_._3.getTime).max + 1000L * 3600 * 1000)
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, Timestamp)](spark)
+    val out = StreamingAttribution.pairsLeftOuter(
+      clicks.toDF().toDF("cuser", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"))
+    val query = out.writeStream
+      .format("memory").queryName("attrib_outer").outputMode("append").start()
+    try {
+      clicks.addData(side("click"): _*)
+      purchases.addData(side("purchase"): _*)
+      query.processAllAvailable()
+      clicks.addData((999999L, 888888L, farFuture))
+      purchases.addData((999999L, 777777L, farFuture))
+      query.processAllAvailable()
+      // one more empty-ish trigger so the advanced watermark flushes state
+      clicks.addData((999999L, 888889L, farFuture))
+      query.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+      val gotNulls = rows.filter(_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(_._1 != 777777L) // the sentinel purchase itself
+        .toSet
+      val gotMatched = rows.filterNot(_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotNulls === organicExpected,
+        s"missing=${(organicExpected -- gotNulls).take(5)} extra=${(gotNulls -- organicExpected).take(5)}")
+      assert(gotMatched === matchedExpected)
+    } finally query.stop()
+  }
+
   test("input older than the watermark no longer joins (state cleanup is real)") {
     val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
     def at(hours: Double): Timestamp =
