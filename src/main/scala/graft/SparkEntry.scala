@@ -967,6 +967,12 @@ object SparkEntry {
     // global sort at any corpus size)
     "docs_search_ranked" -> ((s, dir) =>
       graft.text.InvertedIndex.searchRanked(s, Tables.documents(s, dir), dir)),
+    // PHRASE search off the positional payload: conditional-aggregate
+    // pivot of the queried terms' position arrays (no per-term self-join)
+    // + an in-row alignment HOF — per-doc cost bounded by the doc itself
+    "docs_search_phrase" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchPhrase(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1515,6 +1521,7 @@ object SparkEntry {
     "docs_search_and" -> graft.text.InvertedIndex.searchOracleSql(),
     "docs_search_index_stats" -> graft.text.InvertedIndex.bucketStatsOracleSql,
     "docs_search_ranked" -> graft.text.InvertedIndex.rankedOracleSql(),
+    "docs_search_phrase" -> graft.text.InvertedIndex.phraseOracleSql(),
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

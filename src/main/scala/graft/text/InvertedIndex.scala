@@ -44,15 +44,25 @@ object InvertedIndex {
     */
   val QueryTerms: Seq[String] = Seq("dup", "vector", "query")
 
-  /** (term, doc_id, tf, b): tf = occurrences of term in doc, b = the
-    * term's [[NumBuckets]]-way md5 bucket.
+  /** (term, doc_id, tf, positions, b): tf = occurrences of term in doc,
+    * positions = the term's sorted 1-based offsets in the doc's non-empty
+    * token sequence (the POSITIONAL payload phrase search consumes — one
+    * int per occurrence, the classical positional-index cost), b = the
+    * term's [[NumBuckets]]-way md5 bucket. The positions aggregate is an
+    * ObjectHashAggregate with per-(term, doc) state bounded by the doc's
+    * own length — never corpus-scale.
     */
   def postings(docs: DataFrame): DataFrame =
     graft.queries.Tables.parallelismFloor(docs)
-      .select(col("doc_id"), explode(Hashing.words(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+      .select(
+        col("doc_id"),
+        posexplode(filter(Hashing.words(col("text")), w => w =!= lit("")))
+          .as(Seq("__i", "term")))
+      .select(col("doc_id"), col("term"), (col("__i") + 1).cast("int").as("pos"))
       .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+      .agg(
+        count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("b", pmod(Hashing.hash60(col("term")), lit(NumBuckets.toLong)).cast("int"))
 
   /** Driver-side twin of the bucket derivation for query planning —
@@ -74,7 +84,7 @@ object InvertedIndex {
   def ensureSavedIndex(spark: SparkSession, docs: DataFrame, dir: String): String = {
     val digest = graft.queries.Tables.contentDigest(
       graft.queries.Tables.path(dir, "documents"))
-    SavedArtifact.ensure("graft_invidx", digest, Seq(NumBuckets)) { tmp =>
+    SavedArtifact.ensure("graft_invidx", digest, Seq(NumBuckets, "v2pos")) { tmp =>
       postings(docs)
         .repartition(col("b"))
         .sortWithinPartitions("term", "doc_id")
@@ -147,6 +157,49 @@ object InvertedIndex {
       .limit(RankK)
   }
 
+  /** Fixture phrase: hits at every scale, mid-frequency terms. */
+  val PhraseTerms: Seq[String] = Seq("slow", "join", "sort")
+
+  /** PHRASE search against the positional index: documents containing the
+    * exact consecutive token sequence `phrase`, with the number of start
+    * positions. The queried terms' posting rows (pruned buckets, as in
+    * [[searchAnd]]) pivot into one row per doc via a conditional
+    * `first(ignoreNulls)` aggregate — one partial-agg'd shuffle carrying
+    * only the queried terms' position arrays, no self-join per phrase
+    * term — and the alignment check is an in-row HOF
+    * (`filter(p₀, x -> p₁ ∋ x+1 ∧ p₂ ∋ x+2 …)`): per-doc cost is
+    * |positions(t₀)| × Σ probe lengths, bounded by the doc's own length,
+    * never corpus-scale. Duplicate phrase terms reuse one pivot column
+    * (the `batch batch batch` case, spec-pinned).
+    */
+  def searchPhrase(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.nonEmpty)
+    val uniq = phrase.distinct
+    val colIdx = uniq.zipWithIndex.toMap
+    val idx = spark.read.parquet(ensureSavedIndex(spark, docs, dir))
+    val matched = idx
+      .filter(col("b").isin(uniq.map(bucketOf): _*) && col("term").isin(uniq: _*))
+    val aggs = uniq.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("positions")), ignoreNulls = true).as(s"__p$i")
+    }
+    val piv = matched.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val allPresent = uniq.indices.map(i => col(s"__p$i").isNotNull).reduce(_ && _)
+    def pArr(t: String) = col(s"__p${colIdx(t)}")
+    val nMatches =
+      if (phrase.size == 1) size(pArr(phrase.head))
+      else size(filter(pArr(phrase.head), x =>
+        phrase.zipWithIndex.tail
+          .map { case (t, j) => array_contains(pArr(t), x + j) }
+          .reduce(_ && _)))
+    piv.filter(allPresent)
+      .select(col("doc_id"), nMatches.cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+  }
+
   /** Posting CTE shared by both oracle spellings — recomputes the
     * deterministic index content directly from the documents table (the
     * artifact is a pure function of it).
@@ -184,6 +237,49 @@ object InvertedIndex {
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id
        |LIMIT $RankK""".stripMargin
+  }
+
+  def phraseOracleSql(phrase: Seq[String] = PhraseTerms): String = {
+    val uniq = phrase.distinct
+    val colIdx = uniq.zipWithIndex.toMap
+    def esc(t: String) = t.replace("'", "''")
+    val inList = uniq.map(t => s"'${esc(t)}'").mkString(", ")
+    val cases = uniq.zipWithIndex
+      .map { case (t, i) =>
+        s"any_value(CASE WHEN term = '${esc(t)}' THEN ps END) AS p$i" }
+      .mkString(",\n       ")
+    val allPresent = uniq.indices.map(i => s"p$i IS NOT NULL").mkString(" AND ")
+    val nExpr =
+      if (phrase.size == 1) s"len(p${colIdx(phrase.head)})"
+      else {
+        val preds = phrase.zipWithIndex.tail
+          .map { case (t, j) => s"list_contains(p${colIdx(t)}, x + $j)" }
+          .mkString(" AND ")
+        s"len(list_filter(p${colIdx(phrase.head)}, x -> $preds))"
+      }
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                     x -> x <> '') AS f
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id,
+       |         unnest([{'term': f[i], 'pos': i} for i in range(1, len(f)+1)]) AS u
+       |  FROM f
+       |), post AS (
+       |  SELECT term, doc_id, list_sort(list(pos)) AS ps
+       |  FROM (SELECT doc_id, u.term AS term, u.pos AS pos FROM pos)
+       |  GROUP BY term, doc_id
+       |), piv AS (
+       |  SELECT doc_id,
+       |       $cases
+       |  FROM post WHERE term IN ($inList) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_matches FROM (
+       |  SELECT doc_id, CAST($nExpr AS BIGINT) AS n_matches
+       |  FROM piv WHERE $allPresent
+       |) WHERE n_matches >= 1
+       |ORDER BY doc_id""".stripMargin
   }
 
   def bucketStatsOracleSql: String =

@@ -85,6 +85,36 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  private def phraseCounts(phrase: Seq[String]): Seq[(Long, Long)] = {
+    val docs = docsOf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.flatMap { case (id, text) =>
+      val toks = tokens(text)
+      val n = toks.sliding(phrase.size).count(_ == phrase)
+      if (n >= 1) Some((id, n.toLong)) else None
+    }.sortBy(_._1)
+  }
+
+  test("phrase search equals a brute-force sliding-window scan") {
+    val expected = phraseCounts(InvertedIndex.PhraseTerms)
+    val got = InvertedIndex.searchPhrase(spark, docsOf, sf001)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty, "fixture phrase found nowhere")
+  }
+
+  test("phrase search handles duplicate phrase terms (overlapping matches)") {
+    val phrase = Seq("batch", "batch", "batch")
+    val expected = phraseCounts(phrase)
+    val got = InvertedIndex.searchPhrase(spark, docsOf, sf001, phrase)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty, "no batch-batch-batch run in the sf0.001 fixture")
+    // a run of L repeats contains L-2 overlapping trigram starts: the
+    // counter must see overlaps, not disjoint chunks
+    assert(expected.exists(_._2 >= 1))
+  }
+
   test("bucket stats roll up exactly from the postings frame") {
     val direct = InvertedIndex.postings(docsOf)
       .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
