@@ -773,6 +773,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("cnt"), col("est_cnt"))
         .orderBy("win_start_us", "event_type")),
+    // declarative data-quality validation (Deequ-shaped, r17): one report
+    // row per constraint, all metrics exact integers; single-column
+    // checks fold into ONE aggregate per table scan (spec-pinned),
+    // uniqueness is a two-level agg, referential integrity a broadcast
+    // LEFT-ANTI count — the suite mixes passing and failing checks
+    "data_quality_report" -> ((s, dir) =>
+      graft.operators.DataQuality.report(s, dir)
+        .orderBy("tbl", "chk", "col")),
     "events_salted_sum" -> ((s, dir) =>
       graft.operators.SaltedAggregate.sumCount(
         Tables.events(s, dir)
@@ -1414,6 +1422,7 @@ object SparkEntry {
     "tpch_q13" -> graft.queries.TpchQueries.Q13OracleSql,
     "tpch_q20" -> graft.queries.TpchQueries.Q20OracleSql,
     "tpch_q21" -> graft.queries.TpchQueries.Q21OracleSql,
+    "data_quality_report" -> graft.operators.DataQuality.reportOracleSql,
     "events_salted_sum" ->
       """SELECT user_id,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
