@@ -981,6 +981,13 @@ object SparkEntry {
     "docs_search_phrase" -> ((s, dir) =>
       graft.text.InvertedIndex.searchPhrase(s, Tables.documents(s, dir), dir)
         .orderBy("doc_id")),
+    // incremental ingest: saved base index + delta-only postings (base
+    // never re-tokenized, spec-pinned); doc-disjoint slices make the
+    // union exactly the full index, so this gates against the SAME
+    // full-recompute oracle as docs_search_and (merge ≡ recompute)
+    "docs_search_incremental" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchAndIncremental(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1531,6 +1538,7 @@ object SparkEntry {
     "docs_search_index_stats" -> graft.text.InvertedIndex.bucketStatsOracleSql,
     "docs_search_ranked" -> graft.text.InvertedIndex.rankedOracleSql(),
     "docs_search_phrase" -> graft.text.InvertedIndex.phraseOracleSql(),
+    "docs_search_incremental" -> graft.text.InvertedIndex.searchOracleSql(),
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

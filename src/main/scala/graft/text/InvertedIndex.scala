@@ -160,6 +160,58 @@ object InvertedIndex {
   /** Fixture phrase: hits at every scale, mid-frequency terms. */
   val PhraseTerms: Seq[String] = Seq("slow", "join", "sort")
 
+  /** Every 4th doc plays the newly-arriving batch in the incremental
+    * ingest split (the [[graft.dedup.IncrementalDedup]] convention).
+    */
+  val DeltaMod = 4L
+
+  def baseDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % DeltaMod =!= 0)
+
+  def deltaDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % DeltaMod === 0)
+
+  /** The BASE slice's index as its own published artifact (params carry
+    * the slice rule, so it never collides with the full-corpus index).
+    */
+  def ensureSavedBaseIndex(spark: SparkSession, docs: DataFrame, dir: String): String = {
+    val digest = graft.queries.Tables.contentDigest(
+      graft.queries.Tables.path(dir, "documents"))
+    SavedArtifact.ensure(
+      "graft_invidx", digest, Seq(NumBuckets, "v2pos", s"base$DeltaMod")) { tmp =>
+      postings(baseDocs(docs))
+        .repartition(col("b"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("b").parquet(tmp)
+    }
+  }
+
+  /** INCREMENTAL ingest search: the saved base index plus postings
+    * computed from ONLY the delta batch — the base corpus is never
+    * re-tokenized (spec-pinned: exactly one documents scan, the delta's,
+    * in the executed plan). Because postings are per (term, doc) and the
+    * slices are doc-disjoint, the union is exactly the full-corpus index,
+    * so this path gates against the SAME full-recompute oracle as
+    * [[searchAnd]] — merge ≡ recompute, the saved-sketch-vocab discipline.
+    */
+  def searchAndIncremental(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val uniq = terms.distinct
+    val keep: DataFrame => DataFrame = df => df
+      .filter(col("b").isin(uniq.map(bucketOf): _*) && col("term").isin(uniq: _*))
+      .select("term", "doc_id", "tf")
+    val base = keep(spark.read.parquet(ensureSavedBaseIndex(spark, docs, dir)))
+    val delta = keep(postings(deltaDocs(docs)))
+    base.unionAll(delta)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__nt"), sum(col("tf")).as("tf_sum"))
+      .filter(col("__nt") === uniq.size)
+      .select(col("doc_id"), col("tf_sum"))
+  }
+
   /** PHRASE search against the positional index: documents containing the
     * exact consecutive token sequence `phrase`, with the number of start
     * positions. The queried terms' posting rows (pruned buckets, as in

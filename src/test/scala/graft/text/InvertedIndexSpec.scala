@@ -115,6 +115,30 @@ class InvertedIndexSpec extends SparkSpec {
     assert(expected.exists(_._2 >= 1))
   }
 
+  test("incremental search: saved base + delta-only postings equals the full-corpus search") {
+    val full = InvertedIndex.searchAnd(spark, docsOf, sf001)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q = InvertedIndex.searchAndIncremental(spark, docsOf, sf001)
+    val got = q.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == full.toSeq)
+    // matches exist on BOTH sides of the split (the merge is non-vacuous)
+    assert(got.exists(_._1 % InvertedIndex.DeltaMod == 0) &&
+      got.exists(_._1 % InvertedIndex.DeltaMod != 0))
+    // the base corpus is never re-tokenized: exactly one documents scan
+    // (the delta side) in the executed plan; the base side reads the
+    // artifact
+    q.collect()
+    val scans = allPlanNodes(q.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val docScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+    val idxScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_invidx")))
+    assert(docScans.size == 1, s"base re-tokenized: ${docScans.size} documents scans")
+    assert(idxScans.nonEmpty, "saved base index never read")
+  }
+
   test("bucket stats roll up exactly from the postings frame") {
     val direct = InvertedIndex.postings(docsOf)
       .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
