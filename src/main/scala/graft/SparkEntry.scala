@@ -988,6 +988,15 @@ object SparkEntry {
     "docs_search_incremental" -> ((s, dir) =>
       graft.text.InvertedIndex.searchAndIncremental(s, Tables.documents(s, dir), dir)
         .orderBy("doc_id")),
+    // collocation mining: adjacent-bigram lift c_xy·10⁶ div (c_x·c_y) —
+    // monotone in PMI without a float log; top-50 as TakeOrderedAndProject
+    "text_collocations" -> ((s, dir) =>
+      graft.text.CorpusStats.collocations(Tables.documents(s, dir))),
+    // per-source lexical diversity: Gini–Simpson 1−Σp² in ppm, all
+    // decimal(38,0) (hugeint) arithmetic with one floored DIV
+    "text_diversity_by_source" -> ((s, dir) =>
+      graft.text.CorpusStats.diversityBySource(Tables.documents(s, dir))
+        .orderBy("source")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1539,6 +1548,8 @@ object SparkEntry {
     "docs_search_ranked" -> graft.text.InvertedIndex.rankedOracleSql(),
     "docs_search_phrase" -> graft.text.InvertedIndex.phraseOracleSql(),
     "docs_search_incremental" -> graft.text.InvertedIndex.searchOracleSql(),
+    "text_collocations" -> graft.text.CorpusStats.collocationsOracleSql,
+    "text_diversity_by_source" -> graft.text.CorpusStats.diversityOracleSql,
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

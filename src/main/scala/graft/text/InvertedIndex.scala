@@ -102,9 +102,16 @@ object InvertedIndex {
       spark: SparkSession,
       docs: DataFrame,
       dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    searchAndFrom(
+      spark.read.parquet(ensureSavedIndex(spark, docs, dir)), terms)
+
+  /** The conjunctive core over any postings-shaped frame — shared by the
+    * saved-artifact path and the probe (which builds postings in-line to
+    * time the index construction itself).
+    */
+  def searchAndFrom(idx: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
     val uniq = terms.distinct
-    val idx = spark.read.parquet(ensureSavedIndex(spark, docs, dir))
     idx
       .filter(col("b").isin(uniq.map(bucketOf): _*) && col("term").isin(uniq: _*))
       .groupBy("doc_id")

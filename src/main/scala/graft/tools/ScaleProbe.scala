@@ -96,7 +96,13 @@ object ScaleProbe {
     "docs_weighted_sample" -> ((k: Int) => math.max(32, 4 * k)),
     // r15 continuation: the triangle census shuffles 2-long edge and
     // wedge rows — the events-family shape.
-    "graph_triangles" -> ((k: Int) => math.max(32, 4 * k)))
+    "graph_triangles" -> ((k: Int) => math.max(32, 4 * k)),
+    // r17: the attribution join shuffles (user_id, event_id, ts) rows and
+    // the posting build's aggregate exchange carries (term, doc, positions)
+    // rows collapsed map-side — both the tiny-row shape (the first sweep
+    // at 32·k read 11.3 / 8.06 with per-task constants dominating).
+    "events_attribution" -> ((k: Int) => math.max(32, 4 * k)),
+    "docs_search_and" -> ((k: Int) => math.max(32, 4 * k)))
 
   /** Partition count for `family` at factor `k` (default 32·k). */
   def partsFor(family: String, k: Int): Int =
@@ -158,6 +164,24 @@ object ScaleProbe {
     * Populated from `tools/StageCpu` runs; keep each note one sentence.
     */
   val AttributionNotes: Map[String, String] = Map(
+    "docs_search_and" ->
+      ("times the index CONSTRUCTION (tokenize + positions collect + " +
+        "(term,doc) aggregate) plus the pruned 3-term conjunctive probe; " +
+        "the per-copy vocabulary suffix grows the term space k-fold like " +
+        "a real k-times-larger corpus, the query terms' posting mass " +
+        "grows k-fold, everything else is untouched buckets. Runs in the " +
+        "tiny-row shuffle regime (the aggregate exchange carries " +
+        "map-side-collapsed (term,doc,positions) rows; the 32k-partition " +
+        "sweep read 8.06 on per-task constants); min-of-trials carries " +
+        "the verdict through heavy neighbor-noise windows (x32 trials " +
+        "spanned 41.5-1864s CPU on identical code)"),
+    "events_attribution" ->
+      ("batch replay of the stream-stream windowed join: per-copy user-id " +
+        "blocks keep pairing inside each copy so the pair table grows " +
+        "k-fold (never k^2); cost is two pushed-filter scans + one " +
+        "user-keyed shuffle join. Tiny-row regime ((user,event,ts) rows; " +
+        "the 32k-partition sweep read 11.3 on the M*R per-segment " +
+        "constant, the events_sessions precedent)"),
     "docs_substring_dedup" ->
       ("runs under familyConf (broadcast off + preferSortMergeJoin=false): " +
         "unforced, x8 broadcasts the dup-gram set while x32 goes " +
@@ -761,7 +785,21 @@ object ScaleProbe {
       // stays block-local. (Shifting only user ids, as explodeEvents
       // does, would leave props.k nodes shared across copies — k×-degree
       // hubs, a different graph.)
-      "graph_triangles" -> (k => trianglesAt(events0, k)))
+      "graph_triangles" -> (k => trianglesAt(events0, k)),
+      // r17 additions: the posting-index construction + pruned conjunctive
+      // search (tokenize → posexplode → two partial-agg'd aggregates with
+      // a per-doc-bounded positions collect; the search side touches only
+      // the 3 query terms' postings at every k, so the BUILD is the term
+      // under test — what an index refresh pays), and the stream-stream
+      // attribution join's batch-replay plan (per-copy user-id blocks keep
+      // the click×purchase pairing inside each copy, so the pair table and
+      // the user-keyed join state grow k×, never k²)
+      "docs_search_and" -> (k =>
+        graft.text.InvertedIndex.searchAndFrom(
+          graft.text.InvertedIndex.postings(explodeDocs(docs0, k)))),
+      "events_attribution" -> (k =>
+        graft.streaming.StreamingAttribution.pairsBatchReplay(
+          explodeEvents(events0, k, partsFor("events_attribution", k)))))
 
     // Process CPU next to wall, and the VERDICT rides on the CPU ratio:
     // this host is a shared microVM where invisible neighbors swing wall
