@@ -57,6 +57,14 @@ object SparkEntry {
     "graph_clustering" -> ((s, dir) =>
       graft.graphs.Triangles.localClustering(Tables.events(s, dir))
         .orderBy("v")),
+    // bounded-round k-core peel (r17): k derived in-plan (m div n + 1),
+    // five unrolled rounds replayed by MATERIALIZED oracle CTEs; per
+    // round one degree aggregate + two node-keyed semi-joins, edge frame
+    // localCheckpoint'd (the CC lineage discipline)
+    "graph_kcore" -> ((s, dir) =>
+      graft.graphs.KCore.core(Tables.events(s, dir)).orderBy("node")),
+    "graph_kcore_summary" -> ((s, dir) =>
+      graft.graphs.KCore.summary(Tables.events(s, dir))),
     // DOULION sampled census (KDD'09): edge-atomic universe keep at 10%,
     // HT scale 1/p per edge and (1/p)^3 per triangle — wedge cost drops
     // ~p^1.5 and the deterministic sample makes the estimate hash-gated
@@ -1268,6 +1276,8 @@ object SparkEntry {
         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> graft.graphs.PageRank.ranksOracleSql(),
     "graph_triangles" -> graft.graphs.Triangles.statsOracleSql,
+    "graph_kcore" -> graft.graphs.KCore.coreOracleSql,
+    "graph_kcore_summary" -> graft.graphs.KCore.summaryOracleSql,
     "graph_triangles_sampled_u10" -> graft.graphs.Triangles.statsSampledUOracleSql(),
     "graph_clustering" -> graft.graphs.Triangles.localClusteringOracleSql,
     "graph_degree_hist" -> graft.graphs.PageRank.degreeHistogramOracleSql,
