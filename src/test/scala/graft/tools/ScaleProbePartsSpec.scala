@@ -41,7 +41,11 @@ class ScaleProbePartsSpec extends AnyFunSuite {
       // r15 continuation: the A-ES weighted sample ranks ~30 B
       // (doc_id, source, n_chars) rows through RangeRank's exchange;
       // the triangle census shuffles 2-long edge/wedge rows
-      "docs_weighted_sample", "graph_triangles")
+      "docs_weighted_sample", "graph_triangles",
+      // r17: the attribution join shuffles (user,event,ts) rows and the
+      // posting build's exchange carries map-side-collapsed postings —
+      // the first 32·k sweep read 11.3 / 8.06 on per-task constants
+      "events_attribution", "docs_search_and")
     assert(ScaleProbe.tinyRowParts.keySet === known)
   }
 
