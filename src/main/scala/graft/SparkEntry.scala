@@ -931,6 +931,12 @@ object SparkEntry {
     "events_attribution_organic" -> ((s, dir) =>
       graft.streaming.StreamingAttribution.organic(Tables.events(s, dir))
         .orderBy("purchase_id")),
+    // USER-atomic universe-sampled pair estimator: both ends of a pair
+    // share the sampling unit, so the HT scale is first-order 1/p (the
+    // JoinSampled argument); keep-filter below both join sides, T4 bound
+    // over (users, kept users) via the shared Stats chain
+    "events_attribution_sampled_u10" -> ((s, dir) =>
+      graft.streaming.StreamingAttribution.pairsSampledU(Tables.events(s, dir))),
     "events_topk_group" -> ((s, dir) =>
       graft.operators.GroupTopK.topK(Tables.events(s, dir))
         .orderBy("event_type", "rn")),
@@ -1544,6 +1550,8 @@ object SparkEntry {
       graft.streaming.StreamingAttribution.lastTouchOracleSql,
     "events_attribution_organic" ->
       graft.streaming.StreamingAttribution.organicOracleSql,
+    "events_attribution_sampled_u10" ->
+      graft.streaming.StreamingAttribution.pairsSampledUOracleSql(),
     "events_topk_group" -> graft.operators.GroupTopK.topKOracleSql(),
     "events_asof" -> graft.operators.AsofJoin.asofOracleSql(),
     "events_value_tier" -> graft.operators.RangeJoin.eventsByTierOracleSql,

@@ -154,14 +154,58 @@ object StreamingAttribution {
         col("__w.gap_us").as("gap_us"),
         col("n_clicks"))
 
-  /** Pair CTE shared by both oracle spellings. */
-  private def pairsCte: String =
-    s"""WITH c AS (
+  /** USER-atomic universe-sampled estimator (the [[graft.sampling.JoinSampled]]
+    * argument applied to the new join): both ends of an attribution pair
+    * share a user, so keeping whole USERS at p gives every pair inclusion
+    * probability p — first-order ×(1/p) Horvitz–Thompson on the pair
+    * count, where independent row sampling would square the rate. The
+    * keep-filter sits below BOTH sides of the join, so at cluster scale
+    * the sample cuts both exchanges ×p. One summary row:
+    * (kept_pairs, est_pairs, n_users, kept_users, err_bound) — counts and
+    * the integer HT scale exact, the T4 bound over (users, kept users)
+    * the shared [[graft.sampling.Stats.errBoundCol]] chain.
+    */
+  def pairsSampledU(events: DataFrame, pct: Int = 10): DataFrame = {
+    import graft.sampling.{Stats, UniverseSampled}
+    val kept = events.filter(UniverseSampled.keep(col("user_id"), pct))
+    pairsBatchReplay(kept).agg(count(lit(1)).as("kept_pairs"))
+      .crossJoin(broadcast(
+        events.select("user_id").distinct().agg(count(lit(1)).as("n_users"))))
+      .crossJoin(broadcast(
+        kept.select("user_id").distinct().agg(count(lit(1)).as("kept_users"))))
+      .select(
+        col("kept_pairs"),
+        (col("kept_pairs") * lit(UniverseSampled.scaleFor(pct))).as("est_pairs"),
+        col("n_users"), col("kept_users"),
+        Stats.errBoundCol(col("n_users"), col("kept_users"), 0.95).as("err_bound"))
+  }
+
+  def pairsSampledUOracleSql(pct: Int = 10): String = {
+    import graft.sampling.{Stats, UniverseSampled}
+    s"""WITH kept AS (
+       |  SELECT * FROM events WHERE ${UniverseSampled.keepSql("user_id", pct)}
+       |), ${pairsCte("kept")},
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS kept_pairs FROM pairs),
+       |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+       |ku AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS kept_users FROM kept)
+       |SELECT kept_pairs,
+       |       kept_pairs * ${UniverseSampled.scaleFor(pct)} AS est_pairs,
+       |       n_users, kept_users,
+       |       ${Stats.errBoundSql("n_users", "kept_users", 0.95)} AS err_bound
+       |FROM agg, u, ku""".stripMargin
+  }
+
+  /** Pair CTE shared by the oracle spellings; `from` lets the sampled
+    * twin replay the identical chain over its kept slice (the curation
+    * oracle-generator pattern).
+    */
+  private def pairsCte(from: String = "events"): String =
+    s"""c AS (
        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
-       |  FROM events WHERE event_type = 'click'
+       |  FROM $from WHERE event_type = 'click'
        |), p AS (
        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
-       |  FROM events WHERE event_type = 'purchase'
+       |  FROM $from WHERE event_type = 'purchase'
        |), pairs AS (
        |  SELECT c.click_id, p.purchase_id, p.user_id, p.pts - c.cts AS gap_us
        |  FROM c JOIN p ON c.user_id = p.user_id
@@ -169,7 +213,7 @@ object StreamingAttribution {
        |)""".stripMargin
 
   def pairsOracleSql: String =
-    s"""$pairsCte
+    s"""WITH ${pairsCte()}
        |SELECT click_id, purchase_id, user_id, gap_us FROM pairs
        |ORDER BY purchase_id, click_id""".stripMargin
 
@@ -188,7 +232,7 @@ object StreamingAttribution {
        |ORDER BY purchase_id""".stripMargin
 
   def lastTouchOracleSql: String =
-    s"""$pairsCte
+    s"""WITH ${pairsCte()}
        |SELECT purchase_id, user_id, click_id, gap_us, n_clicks FROM (
        |  SELECT purchase_id, user_id, click_id, gap_us,
        |         count(*) OVER (PARTITION BY purchase_id) AS n_clicks,

@@ -121,6 +121,33 @@ class StreamingAttributionSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("user-atomic sampled estimator: HT identity, atomicity, and a sane estimate") {
+    assumeTestdata(sf01)
+    val events = Tables.events(spark, sf01)
+    val truth = StreamingAttribution.pairsBatchReplay(events).count()
+    val row = StreamingAttribution.pairsSampledU(events).collect().head
+    val (kept, est, nUsers, keptUsers, bound) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(est == kept * 10, "HT identity broken")
+    assert(bound > 0 && bound < 1)
+    // user-atomicity: every kept pair's user passed the keep predicate —
+    // recompute the kept slice and check the pair set is exactly the
+    // batch pairs whose user was kept
+    val keptSlice = events.filter(
+      graft.sampling.UniverseSampled.keep(col("user_id"), 10))
+    val keptUserSet = keptSlice.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptUsers == keptUserSet.size)
+    val expectedKeptPairs = StreamingAttribution.pairsBatchReplay(events)
+      .collect().count(r => keptUserSet(r.getLong(2)))
+    assert(kept == expectedKeptPairs,
+      "sampled pair count is not the batch pairs of kept users")
+    // deterministic sample — a loose truth band documents estimator use
+    assert(est > 0 && nUsers > keptUsers)
+    assert(math.abs(est - truth).toDouble / truth < 1.0,
+      s"10% user sample estimate $est implausibly far from truth $truth")
+  }
+
   test("input older than the watermark no longer joins (state cleanup is real)") {
     val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
     def at(hours: Double): Timestamp =
