@@ -139,6 +139,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idxScans.nonEmpty, "saved base index never read")
   }
 
+  test("absent query terms: conjunctive search is empty, ranked search ignores them") {
+    val got = InvertedIndex.searchAnd(spark, docsOf, sf001,
+      Seq("dup", "zzznotaterm")).collect()
+    assert(got.isEmpty, "conjunction with an absent term must match nothing")
+    // ranked OR search still returns the present term's docs
+    val ranked = InvertedIndex.searchRanked(spark, docsOf, sf001,
+      Seq("dup", "zzznotaterm")).collect()
+    assert(ranked.nonEmpty)
+  }
+
+  test("single-term phrase degenerates to occurrence counts") {
+    val docs = docsOf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val n = tokens(t).count(_ == "dup")
+      if (n >= 1) Some((id, n.toLong)) else None
+    }.sortBy(_._1)
+    val got = InvertedIndex.searchPhrase(spark, docsOf, sf001, Seq("dup"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("bucket stats roll up exactly from the postings frame") {
     val direct = InvertedIndex.postings(docsOf)
       .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
