@@ -1002,6 +1002,16 @@ object SparkEntry {
     "docs_search_incremental" -> ((s, dir) =>
       graft.text.InvertedIndex.searchAndIncremental(s, Tables.documents(s, dir), dir)
         .orderBy("doc_id")),
+    // proximity search (A NEAR B within 4 tokens): pruned pivot + in-row
+    // exists HOF — exact for the two-term form, per-doc-bounded cost
+    "docs_search_near" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchNear(s, Tables.documents(s, dir), dir)
+        .orderBy("doc_id")),
+    // faceted search: conjunctive hit set rolled up per source (id-keyed
+    // join back, text never moves)
+    "docs_search_facets" -> ((s, dir) =>
+      graft.text.InvertedIndex.searchFacets(s, Tables.documents(s, dir), dir)
+        .orderBy("source")),
     // collocation mining: adjacent-bigram lift c_xy·10⁶ div (c_x·c_y) —
     // monotone in PMI without a float log; top-50 as TakeOrderedAndProject
     "text_collocations" -> ((s, dir) =>
@@ -1566,6 +1576,8 @@ object SparkEntry {
     "docs_search_ranked" -> graft.text.InvertedIndex.rankedOracleSql(),
     "docs_search_phrase" -> graft.text.InvertedIndex.phraseOracleSql(),
     "docs_search_incremental" -> graft.text.InvertedIndex.searchOracleSql(),
+    "docs_search_near" -> graft.text.InvertedIndex.nearOracleSql(),
+    "docs_search_facets" -> graft.text.InvertedIndex.facetsOracleSql(),
     "text_collocations" -> graft.text.CorpusStats.collocationsOracleSql,
     "text_diversity_by_source" -> graft.text.CorpusStats.diversityOracleSql,
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),

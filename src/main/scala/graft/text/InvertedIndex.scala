@@ -259,6 +259,107 @@ object InvertedIndex {
       .filter(col("n_matches") >= 1)
   }
 
+  /** Proximity ("A NEAR B") search defaults. */
+  val NearSlop = 4
+  val NearTerms: (String, String) = ("slow", "join")
+
+  /** PROXIMITY search: documents where `t2` occurs within `slop` tokens
+    * AFTER an occurrence of `t1`, with the number of such anchors. For
+    * the two-term form the independent-exists spelling is exact (no
+    * chaining needed); same pruned pivot as [[searchPhrase]], alignment
+    * one in-row HOF (`filter(p1, x -> exists(p2, y -> x < y ≤ x+slop))`).
+    */
+  def searchNear(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      t1: String = NearTerms._1,
+      t2: String = NearTerms._2,
+      slop: Int = NearSlop): DataFrame = {
+    require(t1 != t2, "proximity terms must differ (use searchPhrase for runs)")
+    val idx = spark.read.parquet(ensureSavedIndex(spark, docs, dir))
+    val matched = idx
+      .filter(col("b").isin(Seq(t1, t2).map(bucketOf).distinct: _*) &&
+        col("term").isin(t1, t2))
+    val piv = matched.groupBy("doc_id").agg(
+      first(when(col("term") === t1, col("positions")), ignoreNulls = true).as("__p1"),
+      first(when(col("term") === t2, col("positions")), ignoreNulls = true).as("__p2"))
+    piv
+      .filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      .select(
+        col("doc_id"),
+        size(filter(col("__p1"), x =>
+          exists(col("__p2"), y => y > x && y <= x + lit(slop))))
+          .cast("long").as("n_anchors"))
+      .filter(col("n_anchors") >= 1)
+  }
+
+  def nearOracleSql(
+      t1: String = NearTerms._1,
+      t2: String = NearTerms._2,
+      slop: Int = NearSlop): String = {
+    def esc(t: String) = t.replace("'", "''")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                     x -> x <> '') AS f
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id,
+       |         unnest([{'term': f[i], 'pos': i} for i in range(1, len(f)+1)]) AS u
+       |  FROM f
+       |), post AS (
+       |  SELECT term, doc_id, list_sort(list(pos)) AS ps
+       |  FROM (SELECT doc_id, u.term AS term, u.pos AS pos FROM pos)
+       |  GROUP BY term, doc_id
+       |), piv AS (
+       |  SELECT doc_id,
+       |         any_value(CASE WHEN term = '${esc(t1)}' THEN ps END) AS p1,
+       |         any_value(CASE WHEN term = '${esc(t2)}' THEN ps END) AS p2
+       |  FROM post WHERE term IN ('${esc(t1)}', '${esc(t2)}') GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_anchors FROM (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(p1, x ->
+       |           len(list_filter(p2, y -> y > x AND y <= x + $slop)) > 0))
+       |           AS BIGINT) AS n_anchors
+       |  FROM piv WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+       |) WHERE n_anchors >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** FACETED search: the conjunctive hit set rolled up per corpus source
+    * — hits and tf mass per facet. The doc_id-only hit set joins back to
+    * the documents table id-keyed (text never moves), then one bounded
+    * aggregate.
+    */
+  def searchFacets(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame =
+    searchAnd(spark, docs, dir, terms)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf_sum")).as("tf_sum"))
+
+  def facetsOracleSql(terms: Seq[String] = QueryTerms): String = {
+    val uniq = terms.distinct
+    val inList = uniq.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""$postCte,
+       |hits AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+       |  FROM post WHERE term IN ($inList)
+       |  GROUP BY doc_id HAVING count(*) = ${uniq.size}
+       |)
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(h.tf_sum) AS BIGINT) AS tf_sum
+       |FROM hits h JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
+
   /** Posting CTE shared by both oracle spellings — recomputes the
     * deterministic index content directly from the documents table (the
     * artifact is a pure function of it).

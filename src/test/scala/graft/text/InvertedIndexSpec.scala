@@ -161,6 +161,39 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("proximity search equals a brute-force windowed scan") {
+    val docs = docsOf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (t1, t2) = InvertedIndex.NearTerms
+    val slop = InvertedIndex.NearSlop
+    val expected = docs.flatMap { case (id, text) =>
+      val w = tokens(text).toIndexedSeq
+      val anchors = w.zipWithIndex.count { case (tok, i) =>
+        tok == t1 && (i + 1 to math.min(i + slop, w.length - 1))
+          .exists(j => w(j) == t2)
+      }
+      if (anchors >= 1) Some((id, anchors.toLong)) else None
+    }.sortBy(_._1)
+    val got = InvertedIndex.searchNear(spark, docsOf, sf001)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("facets roll up exactly from the conjunctive hit set") {
+    val hits = InvertedIndex.searchAnd(spark, docsOf, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcOf = docsOf.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = hits.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) => (s, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = InvertedIndex.searchFacets(spark, docsOf, sf001)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
   test("bucket stats roll up exactly from the postings frame") {
     val direct = InvertedIndex.postings(docsOf)
       .groupBy("b", "term").agg(count(lit(1)).as("df"), sum("tf").as("tft"))
