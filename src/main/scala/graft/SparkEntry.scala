@@ -1021,6 +1021,11 @@ object SparkEntry {
     "text_diversity_by_source" -> ((s, dir) =>
       graft.text.CorpusStats.diversityBySource(Tables.documents(s, dir))
         .orderBy("source")),
+    // snapshot drift: per-source before/after/added/removed between the
+    // base slice and the full corpus (removed via an honest id anti-join)
+    "docs_snapshot_drift" -> ((s, dir) =>
+      graft.text.CorpusStats.snapshotDrift(Tables.documents(s, dir))
+        .orderBy("source")),
     // Bloom-filter decontamination twin: the benchmark gram set compressed
     // 16x into a 2^mLog-bit table (width derived in-plan from the live
     // gram count) built by the mergeable bloom_agg aggregate and probed
@@ -1580,6 +1585,7 @@ object SparkEntry {
     "docs_search_facets" -> graft.text.InvertedIndex.facetsOracleSql(),
     "text_collocations" -> graft.text.CorpusStats.collocationsOracleSql,
     "text_diversity_by_source" -> graft.text.CorpusStats.diversityOracleSql,
+    "docs_snapshot_drift" -> graft.text.CorpusStats.snapshotDriftOracleSql,
     "docs_decontaminated_fuzzy" -> graft.text.Decontaminate.cleanFuzzyOracleSql(),
     "docs_decontaminated_bloom" -> graft.text.Decontaminate.cleanBloomOracleSql(),
     "docs_decontaminated_stream_replay" -> graft.text.Decontaminate.cleanBloomOracleSql(),

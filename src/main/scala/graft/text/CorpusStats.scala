@@ -111,6 +111,66 @@ object CorpusStats {
                 DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
           .as("simpson_ppm"))
 
+  /** Snapshot DRIFT report — the data-versioning readout between two
+    * corpus snapshots (base = the [[InvertedIndex.DeltaMod]] ingest
+    * convention's prior slice, after = the full corpus): per source,
+    * document and char-mass counts before/after plus added/removed docs.
+    * Removed is computed honestly by an id anti-join (0 for this
+    * append-only fixture, and the gate proves it). Three partial-agg'd
+    * per-source aggregates + one |sources|-bounded full-outer join —
+    * text never shuffles, output bounded by the source count.
+    */
+  def snapshotDrift(docs: DataFrame): DataFrame = {
+    val before = InvertedIndex.baseDocs(docs)
+    def perSource(df: DataFrame, n: String, c: String): DataFrame =
+      df.groupBy("source")
+        .agg(count(lit(1)).as(n), sum(col("n_chars")).as(c))
+    val added = perSource(InvertedIndex.deltaDocs(docs), "added_docs", "added_chars")
+    val removedCnt = before
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("removed_docs"))
+    perSource(before, "docs_before", "chars_before")
+      .join(perSource(docs, "docs_after", "chars_after"), Seq("source"), "full_outer")
+      .join(added, Seq("source"), "full_outer")
+      .join(removedCnt, Seq("source"), "full_outer")
+      .select(
+        col("source"),
+        coalesce(col("docs_before"), lit(0L)).as("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        coalesce(col("added_docs"), lit(0L)).as("added_docs"),
+        coalesce(col("added_chars"), lit(0L)).as("added_chars"),
+        coalesce(col("removed_docs"), lit(0L)).as("removed_docs"))
+  }
+
+  def snapshotDriftOracleSql: String = {
+    val mod = InvertedIndex.DeltaMod
+    s"""WITH before AS (SELECT * FROM documents WHERE doc_id % $mod <> 0),
+       |delta AS (SELECT * FROM documents WHERE doc_id % $mod = 0),
+       |b AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+       |             CAST(sum(n_chars) AS BIGINT) AS chars_before
+       |      FROM before GROUP BY source),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_after,
+       |             CAST(sum(n_chars) AS BIGINT) AS chars_after
+       |      FROM documents GROUP BY source),
+       |ad AS (SELECT source, CAST(count(*) AS BIGINT) AS added_docs,
+       |              CAST(sum(n_chars) AS BIGINT) AS added_chars
+       |       FROM delta GROUP BY source),
+       |rm AS (SELECT source, CAST(count(*) AS BIGINT) AS removed_docs
+       |       FROM before WHERE doc_id NOT IN (SELECT doc_id FROM documents)
+       |       GROUP BY source)
+       |SELECT source,
+       |       coalesce(docs_before, 0) AS docs_before,
+       |       coalesce(docs_after, 0) AS docs_after,
+       |       coalesce(added_docs, 0) AS added_docs,
+       |       coalesce(added_chars, 0) AS added_chars,
+       |       coalesce(removed_docs, 0) AS removed_docs
+       |FROM b
+       |FULL OUTER JOIN a USING (source)
+       |FULL OUTER JOIN ad USING (source)
+       |FULL OUTER JOIN rm USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   def diversityOracleSql: String =
     s"""WITH st AS (
        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c

@@ -39,6 +39,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("snapshot drift report balances per source") {
+    val rows = CorpusStats.snapshotDrift(docsOf).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, before, after, added, addedChars, removed) =>
+      assert(after == before + added - removed, s"unbalanced drift for $src")
+      assert(removed == 0L, "append-only fixture reported removals")
+      assert(addedChars >= 0L)
+    }
+    // brute force one source end-to-end
+    val docs = docsOf.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val src = rows.head._1
+    val ofSrc = docs.filter(_._2 == src)
+    assert(rows.head._2 == ofSrc.count(_._1 % graft.text.InvertedIndex.DeltaMod != 0))
+    assert(rows.head._3 == ofSrc.length)
+  }
+
   test("per-source diversity equals brute-force Simpson in ppm") {
     val rows = docsOf.select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
