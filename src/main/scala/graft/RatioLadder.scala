@@ -124,7 +124,8 @@ object RatioLadder {
     * one-row count frames ride broadcast crossJoins.
     */
   def wordcountLadderU(docs: DataFrame): DataFrame =
-    ladderU(docs, RQ.wordCount(_), "word", col("doc_id"), "n_docs")
+    ladderU(docs, d => RQ.wordItems(d, carry = Seq("__res")),
+      "word", col("doc_id"), "n_docs")
 
   /** The SAME declared ladder protocol over the reference's apachelog
     * family (VERDICT r16 item 4 — `randApacheLogAnalysis.sh:22-26` ran the
@@ -134,60 +135,88 @@ object RatioLadder {
     * ones the parse drops on both the exact and sampled sides).
     */
   def logHostLadderU(events: DataFrame): DataFrame =
-    ladderU(events, e => RQ.clfHost(RQ.clfParsed(e)), "host",
-      col("event_id"), "n_lines")
+    ladderU(events,
+      e => RQ.clfParsed(e, carry = Seq("__res"))
+        .select(col("hostname").as("host"), col("__res")),
+      "host", col("event_id"), "n_lines")
 
   /** The third and last reference ladder family — `randCharCount.sh` ran
     * the same protocol over character counts.
     */
   def charcountLadderU(docs: DataFrame): DataFrame =
-    ladderU(docs, RQ.charCount(_), "ch", col("doc_id"), "n_docs")
+    ladderU(docs, d => RQ.charItems(d, carry = Seq("__res")),
+      "ch", col("doc_id"), "n_docs")
 
-  /** The generic declared-ladder core shared by the families above: run
-    * `query` (→ (key, cnt)) exact and at every [[DeclaredPcts]] rung under
-    * UNIVERSE sampling of `unitId`, emitting the comparator's integer
-    * error measure and the T4 bound per rung. See [[wordcountLadderU]]'s
-    * original scaladoc for the scale shape (checkpointed exact + one
-    * sampled aggregate and one broadcast-sized full-outer join per rung).
+  /** The generic declared-ladder core shared by the families above —
+    * SINGLE-PASS form (r18, guide §2.4/§6): the old shape ran `query`
+    * exact plus once per rung and counted the kept units per rung — ~10
+    * corpus scans and four full-outer joins for a 4-row answer. Universe
+    * keep-sets NEST (`residue < 10 ⊂ < 25 ⊂ < 50 ⊂ < 100`), so a rung's
+    * sampled aggregate is a CONDITIONAL count over the exact pass's own
+    * item stream, and a sampled key set can never contain a key the exact
+    * side lacks — the full-outer join was always a left-total join. Now:
+    * ONE scan of the item stream computes, per key, the exact count and
+    * every rung's kept count (`count(when(residue < p, 1))`, all
+    * map-side-combined in the same aggregate); one narrow scan of the
+    * unit column yields n/n_kept per rung the same way; the 4 output rows
+    * explode from a literal struct array over the two 1-row frames. 16
+    * parquet scans → 2 in the physical plan (before/after in plans/r18),
+    * zero joins, zero checkpoints.
+    *
+    * `items` must yield the pre-aggregation stream of the family's
+    * count-shaped query — one row per counted item, key column `keyCol`,
+    * with the input's `__res` sampling-residue column carried through
+    * (the [[graft.queries.ReferenceQueries.wordItems]] seam, so exact
+    * query and ladder share one spelling). Rung semantics are unchanged
+    * and the oracle SQL is untouched: `query(sample(source, p))` ≡
+    * filtering the item stream by `__res < p` because the keep predicate
+    * is row-local and `query` is a per-item groupBy-count.
     */
   private def ladderU(
       source: DataFrame,
-      query: DataFrame => DataFrame,
+      items: DataFrame => DataFrame,
       keyCol: String,
       unitId: org.apache.spark.sql.Column,
       nCol: String): DataFrame = {
     import graft.sampling.{Stats, UniverseSampled}
     import org.apache.spark.sql.functions._
-    val exact = query(source).localCheckpoint(false)
-    // one row, four consumers: without the checkpoint each rung's plan
-    // re-runs the corpus count scan (review r16 — the same reason exact
-    // is checkpointed one line up)
-    val nTotal = source.agg(count(lit(1)).as(nCol)).localCheckpoint(false)
     val nKeptCol = s"${nCol}_kept"
-    DeclaredPcts.map { pct =>
-      val kept = UniverseSampled.sample(source, unitId, pct)
-      val est = query(kept).select(
-        col(keyCol),
-        (col("cnt") * lit(UniverseSampled.scaleFor(pct))).as("__est"))
-      val diff = exact.join(est, Seq(keyCol), "full_outer")
-        .agg(
-          sum(abs(coalesce(col("cnt"), lit(0L)) - coalesce(col("__est"), lit(0L))))
-            .as("sum_abs_diff"),
-          sum(coalesce(col("cnt"), lit(0L))).as("sum_exact"))
-      val nKept = kept.agg(count(lit(1)).as(nKeptCol))
-      diff
-        .crossJoin(broadcast(nKept))
-        .crossJoin(broadcast(nTotal))
-        .select(
+    val withRes = source.withColumn("__res", UniverseSampled.residue(unitId))
+    // scan 1: the item stream; per key the exact count and each rung's
+    // conditional count (count(when) = 0 for a key the rung never saw —
+    // exactly the old full-outer join's coalesce-to-0)
+    val perKey = items(withRes)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        DeclaredPcts.map(p =>
+          count(when(col("__res") < p, lit(1))).as(s"__c$p")): _*)
+    val diff = perKey.agg(
+      sum(col("cnt")).as("sum_exact"),
+      DeclaredPcts.map(p =>
+        sum(abs(col("cnt") - col(s"__c$p") * lit(UniverseSampled.scaleFor(p))))
+          .as(s"__sad$p")): _*)
+    // scan 2 (unit column only — column pruning keeps it narrow): total
+    // units and kept units per rung
+    val counts = withRes.agg(
+      count(lit(1)).as(nCol),
+      DeclaredPcts.map(p =>
+        count(when(col("__res") < p, lit(1))).as(s"__k$p")): _*)
+    diff.crossJoin(counts)
+      .select(explode(array(DeclaredPcts.map { pct =>
+        struct(
           lit(pct.toLong).as("pct"),
-          col("sum_exact"), col("sum_abs_diff"),
+          col("sum_exact"),
+          col(s"__sad$pct").as("sum_abs_diff"),
           // nullif: a degenerate corpus (sum_exact = 0) must report NULL in
           // BOTH engines — DuckDB's // would raise where Spark's div yields
           // NULL (ADVICE r16), so the zero case is made explicit lockstep
-          expr("(10000 * sum_abs_diff) div nullif(sum_exact, 0)").as("data_error_bp"),
-          col(nCol), col(nKeptCol),
-          Stats.errBoundCol(col(nCol), col(nKeptCol), 0.95).as("err_bound"))
-    }.reduce(_ unionAll _)
+          expr(s"(10000 * __sad$pct) div nullif(sum_exact, 0)").as("data_error_bp"),
+          col(nCol),
+          col(s"__k$pct").as(nKeptCol),
+          Stats.errBoundCol(col(nCol), col(s"__k$pct"), 0.95).as("err_bound"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** DuckDB replay of [[wordcountLadderU]] — same keeps, same integer

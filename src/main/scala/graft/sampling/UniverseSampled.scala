@@ -72,9 +72,17 @@ object UniverseSampled {
     RangeMod / pct
   }
 
+  /** The salted unit hash's residue in [0, [[RangeMod]]) — [[keep]] is
+    * `residue < pct`. Exposed so a multi-rung consumer (the ratio ladder)
+    * can compute the residue ONCE per row and evaluate every rung as a
+    * comparison against it, instead of one md5 per rung per row.
+    */
+  def residue(unit: Column): Column =
+    Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % RangeMod
+
   /** Keep-predicate: hash of the salted unit in [0, pct). */
   def keep(unit: Column, pct: Int): Column =
-    Hashing.hash60(concat(lit(Salt), unit.cast("string"))) % RangeMod < pct
+    residue(unit) < pct
 
   /** DuckDB text of [[keep]] for oracle generation; `unitExpr` is a SQL
     * expression for the unit column (cast to VARCHAR here, mirroring the
