@@ -87,22 +87,25 @@ object SubstringDedup {
   /** Duplicated grams with their keeper's COORDINATES: (h, min_doc,
     * min_pos) for every hash carried by ≥ 2 distinct docs — min_pos is
     * the hash's first occurrence inside the keeper, where the verbatim
-    * reference copy for the confirm step lives. Two-level aggregate
-    * (both partial-agg'd map-side): per-(h, doc) first position, then
-    * per-h carrier count + lexicographic-min (doc, pos) — no
-    * count-distinct Expand, and the first level collapses within-doc
-    * repeats before the second shuffle exactly like the old
-    * `array_distinct` explode did.
+    * reference copy for the confirm step lives. ONE aggregate level
+    * (r18; the r16-r17 shape was two — per-(h, doc) first position, then
+    * per-h count + min — which shuffled the corpus-sized position stream
+    * TWICE, 23 of the spans query's 30 s CPU): the keeper coordinates
+    * are simply `min(struct(doc_id, pos))` over the RAW position stream
+    * (lexicographic min = smallest carrier doc, then its first position
+    * — exactly the two-level result), and "carried by ≥ 2 distinct docs"
+    * is `max(doc_id) ≠ min doc_id` — no count-distinct Expand, no second
+    * exchange. Both accumulators combine map-side, so a mega-duplicated
+    * gram still costs one row per map partition.
     */
   private def dupKeepers(grams: DataFrame): DataFrame =
     positions(grams)
-      .groupBy("h", "doc_id").agg(min(col("pos")).as("mp"))
       .groupBy("h")
       .agg(
-        count(lit(1)).as("__nd"),
-        min(struct(col("doc_id"), col("mp"))).as("__k"))
-      .filter(col("__nd") >= 2)
-      .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.mp").as("min_pos"))
+        min(struct(col("doc_id"), col("pos"))).as("__k"),
+        max(col("doc_id")).as("__mx"))
+      .filter(col("__mx") > col("__k.doc_id"))
+      .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.pos").as("min_pos"))
 
   /** [[dupKeepers]] joined back to the keeper documents' text to extract
     * the verbatim keeper gram: (h, min_doc, kg). The join is by keeper
@@ -150,7 +153,7 @@ object SubstringDedup {
     * gram equals the keeper's copy ([[graft.functions.ConfirmCuts]]), so
     * a hash collision can no longer excise real content. Flow: the
     * position stream equi-joins the aggregated dup set (now carrying the
-    * keeper gram), candidates collapse to one sorted per-doc struct
+    * keeper gram), candidates collapse to one per-doc struct
     * array (duplicated-mass-sized, the only shuffle that grew — ~48
     * bytes per DUPLICATED position, the same order as the cut stream it
     * replaces), and one corpus join (aggregate build side, the
@@ -171,9 +174,13 @@ object SubstringDedup {
     * path.
     */
   private def confirmedSpans(corpus: DataFrame, cands: DataFrame): DataFrame = {
+    // no sort_array (r18): the confirm kernel decides each candidate
+    // independently and the island merge re-sorts cut positions in its
+    // own window — sorting (pos, 40-char kg) struct arrays here bought
+    // nothing
     val perDoc = cands
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("kg")))).as("__cands"))
+      .agg(collect_list(struct(col("pos"), col("kg"))).as("__cands"))
     val confirmed = corpus
       .join(perDoc, Seq("doc_id")) // inner: no candidates, no spans
       .select(
@@ -280,10 +287,9 @@ object SubstringDedup {
     */
   def gramIndex(base: DataFrame): DataFrame =
     positions(gramFrame(base))
-      .groupBy("h", "doc_id").agg(min(col("pos")).as("mp"))
       .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("mp"))).as("__k"))
-      .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.mp").as("min_pos"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__k"))
+      .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.pos").as("min_pos"))
 
   def ensureSavedGramIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     SavedArtifact.ensure(
