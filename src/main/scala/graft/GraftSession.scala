@@ -42,5 +42,15 @@ object GraftSession {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE broadcast threshold (r18, guide §3.1): AQE decides from
+      // MEASURED post-shuffle sizes, so raising it is safe where the
+      // static 10 MB estimate-based default must be conservative. 64 MB
+      // is far under any batch executor's memory at production scale
+      // (guide: "a few hundred MB is usually fine") and fixes a measured
+      // plan flip — the substring position⋈dup-set join broadcast-probes
+      // standalone (dup side ~11 MB) but fell to a both-sides shuffle
+      // join inside the composed training-shard pipeline (dup side
+      // ~19 MB), tripling that stage's CPU. Static threshold untouched.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
 }
