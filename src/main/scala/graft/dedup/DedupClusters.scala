@@ -55,7 +55,10 @@ object DedupClusters {
     // memory grow with iteration count and deep components OOM the driver.
     // Checkpointing truncates lineage to the materialized result each
     // round — the standard shape for iterative graph algorithms on Spark.
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    // LAZY (r18): the initial labelSum below is the action that
+    // materializes it — an eager checkpoint here ran one extra job (and
+    // one extra corpus scan) per components() call for nothing.
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint(false)
     // Convergence via Σlabel: min-propagation only ever DECREASES labels,
     // so an unchanged sum ⟺ a fixed point — one cheap in-memory action per
     // iteration instead of a change-detection join + count. Summed as

@@ -96,11 +96,12 @@ object PageRank {
     val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager init: materializes the edge cache AND yields the node count
-    // for the long-overflow headroom contract (see scaladoc)
+    // lazy init (r18): the count() below is the materializing action — it
+    // still builds the edge cache and yields the node count for the
+    // long-overflow headroom contract in ONE job instead of two
     var ranks = e2.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale).as("rank_q"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = ranks.count()
     require(n <= 100000000L,
       s"PageRank: $n nodes exceeds the long fixed-point headroom (1e8); " +
