@@ -72,5 +72,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(graft.functions.SortedIntersectDot.descriptor)
     extensions.injectFunction(graft.functions.SignBandKeys.descriptor)
     extensions.injectFunction(graft.functions.GramHashes.descriptor)
+    extensions.injectFunction(graft.functions.RegexGroups.descriptor)
   }
 }

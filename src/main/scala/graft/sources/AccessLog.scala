@@ -72,37 +72,39 @@ object AccessLog {
   }
 
   /** P5: positional CLF field extraction. Lines that don't match the format
-    * yield empty extracts → dropped (the reference swallows its parse
+    * yield an empty group array → dropped (the reference swallows its parse
     * exceptions and moves on, RandomizedApacheLogAnalysis.java:113-115).
     *
-    * The extracted struct goes through an explode-of-one barrier: a
+    * The extracted group array goes through an explode-of-one barrier: a
     * Generator that Catalyst will not collapse into downstream
     * projections/filters. Without it, predicate pushdown substitutes the
     * raw-line expression back into every consumer — and because the
     * upstream line can sit inside CASE WHEN branches, codegen's
     * subexpression elimination cannot hoist the duplicates, so each of the
     * ~11 field references re-runs line synthesis + regex match per row
-    * (measured 6 s vs 0.8 s at sf0.1). With the barrier the five extracts
-    * run once per row and consumers see plain attributes.
+    * (measured 6 s vs 0.8 s at sf0.1). With the barrier the extraction
+    * runs once per row and consumers see plain attributes.
     */
   def parse(lines: DataFrame, carry: Seq[String] = Nil): DataFrame =
     lines
       .select(
-        explode(array(struct(
-          regexp_extract(col("line"), ClfRegex, 1).as("hostname"),
-          regexp_extract(col("line"), ClfRegex, 4).as("datetime"),
-          regexp_extract(col("line"), ClfRegex, 5).as("request"),
-          regexp_extract(col("line"), ClfRegex, 6).as("response"),
-          regexp_extract(col("line"), ClfRegex, 7).as("bytes_str")))).as("r")
+        // ONE anchored-regex match per line via the regex_groups kernel
+        // (r18, guide §1.2 per-task work): the previous five independent
+        // regexp_extract calls each re-ran the full CLF regex — 5 matches
+        // per line across the whole log family. A malformed line yields
+        // an EMPTY array (the old spelling's empty group-1 extract), so
+        // the matched filter is size = 5.
+        explode(array(graft.functions.RegexGroups.regexGroups(
+          col("line"), ClfRegex, Seq(1, 4, 5, 6, 7)))).as("r")
           +: carry.map(col): _*)
-      .filter(col("r.hostname") =!= "")
+      .filter(size(col("r")) === 5)
       .select(
         Seq(
-          col("r.hostname").as("hostname"),
-          to_timestamp(col("r.datetime"), "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
-          col("r.request").as("request"),
-          col("r.response").cast("int").as("response"),
-          col("r.bytes_str").cast("long").as("bytes")) ++ carry.map(col): _*)
+          col("r").getItem(0).as("hostname"),
+          to_timestamp(col("r").getItem(1), "dd/MMM/yyyy:HH:mm:ss Z").as("ts"),
+          col("r").getItem(2).as("request"),
+          col("r").getItem(3).cast("int").as("response"),
+          col("r").getItem(4).cast("long").as("bytes")) ++ carry.map(col): _*)
 
   /** P9: bare page path from `"METHOD /path?query HTTP/1.1"` — the token
     * after the method, truncated at the first `?`

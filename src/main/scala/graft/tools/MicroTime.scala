@@ -44,7 +44,41 @@ object MicroTime {
           .agg(sum(col("__c")).as("n"), count(lit(1)).as("nd"), max(col("__c")).as("top"))),
       "bigrams_explode" -> (() =>
         graft.dedup.Hashing.explodeShingles(
-          graft.queries.Tables.parallelismFloor(docs), 2)))
+          graft.queries.Tables.parallelismFloor(docs), 2)),
+      // r18 quality-cost decomposition: which term of qualitySignalCols
+      // dominates the 6 s process CPU the quality scan shows?
+      "special_re" -> (() =>
+        graft.queries.Tables.parallelismFloor(docs)
+          .select(col("doc_id"),
+            length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+              .cast("long").as("n_special"))),
+      "special_count" -> (() =>
+        graft.queries.Tables.parallelismFloor(docs)
+          .select(col("doc_id"),
+            (length(col("text")) -
+              regexp_count(lower(col("text")), lit("[a-z0-9 ]")))
+              .cast("long").as("n_special"))),
+      "stop_count" -> (() =>
+        graft.queries.Tables.parallelismFloor(docs)
+          .select(col("doc_id"),
+            graft.functions.CountInSet.countInSet(
+              graft.dedup.Hashing.words(col("text")),
+              graft.text.TextAnalysis.Markers.head._2).as("n_stop"))),
+      "clf_synth" -> (() =>
+        graft.sources.AccessLog.synthesize(
+          graft.queries.Tables.events(spark, sfDir))),
+      "clf_parsed" -> (() =>
+        graft.sources.AccessLog.parse(graft.sources.AccessLog.synthesize(
+          graft.queries.Tables.events(spark, sfDir)))),
+      "lang_scores" -> (() => {
+        val w = col("__w")
+        graft.queries.Tables.parallelismFloor(docs)
+          .select(col("doc_id"), graft.dedup.Hashing.words(col("text")).as("__w"))
+          .select(Seq(col("doc_id")) ++ graft.text.TextAnalysis.Markers.map {
+            case (lang, ms) =>
+              graft.functions.CountInSet.countInSet(w, ms).as(s"s_$lang")
+          }: _*)
+      }))
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case b: com.sun.management.OperatingSystemMXBean => Some(b)
