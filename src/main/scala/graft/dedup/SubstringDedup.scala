@@ -107,6 +107,19 @@ object SubstringDedup {
       .filter(col("__mx") > col("__k.doc_id"))
       .select(col("h"), col("__k.doc_id").as("min_doc"), col("__k.pos").as("min_pos"))
 
+  /** [[dupKeepers]] joined back to the keeper documents' text to extract
+    * the verbatim keeper gram: (h, min_doc, kg). The join is by keeper
+    * doc_id with the AGGREGATE side small (one row per duplicated hash)
+    * — AQE broadcasts it, so corpus text never shuffles here; the output
+    * stays aggregate-sized with a GramLen-char payload per row.
+    */
+  private def dupGrams(corpus: DataFrame, grams: DataFrame): DataFrame =
+    dupKeepers(grams)
+      .join(corpus.select(col("doc_id").as("min_doc"), col("text")), Seq("min_doc"))
+      .select(
+        col("h"), col("min_doc"),
+        expr(s"substring(text, CAST(min_pos AS INT), $GramLen)").as("kg"))
+
   /** (doc_id, pos, h) position stream of a gram frame. */
   private def positions(grams: DataFrame): DataFrame =
     grams
@@ -147,28 +160,12 @@ object SubstringDedup {
     * [[cleaned]] stitch-join shape) runs the compiled confirm kernel per
     * doc before the shared island merge.
     */
-  private def spansFromGrams(corpus: DataFrame, grams: DataFrame): DataFrame = {
-    // shuffle keys, not payloads (r18, guide §2.3): the candidate stream
-    // used to carry the 40-char keeper gram through its per-doc exchange
-    // (~70 B/duplicated position); now the exchange moves (doc_id, pos, h)
-    // and the gram is re-attached AFTER it by a second broadcast probe of
-    // the same aggregate-sized dup set. The dup set is checkpointed once
-    // (aggregate-sized) so its one-level aggregate doesn't run per probe.
-    val dk = dupKeepers(grams).localCheckpoint(false)
-    val kg = dk
-      .join(corpus.select(col("doc_id").as("min_doc"), col("text")), Seq("min_doc"))
-      .select(
-        col("h"),
-        expr(s"substring(text, CAST(min_pos AS INT), $GramLen)").as("kg"))
-    val cands = positions(grams)
-      .join(dk.select("h", "min_doc"), Seq("h"))
-      .filter(col("doc_id") > col("min_doc"))
-      .select(col("doc_id"), col("pos"), col("h"))
-      .repartition(col("doc_id"))
-      .join(kg, Seq("h"))
-      .select(col("doc_id"), col("pos"), col("kg"))
-    confirmedSpans(corpus, cands)
-  }
+  private def spansFromGrams(corpus: DataFrame, grams: DataFrame): DataFrame =
+    confirmedSpans(corpus,
+      positions(grams)
+        .join(dupGrams(corpus, grams), Seq("h"))
+        .filter(col("doc_id") > col("min_doc"))
+        .select(col("doc_id"), col("pos"), col("kg")))
 
   /** The shared CONFIRM core: candidates (doc_id, pos, kg) collapse to one
     * sorted per-doc struct array, one corpus join (aggregate build side)
